@@ -1,0 +1,19 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so sharding logic is exercised
+# without TPU hardware (the driver separately dry-runs multichip compile).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# Persistent compilation cache: the wavefront scans are expensive to compile,
+# cheap to replay.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+REFERENCE_DIR = "/root/reference"
+
+
+def reference_path(*parts):
+    return os.path.join(REFERENCE_DIR, *parts)
