@@ -1,0 +1,69 @@
+"""Benchmark: pair-HMM forward throughput (GCUPS) on one chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference's Intel GKL AVX-512 pair-HMM forward
+(/root/reference/src/pair_hmm/pair_hmm.rs:345-375).  Published GKL f64
+AVX-512 throughput is ~1-3 GCUPS single-threaded; we use 3.0 GCUPS as a
+generous single-chip-vs-single-socket baseline (BASELINE.md: target >=10x).
+
+Methodology: pack once; enqueue N kernel calls and read back once — on the
+axon tunnel, per-call device-to-host readback costs a fixed ~27 ms that is
+not kernel time, and block_until_ready does not synchronize remote execution.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+BASELINE_GCUPS = 3.0
+
+
+def main():
+    import jax
+    from lorikeet_tpu.ops.pairhmm_pallas import (
+        pack_pallas_inputs, pairhmm_forward_packed,
+    )
+
+    B, R, H = 8192, 127, 256
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    haps = bases[rng.integers(0, 4, (B, H))]
+    reads = np.ascontiguousarray(haps[:, :R])
+    big = dict(
+        haps=haps, hap_lens=np.full(B, H, np.int32),
+        reads=reads, read_lens=np.full(B, R, np.int32),
+        quals=np.full((B, R), 30, np.uint8),
+        ins_quals=np.full((B, R), 45, np.uint8),
+        del_quals=np.full((B, R), 45, np.uint8),
+        gcps=np.full((B, R), 10, np.uint8),
+    )
+    operands, nchunks, _ = pack_pallas_inputs(**big, block_b=128)
+    np.asarray(pairhmm_forward_packed(operands, nchunks, B, 128))  # warm/compile
+
+    def run_n(n):
+        t0 = time.time()
+        out = None
+        for _ in range(n):
+            out = pairhmm_forward_packed(operands, nchunks, B, 128)
+        np.asarray(out)
+        return time.time() - t0
+
+    t1 = min(run_n(1) for _ in range(2))
+    tN = run_n(21)
+    per_call = (tN - t1) / 20
+    gcups = B * R * H / per_call / 1e9
+    print(json.dumps({
+        "metric": "pairhmm_forward_gcups",
+        "value": round(gcups, 2),
+        "unit": "GCUPS/chip",
+        "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,268 @@
+"""BAM reading — host I/O layer.
+
+The reference reads BAMs through rust-htslib (C htslib,
+/root/reference/src/bam_parsing/bam_generator.rs:19-77); this environment has
+no pysam/htslib, so this is a self-contained reader: BGZF decompression via
+the stdlib (BGZF is valid multi-member gzip) + record decoding per the SAM
+spec.  Small-cohort files are decoded fully into per-contig read lists;
+region fetches slice a sorted array.  (A C++ decoder can replace the record
+loop if profiling demands; decode cost is off the device hot path.)
+
+Record surface mirrors what the pipeline needs from the reference's
+``BirdToolRead`` (/root/reference/src/reads/bird_tool_reads.rs:27): name,
+flags, tid/pos/mapq, CIGAR, seq, quals, mate info, tags.
+"""
+from __future__ import annotations
+
+import gzip
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+
+CIGAR_OPS = "MIDNSHP=X"
+# ops that consume query / reference (SAM spec 4.2)
+CONSUMES_QUERY = (True, True, False, False, True, False, False, True, True)
+CONSUMES_REF = (True, False, True, True, False, False, False, True, True)
+
+_SEQ_NT = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+
+# SAM flags
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_READ1 = 0x40
+FLAG_READ2 = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+
+@dataclass
+class BamRecord:
+    name: str
+    flag: int
+    tid: int
+    pos: int                 # 0-based leftmost
+    mapq: int
+    cigar: list              # [(op_char, length)]
+    seq: np.ndarray          # uint8 ASCII bases
+    qual: np.ndarray         # uint8 phred
+    mate_tid: int = -1
+    mate_pos: int = -1
+    tlen: int = 0
+    tags: dict = field(default_factory=dict)
+    sample_index: int = 0    # filled by the pipeline
+
+    @property
+    def is_paired(self):
+        return bool(self.flag & FLAG_PAIRED)
+
+    @property
+    def is_proper_pair(self):
+        return bool(self.flag & FLAG_PROPER_PAIR)
+
+    @property
+    def is_unmapped(self):
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_mate_unmapped(self):
+        return bool(self.flag & FLAG_MATE_UNMAPPED)
+
+    @property
+    def is_reverse(self):
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def is_mate_reverse(self):
+        return bool(self.flag & FLAG_MATE_REVERSE)
+
+    @property
+    def is_first_in_pair(self):
+        return bool(self.flag & FLAG_READ1)
+
+    @property
+    def is_secondary(self):
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_supplementary(self):
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_duplicate(self):
+        return bool(self.flag & FLAG_DUP)
+
+    @property
+    def is_qc_fail(self):
+        return bool(self.flag & FLAG_QCFAIL)
+
+    def __len__(self):
+        return len(self.seq)
+
+    @property
+    def reference_end(self) -> int:
+        """0-based exclusive end on the reference."""
+        return self.pos + sum(n for op, n in self.cigar if CONSUMES_REF[CIGAR_OPS.index(op)])
+
+    @property
+    def query_alignment_length(self) -> int:
+        return sum(n for op, n in self.cigar if CONSUMES_QUERY[CIGAR_OPS.index(op)]
+                   and op not in "SH")
+
+    def cigar_string(self) -> str:
+        return "".join(f"{n}{op}" for op, n in self.cigar) or "*"
+
+
+def _decode_record(buf: bytes, off: int, end: int) -> BamRecord:
+    (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag, l_seq,
+     next_ref_id, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", buf, off)
+    p = off + 32
+    name = buf[p:p + l_read_name - 1].decode()
+    p += l_read_name
+    cigar = []
+    for k in range(n_cigar_op):
+        v = struct.unpack_from("<I", buf, p + 4 * k)[0]
+        cigar.append((CIGAR_OPS[v & 0xF], v >> 4))
+    p += 4 * n_cigar_op
+    nbytes = (l_seq + 1) // 2
+    packed = np.frombuffer(buf, np.uint8, nbytes, p)
+    hi = packed >> 4
+    lo = packed & 0xF
+    codes = np.empty(nbytes * 2, np.uint8)
+    codes[0::2] = hi
+    codes[1::2] = lo
+    seq = _SEQ_NT[codes[:l_seq]]
+    p += nbytes
+    qual = np.frombuffer(buf, np.uint8, l_seq, p).copy()
+    p += l_seq
+    tags = _decode_tags(buf, p, end)
+    return BamRecord(name=name, flag=flag, tid=ref_id, pos=pos, mapq=mapq,
+                     cigar=cigar, seq=seq, qual=qual, mate_tid=next_ref_id,
+                     mate_pos=next_pos, tlen=tlen, tags=tags)
+
+
+def _decode_tags(buf: bytes, p: int, end: int) -> dict:
+    tags = {}
+    while p < end:
+        tag = buf[p:p + 2].decode()
+        typ = chr(buf[p + 2])
+        p += 3
+        if typ == "A":
+            tags[tag] = chr(buf[p]); p += 1
+        elif typ in "cC":
+            tags[tag] = struct.unpack_from("<b" if typ == "c" else "<B", buf, p)[0]; p += 1
+        elif typ in "sS":
+            tags[tag] = struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]; p += 2
+        elif typ in "iI":
+            tags[tag] = struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]; p += 4
+        elif typ == "f":
+            tags[tag] = struct.unpack_from("<f", buf, p)[0]; p += 4
+        elif typ in "ZH":
+            q = buf.index(b"\0", p)
+            tags[tag] = buf[p:q].decode(); p = q + 1
+        elif typ == "B":
+            sub = chr(buf[p]); n = struct.unpack_from("<i", buf, p + 1)[0]
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            fmt = "<" + str(n) + sub.lower() if sub != "f" else "<" + str(n) + "f"
+            if sub in "CSI":
+                fmt = "<" + str(n) + {"C": "B", "S": "H", "I": "I"}[sub]
+            tags[tag] = list(struct.unpack_from(fmt, buf, p + 5))
+            p += 5 + n * size
+        else:
+            raise ValueError(f"unknown tag type {typ!r}")
+    return tags
+
+
+class BamReader:
+    """Whole-file BAM reader with per-contig fetch.
+
+    Decodes the full file on first use (fine for per-genome split BAMs; the
+    reference similarly re-reads whole BAMs per genome task).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        with gzip.open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack_from("<i", data, 4)[0]
+        self.header_text = data[8:8 + l_text].rstrip(b"\0").decode()
+        p = 8 + l_text
+        n_ref = struct.unpack_from("<i", data, p)[0]
+        p += 4
+        self.references = []
+        self.lengths = []
+        for _ in range(n_ref):
+            l_name = struct.unpack_from("<i", data, p)[0]
+            name = data[p + 4:p + 4 + l_name - 1].decode()
+            l_ref = struct.unpack_from("<i", data, p + 4 + l_name)[0]
+            self.references.append(name)
+            self.lengths.append(l_ref)
+            p += 8 + l_name
+        self._records_raw = (data, p)
+        self._by_tid = None
+
+    @property
+    def n_references(self) -> int:
+        return len(self.references)
+
+    def tid(self, name: str) -> int:
+        return self.references.index(name)
+
+    def _ensure_decoded(self):
+        if self._by_tid is not None:
+            return
+        data, p = self._records_raw
+        by_tid = {}
+        n = len(data)
+        while p < n:
+            block_size = struct.unpack_from("<i", data, p)[0]
+            rec = _decode_record(data, p + 4, p + 4 + block_size)
+            by_tid.setdefault(rec.tid, []).append(rec)
+            p += 4 + block_size
+        for tid in by_tid:
+            by_tid[tid].sort(key=lambda r: r.pos)
+        self._by_tid = by_tid
+        self._starts = {tid: np.array([r.pos for r in recs], np.int64)
+                        for tid, recs in by_tid.items()}
+        self._records_raw = None
+
+    def fetch(self, tid: int = None, start: int = None, end: int = None):
+        """Yield records overlapping [start, end) on tid (all if None)."""
+        self._ensure_decoded()
+        if tid is None:
+            for t in sorted(k for k in self._by_tid if k >= 0):
+                yield from self._by_tid[t]
+            return
+        recs = self._by_tid.get(tid, [])
+        if start is None:
+            yield from recs
+            return
+        # records are position-sorted; reads overlapping [start,end) have
+        # pos < end and reference_end > start
+        starts = self._starts.get(tid)
+        hi = int(np.searchsorted(starts, end, side="left")) if end is not None else len(recs)
+        for r in recs[:hi]:
+            if r.reference_end > start:
+                yield r
+
+    def count(self) -> int:
+        self._ensure_decoded()
+        return sum(len(v) for k, v in self._by_tid.items())
+
+    def sample_names(self) -> list:
+        """Read-group sample names (SM) from the header, in order."""
+        samples = []
+        for line in self.header_text.splitlines():
+            if line.startswith("@RG"):
+                for fieldv in line.split("\t"):
+                    if fieldv.startswith("SM:"):
+                        samples.append(fieldv[3:])
+        return samples

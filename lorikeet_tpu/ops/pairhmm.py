@@ -210,9 +210,14 @@ def _pairhmm_jit(haps, hap_lens, reads, read_lens, quals, ins_quals,
         valid = ((j_here >= 1) & (j_here <= hap_lens))[:, None] & is_end_row
         acc = acc + jnp.where(valid, m_new + i_new, 0.0)
 
-        # Renormalise: divide all live state by the diagonal max to keep f32
-        # in range (replaces INITIAL_CONDITION=2^1020 in f64).
-        peak = jnp.max(jnp.maximum(m_new, jnp.maximum(i_new, d_new)), axis=1, keepdims=True)
+        # Renormalise: divide all live state by the diagonal *interior* max to
+        # keep f32 in range (replaces INITIAL_CONDITION=2^1020 in f64).  The
+        # constant boundary row (D[0,j]=1/H) is excluded: including it pins
+        # the scale and flushes deep low-likelihood cells to zero (boundary
+        # re-seeds row 1 every diagonal, so the interior max stays within
+        # ~1e12 of it and the scaled boundary cannot overflow).
+        interior = jnp.maximum(m_new, jnp.maximum(i_new, jnp.where(boundary, 0.0, d_new)))
+        peak = jnp.max(interior, axis=1, keepdims=True)
         peak = jnp.maximum(peak, jnp.max(acc, axis=1, keepdims=True))
         scale = jnp.where(peak > 0, peak, 1.0)
         inv = 1.0 / scale
@@ -239,6 +244,26 @@ def _pairhmm_jit(haps, hap_lens, reads, read_lens, quals, ins_quals,
     acc, log10_scale = carry[8], carry[9]
     total = jnp.sum(acc, axis=1)
     return jnp.log10(jnp.maximum(total, jnp.finfo(f32).tiny)) + log10_scale
+
+
+# Below this log10 the f32 device kernels may have flushed deep DP cells
+# (single per-diagonal scale cannot span >38 decades); mirror GKL's
+# f32->f64 escalation by recomputing those pairs exactly on the host.
+F32_SUSPECT_LOG10 = -28.0
+
+
+def pairhmm_forward_checked(results, pairs):
+    """Escalate suspicious f32 results to the exact f64 host path.
+
+    ``results``: np.ndarray [B] from a device kernel; ``pairs``: the packed
+    (hap, read, q, iq, dq, gcp) tuples in batch order.  Returns corrected
+    array.  The reference's AVX path does the same dance (GKL recomputes in
+    double below its f32 underflow threshold).
+    """
+    results = np.asarray(results, np.float64).copy()
+    for k in np.nonzero(results <= F32_SUSPECT_LOG10)[0]:
+        results[k] = pairhmm_forward_np(*pairs[k])
+    return results
 
 
 def pack_pairhmm_batch(pairs, r_pad_to=None, h_pad_to=None):

@@ -1,0 +1,245 @@
+"""Pallas TPU kernel for the pair-HMM forward wavefront.
+
+Same anti-diagonal formulation as ops.pairhmm.pairhmm_forward_batch (lane axis
+= read position, haplotype bases stream through a shift register), but the
+entire DP state lives in VMEM for the whole sweep: one grid step processes a
+[TB] tile of (read, hap) pairs, running all diagonals in nested ``fori_loop``s
+of pure VPU ops.  The XLA scan version round-trips ~10 state arrays through
+HBM every diagonal; here HBM traffic is one read of the inputs and one [TB,1]
+write, making the kernel compute-bound.
+
+Numerics contract: /root/reference/src/pair_hmm/pair_hmm.rs:503-615 (see
+ops/pairhmm.py docstring).  f32 with per-diagonal renormalisation.
+
+Mosaic lowering constraints discovered on TPU v5e (each cost a real compile
+failure; keep them in mind when editing):
+- lane-dim dynamic slices must be 128-aligned -> the hap stream is consumed
+  through 128-wide aligned windows + one-step rolls;
+- [TB,1] lane slices broadcast against [TB,128] fail relayout -> extract
+  columns via masked reductions (lane-replicated result);
+- lane-replicated broadcasts flowing into loop-carried products break layout
+  unification ("Invalid relayout ... replicated in destination but not in
+  source") -> de-replicate ``scale`` by mixing in a ref-loaded value.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lorikeet_tpu.ops.pairhmm import TRISTATE_CORRECTION, _NBASE
+
+_LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
+            read_pad, hap_stream, lens, out, *, nchunks: int):
+    f32 = jnp.float32
+    TB, Rpad = t_mm.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
+
+    def col(x, idx):
+        # Masked-reduction column extract: produces a lane-replicated [TB,1]
+        # (direct lane slices like x[:, 0:1] break Mosaic relayout when later
+        # broadcast against [TB, lanes] operands).
+        it = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        return jnp.sum(jnp.where(it == idx, x, 0), axis=1, keepdims=True)
+
+    lens_v = lens[...]
+    # Per-pair scalars live as full-width [TB, Rpad] arrays ([TB,1] carried
+    # values interact badly with Mosaic loop layouts).
+    read_len = jnp.broadcast_to(col(lens_v, 0), (TB, Rpad))
+    hap_len = jnp.broadcast_to(col(lens_v, 1), (TB, Rpad))
+    boundary = lane == 0
+    is_end_row = lane == read_len
+    b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)            # [TB,Rpad]
+
+    tmm = t_mm[...]
+    tim = t_im[...]
+    tmi = t_mi[...]
+    tii = t_ii[...]
+    tmd = t_md[...]
+    tdd = t_dd[...]
+    pm = p_match[...]
+    px = p_mis[...]
+    rp = read_pad[...]
+
+    zeros = jnp.zeros((TB, Rpad), f32)
+
+    def shift(x):
+        # out[:, i] = x[:, i-1]; out[:, 0] = 0
+        rolled = pltpu.roll(x, 1, 1)
+        return jnp.where(boundary, 0.0, rolled)
+
+    _GROUP = 4  # diagonals per renormalisation (4 steps decay at most ~1e-22)
+
+    def body(g, chunk_carry):
+        # A group of _GROUP diagonals d = c*128 + g*_GROUP + s + 1, then one
+        # power-of-two renormalisation.  Entering hap base hap[d-1] is the
+        # head of the rolling window (Mosaic only allows lane-aligned dynamic
+        # slices, so the stream is consumed via offset-0 extract + roll).
+        c, carry, window = chunk_carry
+        m1, i1, d1, m2, i2, d2, hapd, bval, acc, ls = carry
+        for s in range(_GROUP):
+            d = c * _LANES + g * _GROUP + s + 1
+            new_hap = jnp.broadcast_to(col(window, 0), (TB, Rpad))
+            window = pltpu.roll(window, _LANES - 1, 1)
+            hapd = jnp.where(boundary, new_hap, pltpu.roll(hapd, 1, 1))
+
+            base_match = (rp == hapd) | (rp == _NBASE) | (hapd == _NBASE)
+            prior = jnp.where(base_match, pm, px)
+
+            m_new = prior * (shift(m2) * tmm + (shift(i2) + shift(d2)) * tim)
+            i_new = shift(m1) * tmi + shift(i1) * tii
+            d_new = m1 * tmd + d1 * tdd
+
+            m_new = jnp.where(boundary, 0.0, m_new)
+            i_new = jnp.where(boundary, 0.0, i_new)
+            d_new = jnp.where(boundary, bval, d_new)
+
+            j_here = d - read_len                              # [TB,Rpad]
+            valid = (j_here >= 1) & (j_here <= hap_len) & is_end_row
+            acc = acc + jnp.where(valid, m_new + i_new, 0.0)
+            m1, i1, d1, m2, i2, d2 = m_new, i_new, d_new, m1, i1, d1
+
+        # Renormalise all live state by a power-of-two scale derived from the
+        # group *interior* max's exponent bits (replaces the reference's
+        # 2^1020 f64 initial condition).  Exact and transcendental-free:
+        # full-width log10 or fp division per step would dominate the kernel.
+        # The constant boundary row is excluded from the peak — including it
+        # pins the scale and flushes deep low-likelihood cells (boundary
+        # re-seeds row 1 every diagonal, bounding scaled-boundary growth).
+        interior = jnp.maximum(m1, jnp.maximum(i1, jnp.where(boundary, 0.0, d1)))
+        peak = jnp.max(interior, axis=1, keepdims=True)
+        peak = jnp.maximum(peak, jnp.max(acc, axis=1, keepdims=True))
+        peak = jnp.broadcast_to(jnp.where(peak > 0, peak, 1.0), (TB, Rpad))
+        # De-replicate (see module docstring); 0*x is not foldable under NaN
+        # semantics so this survives optimisation.
+        peak = peak + 0.0 * tmm
+        e = jax.lax.shift_right_logical(pltpu.bitcast(peak, jnp.int32), 23) & 0xFF
+        inv = pltpu.bitcast(jax.lax.shift_left(254 - e, 23), jnp.float32)  # 2^(127-e)
+        carry = (m1 * inv, i1 * inv, d1 * inv,
+                 m2 * inv, i2 * inv, d2 * inv,
+                 hapd, bval * inv, acc * inv, ls + (e - 127))
+        return (c, carry, window)
+
+    def chunk_body(c, carry):
+        start = pl.multiple_of(c * _LANES, _LANES)
+        window = hap_stream[:, pl.ds(start, _LANES)]           # [TB,128]
+        _, carry, _ = jax.lax.fori_loop(0, _LANES // _GROUP, body,
+                                        (c, carry, window))
+        return carry
+
+    init_d = jnp.where(boundary, b0, 0.0)
+    carry = (zeros, zeros, init_d, zeros, zeros, zeros,
+             jnp.zeros((TB, Rpad), jnp.int32), b0, zeros,
+             jnp.zeros((TB, Rpad), jnp.int32))
+    carry = jax.lax.fori_loop(0, nchunks, chunk_body, carry)
+    acc, ls = carry[8], carry[9]
+    total = jnp.sum(acc, axis=1, keepdims=True)
+    # ls lanes are identical; log10(2^ls) = ls * log10(2)
+    ls_col = jnp.max(ls, axis=1, keepdims=True).astype(f32) * np.float32(np.log10(2.0))
+    out[...] = jnp.log10(jnp.maximum(total, jnp.finfo(f32).tiny)) + ls_col
+
+
+@functools.partial(jax.jit, static_argnames=("nchunks", "block_b", "interpret"))
+def _pairhmm_pallas_jit(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
+                        read_pad, hap_stream, lens, nchunks, block_b, interpret):
+    B, Rpad = t_mm.shape
+    grid = (B // block_b,)
+    row = lambda i: (i, 0)
+    spec_r = pl.BlockSpec((block_b, Rpad), row, memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((block_b, hap_stream.shape[1]), row, memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec((block_b, lens.shape[1]), row, memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_kernel, nchunks=nchunks),
+        grid=grid,
+        in_specs=[spec_r] * 9 + [spec_s, spec_l],
+        out_specs=pl.BlockSpec((block_b, 1), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        interpret=interpret,
+    )(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
+      read_pad, hap_stream, lens)
+
+
+def pack_pallas_inputs(
+    haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
+    block_b: int = 128,
+):
+    """Host-side numpy precompute of the kernel operands (transition probs,
+    priors, hap stream).  Returns (operand_tuple, nchunks, B).  Pack once,
+    run many — the packing is O(B*Rpad) numpy work that must stay off the
+    kernel's steady-state path.
+    """
+    haps = np.asarray(haps)
+    reads = np.asarray(reads)
+    B, Rmax = reads.shape
+    Hmax = haps.shape[1]
+    Rpad = _round_up(Rmax + 1, _LANES)
+    Bpad = _round_up(max(B, 1), block_b)
+    # diagonals d = 1 .. Rmax+Hmax, padded to whole 128-step chunks (overrun
+    # steps are masked out of the accumulator)
+    nchunks = max(1, -(-(Rmax + Hmax) // _LANES))
+
+    f32 = np.float32
+    q = np.zeros((Bpad, Rpad), f32)
+    ei = np.zeros((Bpad, Rpad), f32)
+    ed = np.zeros((Bpad, Rpad), f32)
+    eg = np.zeros((Bpad, Rpad), f32)
+    # position 0 is the boundary row; read data occupies lanes 1..Rmax
+    q[:B, 1:Rmax + 1] = np.asarray(quals, f32)
+    ei[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(ins_quals, f32) / -10.0)
+    ed[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(del_quals, f32) / -10.0)
+    eg[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(gcps, f32) / -10.0)
+    eps = 10.0 ** (q / -10.0)
+
+    t_mm = 1.0 - np.minimum(1.0, ei + ed)
+    t_im = 1.0 - eg
+    p_match = 1.0 - eps
+    p_mis = eps / TRISTATE_CORRECTION
+
+    read_pad = np.zeros((Bpad, Rpad), np.int32)
+    read_pad[:B, 1:Rmax + 1] = reads
+    # hap_stream[:, k] == hap[k]: entering base for diagonal d=k+1
+    Spad = nchunks * _LANES
+    hap_stream = np.zeros((Bpad, Spad), np.int32)
+    hap_stream[:B, :Hmax] = haps
+    lens = np.zeros((Bpad, _LANES), np.int32)
+    lens[:B, 0] = read_lens
+    lens[:B, 1] = hap_lens
+    lens[B:, 0] = 1
+    lens[B:, 1] = 1
+
+    operands = (jnp.asarray(t_mm), jnp.asarray(t_im), jnp.asarray(ei),
+                jnp.asarray(eg), jnp.asarray(ed), jnp.asarray(eg),
+                jnp.asarray(p_match), jnp.asarray(p_mis),
+                jnp.asarray(read_pad), jnp.asarray(hap_stream), jnp.asarray(lens))
+    return operands, nchunks, B
+
+
+def pairhmm_forward_packed(operands, nchunks, B, block_b: int = 128,
+                           interpret: bool = False) -> jnp.ndarray:
+    """Run the kernel on prepacked operands (see pack_pallas_inputs)."""
+    out = _pairhmm_pallas_jit(*operands, nchunks, block_b, interpret)
+    return out[:B, 0]
+
+
+def pairhmm_forward_pallas(
+    haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
+    block_b: int = 128, interpret: bool = False,
+) -> jnp.ndarray:
+    """Batched forward log10-likelihoods via the Pallas kernel; API matches
+    ops.pairhmm.pairhmm_forward_batch.  B is padded to a multiple of
+    ``block_b``, the lane axis to 128."""
+    operands, nchunks, B = pack_pallas_inputs(
+        haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
+        block_b)
+    return pairhmm_forward_packed(operands, nchunks, B, block_b, interpret)

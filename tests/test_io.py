@@ -1,0 +1,92 @@
+"""I/O layer tests.
+
+The reference repo's BAM fixtures are git-lfs pointers (not fetched), so BAM
+tests round-trip through our own writer on simulated reads from the real
+7seqs.fna reference sequence.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from lorikeet_tpu.io.bam import BamReader
+from lorikeet_tpu.io.bam_writer import write_bam
+from lorikeet_tpu.io.fasta import FastaReader
+from lorikeet_tpu.testkit.simulate import Variant, apply_variants, simulate_reads
+
+DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA), reason="reference data absent")
+
+
+def test_fasta_7seqs():
+    fr = FastaReader(os.path.join(DATA, "7seqs.fna"))
+    assert len(fr.names) == 7
+    # lengths must agree with the shipped .fai
+    with open(os.path.join(DATA, "7seqs.fna.fai")) as fh:
+        for line in fh:
+            name, length = line.split("\t")[:2]
+            assert fr.length(name) == int(length)
+    seq = fr.fetch(fr.names[0], 0, 50)
+    assert seq.size == 50
+    assert set(seq.tobytes()) <= set(b"ACGTN")
+    # windowed fetch equals slicing a full fetch
+    full = fr.fetch(fr.names[1])
+    assert np.array_equal(fr.fetch(fr.names[1], 100, 200), full[100:200])
+
+
+def test_apply_variants_roundtrip():
+    ref = np.frombuffer(b"ACGTACGTACGTACGTACGT", np.uint8)
+    hap, segs = apply_variants(ref, [
+        Variant(3, b"T", b"G"),
+        Variant(7, b"T", b"TAA"),
+        Variant(11, b"TACG", b"T"),
+    ])
+    assert hap.tobytes() == b"ACGGACGTAAACGTTACGT"
+    # segment bookkeeping is self-consistent
+    hap_len = sum(n for k, _, _, n in segs if k in "MI")
+    ref_len = sum(n for k, _, _, n in segs if k in "MD")
+    assert hap_len == len(hap) and ref_len == len(ref)
+
+
+def test_bam_write_read_roundtrip(tmp_path):
+    fr = FastaReader(os.path.join(DATA, "7seqs.fna"))
+    name = "genome2~seq1"
+    ref = fr.fetch(name)
+    variants = [Variant(200, bytes(ref[200:201]), b"A" if ref[200] != ord("A") else b"C"),
+                Variant(500, bytes(ref[500:503]), bytes(ref[500:501]))]
+    recs = simulate_reads(ref, variants, coverage=20, seed=1, tid=2)
+    assert len(recs) > 50
+    path = str(tmp_path / "sim.bam")
+    write_bam(path, fr.names, [fr.length(n) for n in fr.names], recs)
+
+    br = BamReader(path)
+    assert br.references == fr.names
+    back = list(br.fetch(2))
+    assert len(back) == len(recs)
+    for a, b in zip(back, recs):
+        assert a.name == b.name and a.pos == b.pos and a.flag == b.flag
+        assert a.cigar == b.cigar
+        assert np.array_equal(a.seq, b.seq)
+        assert np.array_equal(a.qual, b.qual)
+        assert a.tags.get("RG") == "sample0"
+    # region fetch consistency
+    window = list(br.fetch(2, 300, 400))
+    expect = [r for r in recs if r.pos < 400 and r.reference_end > 300]
+    assert len(window) == len(expect)
+
+
+def test_simulated_cigars_consume_correctly():
+    ref = np.frombuffer(bytes(np.random.default_rng(3).choice(
+        np.frombuffer(b"ACGT", np.uint8), 2000)), np.uint8)
+    variants = [Variant(400, bytes(ref[400:401]), b"T" if ref[400] != ord("T") else b"G"),
+                Variant(900, bytes(ref[900:904]), bytes(ref[900:901])),
+                Variant(1400, bytes(ref[1400:1401]), bytes(ref[1400:1401]) + b"GTC")]
+    recs = simulate_reads(ref, variants, coverage=30, seed=2, error_rate=0.0)
+    from lorikeet_tpu.io.bam import CIGAR_OPS, CONSUMES_QUERY
+    for r in recs:
+        qlen = sum(n for op, n in r.cigar if CONSUMES_QUERY[CIGAR_OPS.index(op)])
+        assert qlen == len(r.seq), (r.name, r.cigar, len(r.seq))
+        # reads not crossing any variant must be a single match op
+        if r.reference_end < 380 or r.pos > 1450:
+            assert len(r.cigar) == 1 and r.cigar[0][0] == "M"

@@ -14,6 +14,7 @@ import pytest
 from lorikeet_tpu.ops.pairhmm import (
     pairhmm_forward_np,
     pairhmm_forward_batch,
+    pairhmm_forward_checked,
     pack_pairhmm_batch,
 )
 
@@ -68,6 +69,12 @@ def test_forward_batch_matches_np_random():
     rng = np.random.default_rng(42)
     bases = np.frombuffer(b"ACGT", np.uint8)
     pairs = []
+    # terrible alignment: fully random read (deep low-likelihood regime that
+    # once flushed to the f32 floor when the boundary row pinned the scale)
+    pairs.append((bases[rng.integers(0, 4, 60)], bases[rng.integers(0, 4, 50)],
+                  rng.integers(6, 40, 50).astype(np.uint8),
+                  np.full(50, 45, np.uint8), np.full(50, 45, np.uint8),
+                  np.full(50, 10, np.uint8)))
     for _ in range(16):
         H = int(rng.integers(20, 160))
         R = int(rng.integers(10, min(H, 100)))
@@ -84,7 +91,9 @@ def test_forward_batch_matches_np_random():
         gcp = np.full(R, 10, np.uint8)
         pairs.append((hap, read, q, iq, dq, gcp))
     batch = pack_pairhmm_batch(pairs)
-    got = np.asarray(pairhmm_forward_batch(**batch))
+    # production contract: device kernel + host f64 escalation of results in
+    # the f32 flush zone (deep negatives; see F32_SUSPECT_LOG10)
+    got = pairhmm_forward_checked(pairhmm_forward_batch(**batch), pairs)
     for k, p in enumerate(pairs):
         want = pairhmm_forward_np(*p)
         assert abs(got[k] - want) < 2e-3, (k, want, got[k])
