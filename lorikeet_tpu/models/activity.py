@@ -1,0 +1,396 @@
+"""Activity profiling: pileup -> ref-vs-any genotype likelihoods -> active
+probabilities -> band-pass smoothing -> assembly-region extraction.
+
+Numerics contract (/root/reference/src/haplotype/haplotype_caller_engine.rs):
+- parse_record pileup walk (:754-899): per aligned base (or deletion cell,
+  qual fixed at 30) with qual >= bq(10) accumulate ref-vs-any GLs
+  (:1464-1533 alignment_context_creation, :1534-1560
+  update_heterozygous_likelihood with the Jacobian-table het term);
+- is_alt = base mismatch or adjacency to an S/I/D cigar element (:1584-1687);
+- per-position active prob = biallelic AF-calc QUAL through
+  GenotypingEngine::calculate_genotypes with <FAKE_ALT> (:1053-1085 +
+  genotyping_engine.rs:80-250): None (prob 0) unless the site is plausible
+  and passes the emit threshold, else 1 - 10^(-floor(QUAL)/10);
+- band-pass smoothing: normalized Gaussian kernel, sigma 17, filter size 50
+  (band_pass_activity_profile.rs:24-101), HQ-soft-clip states multiply mass
+  by (2*min(n_hq_clips, 50)+1);
+- region extraction: threshold crossing + local-minimum cut sites
+  (activity_profile.rs:430-668).
+
+TPU-first design: the per-base GL update depends only on (qual, is_alt), so
+pileup accumulation is a table-gather scatter-add; the per-position QUAL is a
+fully vectorized EM over [positions] arrays.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import numpy as np
+
+from lorikeet_tpu.models.genotype_alleles import approx_log10_sum_log10_vec
+from lorikeet_tpu.utils.math import approximate_log10_sum_log10
+
+REF_MODEL_DELETION_QUAL = 30
+HQ_BASE_QUALITY_SOFTCLIP_THRESHOLD = 28
+AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD = 6.0
+MAX_FILTER_SIZE = 50
+DEFAULT_SIGMA = 17.0
+MIN_PROB_TO_KEEP_IN_FILTER = 1e-5
+PROBABILITY_TOLERANCE_FOR_DENSITY_CHECK = 0.1
+
+
+# ---------------------------------------------------------------------------
+# Pileup -> ref-vs-any genotype likelihoods
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _gl_update_table(ploidy: int) -> np.ndarray:
+    """[255, 2, ploidy+1] GL contribution per (qual, is_alt).
+
+    Mirrors update_heterozygous_likelihood: hom terms get lk + log10(ploidy),
+    het term i gets approx_log10_sum(ref_lk + log10(ploidy-i), alt_lk + log10(i)).
+    """
+    n = ploidy + 1
+    log10p = np.log10(ploidy)
+    table = np.zeros((255, 2, n))
+    for q in range(255):
+        err_log10 = q / -10.0
+        with np.errstate(divide="ignore"):
+            prob_log10 = np.log10(1.0 - 10.0 ** (q / -10.0)) if q > 0 else -np.inf
+        for alt in (0, 1):
+            if alt:
+                ref_lk = err_log10 - np.log10(3.0)
+                alt_lk = prob_log10
+            else:
+                ref_lk = prob_log10
+                alt_lk = err_log10 - np.log10(3.0)
+            table[q, alt, 0] = ref_lk + log10p
+            table[q, alt, ploidy] = alt_lk + log10p
+            j = ploidy - 1
+            for i in range(1, ploidy):
+                table[q, alt, i] = approximate_log10_sum_log10(
+                    ref_lk + np.log10(j), alt_lk + np.log10(i))
+                j -= 1
+    table.setflags(write=False)
+    return table
+
+
+def _sc_indel_adjacency(cigar, read_len: int) -> np.ndarray:
+    """Boolean per read position: adjacent to a softclip/insertion/deletion
+    element (haplotype_caller_engine.rs:1584-1652 semantics)."""
+    adj = np.zeros(read_len, bool)
+    cursor = 0
+    for op, n in cigar:
+        if op in "SID":
+            if cursor - 1 >= 0:
+                adj[cursor - 1] = True          # base just before the element
+            after = cursor + (n if op in "SI" else 0)
+            if after < read_len:
+                adj[after] = True               # base just after the element
+        if op in "MIS=X":
+            cursor += n
+    return adj
+
+
+def _count_high_quality_soft_clips(rec, min_qual: int = HQ_BASE_QUALITY_SOFTCLIP_THRESHOLD) -> float:
+    n = 0.0
+    pos = 0
+    for op, ln in rec.cigar:
+        if op == "S":
+            q = rec.qual[pos:pos + ln]
+            n += float(np.count_nonzero(q > min_qual))
+            pos += ln
+        elif op in "MI=X":
+            pos += ln
+    return n
+
+
+@dataclass
+class RefVsAnyProfile:
+    """Per-position accumulators for one sample over a chunk."""
+    gl: np.ndarray            # [L, ploidy+1] float64
+    read_counts: np.ndarray   # [L] int32
+    ref_depth: np.ndarray     # [L] int32
+    nonref_depth: np.ndarray  # [L] int32
+    hq_sc_sum: np.ndarray     # [L] float64 (RunningAverage numerator)
+    hq_sc_n: np.ndarray       # [L] int32
+
+    @classmethod
+    def zeros(cls, length: int, ploidy: int):
+        return cls(np.zeros((length, ploidy + 1)), np.zeros(length, np.int32),
+                   np.zeros(length, np.int32), np.zeros(length, np.int32),
+                   np.zeros(length), np.zeros(length, np.int32))
+
+    def finalize_gls(self, ploidy: int) -> np.ndarray:
+        """Subtract read_counts*log10(ploidy) (update_ref_vs_any_results)."""
+        return self.gl - self.read_counts[:, None] * np.log10(ploidy)
+
+    def dp(self) -> np.ndarray:
+        return self.ref_depth + self.nonref_depth
+
+
+def accumulate_read(profile: RefVsAnyProfile, rec, ref_seq: np.ndarray,
+                    chunk_start: int, chunk_end: int, bq: int, ploidy: int):
+    """Add one read's pileup contributions (parse_record semantics).
+
+    ``ref_seq`` must cover the chunk as ref_seq[pos - chunk_start].
+    """
+    table = _gl_update_table(ploidy)
+    L = chunk_end - chunk_start
+    adj = _sc_indel_adjacency(rec.cigar, len(rec.seq))
+    seq = rec.seq
+    qual = rec.qual
+    pos = rec.pos
+    rc = 0
+    events = []  # (chunkpos, q, is_alt)
+    sc_events = []  # chunk positions where HQ soft clip counting triggers
+
+    for op, n in rec.cigar:
+        if op == "D":
+            for k in range(n):
+                p = pos + k
+                if p < chunk_start:
+                    continue
+                if p >= chunk_end:
+                    break
+                events.append((p - chunk_start, REF_MODEL_DELETION_QUAL, 1, True))
+            pos += n
+        elif op == "I":
+            if pos >= chunk_start and pos < chunk_end:
+                q = qual[rc]
+                if q >= bq:
+                    base = seq[rc]
+                    is_alt = (base != ref_seq[pos - chunk_start]) or adj[rc]
+                    events.append((pos - chunk_start, q, int(is_alt), False))
+                    if is_alt and adj[rc]:
+                        sc_events.append((pos - chunk_start, rc))
+            rc += n
+        elif op in "M=X":
+            for k in range(n):
+                p = pos + k
+                if p < chunk_start:
+                    continue
+                if p >= chunk_end:
+                    break
+                q = qual[rc + k]
+                if q >= bq:
+                    base = seq[rc + k]
+                    is_alt = (base != ref_seq[p - chunk_start]) or adj[rc + k]
+                    events.append((p - chunk_start, q, int(is_alt), False))
+                    if is_alt and adj[rc + k]:
+                        sc_events.append((p - chunk_start, rc + k))
+            rc += n
+            pos += n
+        elif op == "S":
+            rc += n
+        # H and P are ignored
+
+    if not events:
+        return
+
+    idx = np.array([e[0] for e in events], np.int64)
+    qs = np.array([e[1] for e in events], np.int64)
+    alts = np.array([e[2] for e in events], np.int64)
+    dels = np.array([e[3] for e in events], bool)
+
+    np.add.at(profile.gl, idx, table[qs, alts])
+    np.add.at(profile.read_counts, idx, 1)
+    np.add.at(profile.ref_depth, idx, (alts == 0).astype(np.int32))
+    np.add.at(profile.nonref_depth, idx, (alts == 1).astype(np.int32))
+    del dels
+
+    if sc_events:
+        # hq soft clips only counted when the base is adjacent to a SOFTCLIP
+        # specifically (next_to_soft_clip without indels)
+        sc_adj = _sc_only_adjacency(rec.cigar, len(rec.seq))
+        n_hq = None
+        for p, qpos in sc_events:
+            if sc_adj[qpos]:
+                if n_hq is None:
+                    n_hq = _count_high_quality_soft_clips(rec)
+                profile.hq_sc_sum[p] += n_hq
+                profile.hq_sc_n[p] += 1
+
+
+def _sc_only_adjacency(cigar, read_len: int) -> np.ndarray:
+    adj = np.zeros(read_len, bool)
+    cursor = 0
+    for op, n in cigar:
+        if op == "S":
+            if cursor - 1 >= 0:
+                adj[cursor - 1] = True
+            if cursor + n < read_len:
+                adj[cursor + n] = True
+        if op in "MIS=X":
+            cursor += n
+    return adj
+
+
+# ---------------------------------------------------------------------------
+# Per-position active probability (vectorized biallelic AF calc)
+# ---------------------------------------------------------------------------
+
+def active_probabilities(
+    gls: np.ndarray,            # [S, L, ploidy+1] finalized log10 GLs
+    ploidy: int,
+    snp_heterozygosity: float = 0.001,
+    heterozygosity_stdev: float = 0.01,
+    stand_min_conf: float = 25.0,
+    max_iters: int = 100,
+) -> np.ndarray:
+    """Active probability per position (float32 [L]).
+
+    Vectorized equivalent of running GenotypingEngine::calculate_genotypes
+    with fake biallelic alleles at every position: Dirichlet-EM allele
+    frequencies, QUAL from log10 P(no variant), plausibility + emit
+    thresholds, then prob = 1 - 10^(-floor(QUAL)/10).
+    """
+    S, L, G = gls.shape
+    assert G == ploidy + 1
+    counts = np.stack([np.arange(ploidy, -1, -1), np.arange(0, ploidy + 1)], axis=1)  # [G,2]
+    log10_comb = np.array([
+        _log10_binom(ploidy, i) for i in range(G)
+    ])
+    ref_pseudo = snp_heterozygosity / heterozygosity_stdev ** 2
+    alt_pseudo = snp_heterozygosity * ref_pseudo
+    prior_pseudo = np.array([ref_pseudo, alt_pseudo])
+
+    log10_af = np.full((L, 2), -np.log10(2.0))
+    allele_counts = np.zeros((L, 2))
+    active = np.ones(L, bool)
+
+    def posteriors(log10_af_arr):
+        # [S, L, G]
+        raw = (log10_comb[None, None, :] + gls
+               + (counts @ log10_af_arr.T).T[None, :, :])
+        m = raw.max(axis=2, keepdims=True)
+        norm = m + np.log10(np.sum(10.0 ** (raw - m), axis=2, keepdims=True))
+        return raw - norm
+
+    for _ in range(max_iters):
+        if not active.any():
+            break
+        post = posteriors(log10_af)                       # [S, L, G]
+        # effective counts: sum over samples/genotypes of post * count
+        lin = 10.0 ** post
+        new_counts = np.einsum("slg,ga->la", lin, counts)
+        diff = np.abs(new_counts - allele_counts).max(axis=1)
+        upd = active
+        allele_counts[upd] = new_counts[upd]
+        pseudo = prior_pseudo[None, :] + allele_counts
+        log10_af_new = np.log10(pseudo / pseudo.sum(axis=1, keepdims=True))
+        log10_af[upd] = log10_af_new[upd]
+        active = active & (diff > 0.01)
+
+    post = posteriors(log10_af)
+    log10_p_no_variant = post[:, :, 0].sum(axis=0)        # [L]
+
+    phred = -10.0 * log10_p_no_variant + 0.0
+    plausible = (log10_p_no_variant + 1e-10) < (stand_min_conf * -0.1)
+    emit_ok = phred >= stand_min_conf
+    qual_u8 = np.clip(np.trunc(phred), 0, 255)
+    prob = 1.0 - 10.0 ** (qual_u8 / -10.0)
+    return np.where(plausible & emit_ok, prob, 0.0).astype(np.float32)
+
+
+def _log10_binom(n, k):
+    import math
+    return (math.lgamma(n + 1) - math.lgamma(k + 1) - math.lgamma(n - k + 1)) / np.log(10)
+
+
+# ---------------------------------------------------------------------------
+# Band-pass smoothing + region extraction
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def gaussian_kernel(filter_size: int = MAX_FILTER_SIZE, sigma: float = DEFAULT_SIGMA,
+                    adaptive: bool = True) -> np.ndarray:
+    def make(fs):
+        x = np.arange(2 * fs + 1, dtype=np.float64)
+        k = np.exp(-((x - fs) ** 2) / (2 * sigma * sigma)) / (sigma * np.sqrt(2 * np.pi))
+        return k / k.sum()
+
+    full = make(filter_size)
+    if adaptive:
+        middle = (len(full) - 1) // 2
+        fe = middle
+        while fe > 0:
+            if full[fe - 1] < MIN_PROB_TO_KEEP_IN_FILTER:
+                break
+            fe -= 1
+        filter_size = middle - fe
+    k = make(filter_size)
+    k.setflags(write=False)
+    return k
+
+
+def band_pass_smooth(raw_probs: np.ndarray, hq_sc_mean: np.ndarray = None,
+                     max_prob_propagation: int = 50) -> np.ndarray:
+    """Gaussian band-pass of the raw activity (f32 in, f32 out).
+
+    HQ-soft-clip positions (mean > 6.0) have their probability mass
+    multiplied by (2*min(round-mean-ish, propagation)+1) before smoothing,
+    reproducing the reference's state expansion (activity_profile.rs:309-339).
+    """
+    kernel = gaussian_kernel()
+    probs = raw_probs.astype(np.float64)
+    if hq_sc_mean is not None:
+        n_clips = np.minimum(hq_sc_mean, max_prob_propagation)
+        mult = np.where((hq_sc_mean > AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD)
+                        & (probs > 0.0),
+                        2 * np.floor(n_clips) + 1, 1.0)
+        probs = probs * mult
+    sm = np.convolve(probs, kernel[::-1], mode="same")
+    # positions with zero raw prob that receive no mass stay exactly 0
+    return sm.astype(np.float32)
+
+
+@dataclass
+class RawRegion:
+    start: int        # chunk-relative inclusive
+    end: int          # chunk-relative inclusive
+    is_active: bool
+    activity_density: float
+
+
+def extract_regions(probs: np.ndarray, active_prob_threshold: float = 0.002,
+                    min_region_size: int = 50, max_region_size: int = 300) -> list:
+    """Carve the smoothed profile into active/inactive regions
+    (activity_profile.rs pop_ready_assembly_regions with force_conversion)."""
+    regions = []
+    n = len(probs)
+    cursor = 0
+    while cursor < n:
+        window = probs[cursor:]
+        is_active = window[0] > active_prob_threshold
+        flags = window > active_prob_threshold
+        # find_first_activity_boundary
+        limit = min(len(window), max_region_size)
+        diff = np.nonzero(flags[:limit] != is_active)[0]
+        end = int(diff[0]) if diff.size else limit
+        if is_active and end == max_region_size:
+            end = _find_best_cut_site(window, end, min_region_size)
+        if end <= 0:
+            break
+        seg = window[:end]
+        density = float(np.count_nonzero(
+            seg > PROBABILITY_TOLERANCE_FOR_DENSITY_CHECK)) / end
+        regions.append(RawRegion(cursor, cursor + end - 1, bool(is_active), density))
+        cursor += end
+    return regions
+
+
+def _find_best_cut_site(probs, end_of_active_region: int, min_region_size: int) -> int:
+    min_i = end_of_active_region - 1
+    min_p = np.inf
+    i = min_i
+    while i >= min_region_size:
+        cur = probs[i]
+        is_min = (i >= 1 and i != len(probs) - 1
+                  and cur <= probs[i + 1] and cur < probs[i - 1])
+        if cur < min_p and is_min:
+            min_p = cur
+            min_i = i
+        i -= 1
+    return min_i + 1
