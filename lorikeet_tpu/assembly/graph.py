@@ -1,0 +1,534 @@
+"""Read-threading (de Bruijn-style) local assembly.
+
+Host-side component (graph algorithms are pointer-chasing — wrong shape for
+the TPU; the device consumes this module's haplotype output via the pair-HMM).
+
+Semantics contract (/root/reference/src/read_threading/):
+- read_threading_graph.rs:111-140 per-sequence non-unique kmer detection;
+  :484-660 threading (reads start at their first unique kmer, chains extend
+  by suffix match, unique kmers merge via the kmer->vertex map);
+- multi_sample_edge.rs: per-sample pruning multiplicities (top
+  num_pruning_samples kept, min of those = pruning multiplicity);
+- chain_pruner.rs: linear chains where every non-ref edge has pruning
+  multiplicity < prune_factor are removed;
+- read_threading_assembler.rs:203-450: kmer-size iteration (21, 33; +2 odd
+  steps on cycles/low-complexity up to +6), coverage-keyed prune factor
+  (2 if coverage > 10 else 0), k-best haplotype search, haplotype-vs-ref
+  CIGAR via padded SW;
+- graph_based_k_best_haplotype_finder.rs:64: k-best paths scored by
+  log10(edge multiplicity / total outgoing multiplicity) at branch points.
+
+Dangling-end recovery (abstract_read_threading_graph.rs:231-455) is
+implemented for tails and heads in the common merge cases.
+"""
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lorikeet_tpu.ops.smith_waterman import (
+    align, OverhangStrategy, STANDARD_NGS,
+)
+from lorikeet_tpu.utils.cigar import calculate_cigar
+
+PRUNE_FACTOR_COVERAGE_THRESHOLD = 10.0
+MAX_KMER_ITERATIONS_TO_ATTEMPT = 6
+KMER_SIZE_ITERATION_INCREASE = 2
+
+
+class Edge:
+    __slots__ = ("multiplicity", "is_ref", "current_sample", "samples")
+
+    def __init__(self, is_ref=False, num_pruning_samples=1):
+        self.multiplicity = 0
+        self.is_ref = is_ref
+        self.current_sample = 0
+        self.samples = []          # kept top multiplicities (len <= num_pruning_samples)
+
+    def inc(self, n=1):
+        self.multiplicity += n
+        self.current_sample += n
+
+    def flush_sample(self, cap=1):
+        self.samples.append(self.current_sample)
+        self.samples.sort(reverse=True)
+        del self.samples[cap:]
+        self.current_sample = 0
+
+    def pruning_multiplicity(self, cap=1):
+        vals = sorted(self.samples + [self.current_sample], reverse=True)[:cap]
+        return vals[-1] if vals else 0
+
+
+class ReadThreadingGraph:
+    def __init__(self, kmer_size: int, num_pruning_samples: int = 1):
+        self.kmer_size = kmer_size
+        self.num_pruning_samples = num_pruning_samples
+        self.vertices = []         # vertex id -> kmer bytes
+        self.out_edges = []        # vertex id -> {target: Edge}
+        self.in_edges = []         # vertex id -> {source: Edge}
+        self.kmer_to_vertex = {}   # unique kmer bytes -> vertex id
+        self.non_unique = set()
+        self.pending = []          # (name, seq bytes, count, is_ref)
+        self.ref_path = []
+        self.ref_source = None
+        self.ref_sink = None
+        self.built = False
+
+    # ---------------- construction ----------------
+    def add_sequence(self, seq: bytes, count: int = 1, is_ref: bool = False,
+                     name: str = ""):
+        self.pending.append((name, seq, count, is_ref))
+
+    def add_read(self, rec, min_base_quality: int):
+        """Split the read at low-quality/N bases (GATK add_read semantics) and
+        add each stretch longer than kmer_size."""
+        seq = rec.seq
+        qual = rec.qual
+        good = (qual >= min_base_quality) & (seq != ord("N"))
+        start = None
+        for i in range(len(seq) + 1):
+            ok = i < len(seq) and good[i]
+            if ok and start is None:
+                start = i
+            elif not ok and start is not None:
+                if i - start >= self.kmer_size:
+                    self.add_sequence(seq[start:i].tobytes(), 1, False, rec.name)
+                start = None
+
+    def _new_vertex(self, kmer: bytes) -> int:
+        vid = len(self.vertices)
+        self.vertices.append(kmer)
+        self.out_edges.append({})
+        self.in_edges.append({})
+        if kmer not in self.non_unique and kmer not in self.kmer_to_vertex:
+            self.kmer_to_vertex[kmer] = vid
+        return vid
+
+    def _edge(self, u: int, v: int, is_ref: bool) -> Edge:
+        e = self.out_edges[u].get(v)
+        if e is None:
+            e = Edge(is_ref, self.num_pruning_samples)
+            self.out_edges[u][v] = e
+            self.in_edges[v][u] = e
+        if is_ref:
+            e.is_ref = True
+        return e
+
+    def build(self):
+        assert not self.built
+        k = self.kmer_size
+        # per-sequence non-unique kmers, unioned (determine_non_unique_kmers)
+        for _, seq, _, _ in self.pending:
+            seen = set()
+            for i in range(len(seq) - k + 1):
+                km = seq[i:i + k]
+                if km in seen:
+                    self.non_unique.add(km)
+                else:
+                    seen.add(km)
+        # thread the reference first, then reads
+        self.pending.sort(key=lambda t: not t[3])
+        for name, seq, count, is_ref in self.pending:
+            self._thread(seq, count, is_ref)
+        self.pending = []
+        if self.ref_path:
+            self.ref_source = self.ref_path[0]
+            self.ref_sink = self.ref_path[-1]
+        self.built = True
+
+    def flush_sample(self):
+        """Call between samples to roll per-sample multiplicities."""
+        for outs in self.out_edges:
+            for e in outs.values():
+                e.flush_sample(self.num_pruning_samples)
+
+    def _thread(self, seq: bytes, count: int, is_ref: bool):
+        k = self.kmer_size
+        if len(seq) < k + 1:
+            return
+        # find_start: ref starts at 0; reads at their first unique kmer
+        if is_ref:
+            start = 0
+        else:
+            start = None
+            for i in range(len(seq) - k):
+                if seq[i:i + k] in self.kmer_to_vertex:
+                    start = i
+                    break
+            if start is None:
+                return
+        if len(seq) <= start + k:
+            return
+        kmer = seq[start:start + k]
+        vid = self.kmer_to_vertex.get(kmer)
+        if vid is None:
+            vid = self._new_vertex(kmer)
+        if is_ref:
+            self.ref_path = [vid]
+        for i in range(start + 1, len(seq) - k + 1):
+            vid = self._extend(vid, seq, i, count, is_ref)
+            if is_ref:
+                self.ref_path.append(vid)
+
+    def _extend(self, prev: int, seq: bytes, kmer_start: int, count: int,
+                is_ref: bool) -> int:
+        k = self.kmer_size
+        next_base = seq[kmer_start + k - 1]
+        for target, e in self.out_edges[prev].items():
+            if self.vertices[target][-1] == next_base:
+                e.inc(count)
+                if is_ref:
+                    e.is_ref = True
+                return target
+        kmer = seq[kmer_start:kmer_start + k]
+        vid = self.kmer_to_vertex.get(kmer)
+        if vid is None:
+            vid = self._new_vertex(kmer)
+        e = self._edge(prev, vid, is_ref)
+        e.inc(count)
+        return vid
+
+    # ---------------- queries ----------------
+    def sources(self):
+        return [v for v in range(len(self.vertices))
+                if not self.in_edges[v] and self.out_edges[v]]
+
+    def sinks(self):
+        return [v for v in range(len(self.vertices))
+                if not self.out_edges[v] and self.in_edges[v]]
+
+    def has_cycle(self) -> bool:
+        color = [0] * len(self.vertices)
+
+        for root in range(len(self.vertices)):
+            if color[root]:
+                continue
+            stack = [(root, iter(self.out_edges[root]))]
+            color[root] = 1
+            while stack:
+                node, it = stack[-1]
+                adv = next(it, None)
+                if adv is None:
+                    color[node] = 2
+                    stack.pop()
+                elif color[adv] == 1:
+                    return True
+                elif color[adv] == 0:
+                    color[adv] = 1
+                    stack.append((adv, iter(self.out_edges[adv])))
+        return False
+
+    def remove_edge(self, u, v):
+        self.out_edges[u].pop(v, None)
+        self.in_edges[v].pop(u, None)
+
+    # ---------------- pruning ----------------
+    def find_chains(self):
+        """Linear chains as edge lists (chain_pruner.rs:58-121)."""
+        chains = []
+        chain_starts = list(self.sources())
+        seen = set(chain_starts)
+        qi = 0
+        while qi < len(chain_starts):
+            start = chain_starts[qi]
+            qi += 1
+            for target in list(self.out_edges[start]):
+                chain = [(start, target)]
+                last = target
+                first = start
+                while True:
+                    outs = self.out_edges[last]
+                    if len(outs) != 1 or len(self.in_edges[last]) > 1 or last == first:
+                        break
+                    nxt = next(iter(outs))
+                    chain.append((last, nxt))
+                    last = nxt
+                chains.append(chain)
+                if last not in seen:
+                    seen.add(last)
+                    chain_starts.append(last)
+        return chains
+
+    def prune_low_weight_chains(self, prune_factor: int):
+        if prune_factor <= 0:
+            return
+        for chain in self.find_chains():
+            edges = [self.out_edges[u][v] for u, v in chain
+                     if v in self.out_edges[u]]
+            if edges and all(
+                    e.pruning_multiplicity(self.num_pruning_samples) < prune_factor
+                    and not e.is_ref for e in edges):
+                for u, v in chain:
+                    self.remove_edge(u, v)
+        self._remove_orphans()
+
+    def _remove_orphans(self):
+        # disconnect vertices unreachable from ref source or not reaching sink
+        if self.ref_source is None:
+            return
+        fwd = self._reachable(self.ref_source, self.out_edges)
+        bwd = self._reachable(self.ref_sink, self.in_edges)
+        keep = fwd & bwd
+        for v in range(len(self.vertices)):
+            if v not in keep:
+                for t in list(self.out_edges[v]):
+                    self.remove_edge(v, t)
+                for s in list(self.in_edges[v]):
+                    self.remove_edge(s, v)
+
+    def _reachable(self, start, adj):
+        seen = {start}
+        stack = [start]
+        while stack:
+            n = stack.pop()
+            for m in adj[n]:
+                if m not in seen:
+                    seen.add(m)
+                    stack.append(m)
+        return seen
+
+    # ---------------- dangling end recovery ----------------
+    def recover_dangling_ends(self, min_dangling_branch_length: int = 1,
+                              min_matching_bases: int = 3):
+        """Merge dangling tails/heads into the reference path via SW
+        (abstract_read_threading_graph.rs:231-455, common cases)."""
+        if self.ref_source is None:
+            return
+        ref_set = set(self.ref_path)
+        for sink in list(self.sinks()):
+            if sink in ref_set or sink == self.ref_sink:
+                continue
+            self._recover_tail(sink, ref_set, min_dangling_branch_length,
+                               min_matching_bases)
+        for source in list(self.sources()):
+            if source in ref_set or source == self.ref_source:
+                continue
+            self._recover_head(source, ref_set, min_dangling_branch_length,
+                               min_matching_bases)
+
+    def _walk_back(self, vertex, adj, ref_set):
+        """Walk the linear chain from a dangling vertex until a reference or
+        branching vertex; returns the vertex list (dangling end first)."""
+        path = [vertex]
+        cur = vertex
+        while True:
+            edges = adj[cur]
+            if len(edges) != 1:
+                break
+            nxt = next(iter(edges))
+            path.append(nxt)
+            cur = nxt
+            if nxt in ref_set:
+                break
+            other = self.out_edges[nxt] if adj is self.in_edges else self.in_edges[nxt]
+            if len(other) > 1:
+                break
+        return path
+
+    def _seq_of(self, path_rev):
+        """Bases of a forward-ordered vertex path: first kmer + suffixes."""
+        if not path_rev:
+            return b""
+        out = bytearray(self.vertices[path_rev[0]])
+        for v in path_rev[1:]:
+            out.append(self.vertices[v][-1])
+        return bytes(out)
+
+    def _recover_tail(self, sink, ref_set, min_len, min_matching):
+        path = self._walk_back(sink, self.in_edges, ref_set)  # sink..branch
+        if len(path) < 2 or path[-1] not in ref_set:
+            return
+        branch = path[-1]
+        fwd = path[::-1]  # branch..sink
+        if len(fwd) - 1 < min_len:
+            return
+        try:
+            ref_idx = self.ref_path.index(branch)
+        except ValueError:
+            return
+        ref_fwd = self.ref_path[ref_idx:]
+        dangling_seq = self._seq_of(fwd)
+        ref_seq = self._seq_of(ref_fwd)
+        cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
+        # require the alignment to END in >= min_matching matched bases
+        if not cigar or cigar[-1][0] != "M" or cigar[-1][1] < min_matching:
+            return
+        # position on the ref path where the dangling tail rejoins
+        ref_consumed = sum(n for op, n in cigar if op in "MD")
+        join_offset = ref_consumed - self.kmer_size
+        if join_offset < 1 or join_offset >= len(ref_fwd):
+            return
+        join_vertex = ref_fwd[join_offset]
+        if join_vertex in self.out_edges[sink]:
+            return
+        self._edge(sink, join_vertex, False).inc(1)
+
+    def _recover_head(self, source, ref_set, min_len, min_matching):
+        path = self._walk_back(source, self.out_edges, ref_set)  # source..branch
+        if len(path) < 2 or path[-1] not in ref_set:
+            return
+        if len(path) - 1 < min_len:
+            return
+        branch = path[-1]
+        try:
+            ref_idx = self.ref_path.index(branch)
+        except ValueError:
+            return
+        ref_back = self.ref_path[:ref_idx + 1]
+        dangling_seq = self._seq_of(path[::-1])[::-1]  # reversed bases, source end last
+        # align reversed sequences so the head behaves like a tail
+        ref_seq = self._seq_of(ref_back)[::-1]
+        cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
+        if not cigar or cigar[-1][0] != "M" or cigar[-1][1] < min_matching:
+            return
+        ref_consumed = sum(n for op, n in cigar if op in "MD")
+        join_offset = ref_consumed - self.kmer_size
+        if join_offset < 1 or join_offset > ref_idx:
+            return
+        join_vertex = ref_back[len(ref_back) - 1 - join_offset]
+        if source in self.out_edges[join_vertex]:
+            return
+        self._edge(join_vertex, source, False).inc(1)
+
+
+# ---------------------------------------------------------------------------
+# K-best haplotype search
+# ---------------------------------------------------------------------------
+
+@dataclass(order=True)
+class _PQItem:
+    neg_score: float
+    tiebreak: int
+    path: list = field(compare=False)
+
+
+def find_best_haplotypes(graph: ReadThreadingGraph, max_paths: int = 128):
+    """K-best source->sink paths scored by sum of log10(mult/total_out) at
+    branches (graph_based_k_best_haplotype_finder.rs:64).
+
+    Returns [(score, vertex_path)] best-first, deduplicated by sequence.
+    """
+    src, snk = graph.ref_source, graph.ref_sink
+    if src is None or snk is None:
+        return []
+    results = []
+    counter = 0
+    heap = [_PQItem(0.0, counter, [src])]
+    seen_seqs = set()
+    max_pops = max_paths * 40
+    pops = 0
+    while heap and len(results) < max_paths and pops < max_pops:
+        item = heapq.heappop(heap)
+        pops += 1
+        last = item.path[-1]
+        if last == snk:
+            seq = graph._seq_of(item.path)
+            if seq not in seen_seqs:
+                seen_seqs.add(seq)
+                results.append((-item.neg_score, item.path))
+            continue
+        outs = graph.out_edges[last]
+        if not outs:
+            continue
+        total = sum(e.multiplicity for e in outs.values())
+        for target, e in outs.items():
+            if item.path.count(target) > 2:
+                continue  # bounded cycle guard
+            if total > 0 and e.multiplicity > 0:
+                score = item.neg_score + (-np.log10(e.multiplicity / total))
+            else:
+                score = item.neg_score + 6.0
+            counter += 1
+            heapq.heappush(heap, _PQItem(score, counter, item.path + [target]))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# Assembly driver
+# ---------------------------------------------------------------------------
+
+@dataclass
+class AssembledHaplotype:
+    bases: bytes
+    cigar: list            # vs the padded reference window
+    score: float
+    is_ref: bool
+    kmer_size: int
+    alignment_start_offset: int = 0
+
+
+def assemble_region(
+    ref_seq: np.ndarray,
+    reads_by_sample: dict,
+    kmer_sizes=(21, 33),
+    min_base_quality: int = 10,
+    prune_factor: int = 1,
+    disable_prune_correction: bool = False,
+    num_pruning_samples: int = 1,
+    max_paths: int = 128,
+    min_dangling_branch_length: int = 1,
+    allow_kmer_extension: bool = True,
+    region_size: int = None,
+) -> list:
+    """Assemble haplotypes for one region. Returns [AssembledHaplotype],
+    reference haplotype first.
+
+    ``ref_seq`` is the padded reference window; reads must already be
+    clipped to it (read coordinates are not used here, only bases/quals).
+    """
+    ref_bytes = np.asarray(ref_seq, np.uint8).tobytes()
+    n_reads = sum(len(v) for v in reads_by_sample.values())
+
+    # coverage-keyed prune factor (read_threading_assembler.rs:246-255)
+    if not disable_prune_correction:
+        total_bases = sum(len(r.seq) for reads in reads_by_sample.values()
+                          for r in reads)
+        denom = region_size if region_size else len(ref_bytes)
+        coverage = total_bases / max(denom, 1)
+        prune_factor = 2 if coverage > PRUNE_FACTOR_COVERAGE_THRESHOLD else 0
+
+    haplotypes = {}
+    ref_hap = AssembledHaplotype(ref_bytes, [("M", len(ref_bytes))], 0.0, True, 0)
+    haplotypes[ref_bytes] = ref_hap
+
+    sizes = list(kmer_sizes)
+    attempts = 0
+    for k in sizes:
+        if len(ref_bytes) < k + 2:
+            continue
+        graph = ReadThreadingGraph(k, num_pruning_samples)
+        graph.add_sequence(ref_bytes, 1, True, "ref")
+        # non-unique ref kmers fail this kmer size (unless the graph is fine)
+        for sample in sorted(reads_by_sample):
+            for rec in reads_by_sample[sample]:
+                graph.add_read(rec, min_base_quality)
+        graph.build()
+        graph.flush_sample()
+        if graph.ref_source is None or graph.ref_sink is None:
+            continue
+        if graph.has_cycle():
+            if allow_kmer_extension and attempts < MAX_KMER_ITERATIONS_TO_ATTEMPT \
+               and k == sizes[-1]:
+                sizes.append(k + KMER_SIZE_ITERATION_INCREASE * (attempts + 1) + (k % 2 == 0))
+                attempts += 1
+            continue
+        graph.prune_low_weight_chains(prune_factor)
+        graph.recover_dangling_ends(min_dangling_branch_length)
+        if graph.has_cycle():
+            continue
+        for score, path in find_best_haplotypes(graph, max_paths):
+            bases = graph._seq_of(path)
+            if bases in haplotypes:
+                continue
+            cigar = calculate_cigar(np.frombuffer(ref_bytes, np.uint8),
+                                    np.frombuffer(bases, np.uint8))
+            if cigar is None:
+                continue
+            # discard haplotypes whose alignment doesn't span the window
+            haplotypes[bases] = AssembledHaplotype(bases, cigar, score, False, k)
+
+    out = [ref_hap] + [h for b, h in haplotypes.items() if not h.is_ref]
+    return out

@@ -1,0 +1,158 @@
+"""CIGAR algebra helpers.
+
+Compact equivalents of the reference's cigar machinery
+(/root/reference/src/reads/cigar_utils.rs, cigar_builder.rs,
+alignment_utils.rs): consumption accounting, trimming to a base window,
+indel left-alignment, and the haplotype-vs-reference CIGAR recipe.
+CIGARs are lists of (op_char, length).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+CONSUMES_READ = set("MIS=X")
+CONSUMES_REF = set("MDN=X")
+
+
+def read_length(cigar) -> int:
+    return sum(n for op, n in cigar if op in CONSUMES_READ)
+
+
+def reference_length(cigar) -> int:
+    return sum(n for op, n in cigar if op in CONSUMES_REF)
+
+
+def merge_adjacent(cigar):
+    out = []
+    for op, n in cigar:
+        if n == 0:
+            continue
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + n)
+        else:
+            out.append((op, n))
+    return out
+
+
+def trim_cigar_by_bases(cigar, start: int, end: int):
+    """Keep the cigar portion covering READ bases [start, end] inclusive.
+
+    Returns (cigar, leading_deletion_bases_removed, trailing_deletion_bases_removed)
+    mirroring AlignmentUtils::trim_cigar_by_bases semantics: deletions at the
+    cut points are dropped and reported.
+    """
+    out = []
+    pos = 0  # read-base cursor
+    lead_del = trail_del = 0
+    for op, n in cigar:
+        consumes = op in CONSUMES_READ
+        if not consumes:
+            # deletion-like: keep only if strictly inside the kept window
+            if pos > start and pos <= end:
+                out.append((op, n))
+            elif pos <= start and op == "D":
+                lead_del += n
+            elif pos > end and op == "D":
+                trail_del += n
+            continue
+        seg_start = pos
+        seg_end = pos + n  # exclusive
+        pos = seg_end
+        lo = max(seg_start, start)
+        hi = min(seg_end, end + 1)
+        if lo < hi:
+            out.append((op, hi - lo))
+    # a deletion attached to the very end counts as trailing
+    while out and out[-1][0] == "D":
+        trail_del += out.pop()[1]
+    while out and out[0][0] == "D":
+        lead_del += out.pop(0)[1]
+    return merge_adjacent(out), lead_del, trail_del
+
+
+def left_align_indels(cigar, ref: np.ndarray, read: np.ndarray, ref_offset: int = 0):
+    """Shift indels as far left as possible (VCF normalization).
+
+    Simplified but behavior-compatible version of
+    alignment_utils.rs left_align_indels for the haplotype-cigar use case:
+    repeatedly move each indel left one unit while the flanking bases allow.
+    Returns the adjusted cigar (leading/trailing deletions preserved).
+    """
+    cigar = merge_adjacent(cigar)
+    changed = True
+    while changed:
+        changed = False
+        # positions of ops
+        ref_pos = ref_offset
+        read_pos = 0
+        spans = []
+        for op, n in cigar:
+            spans.append((op, n, ref_pos, read_pos))
+            if op in CONSUMES_REF:
+                ref_pos += n
+            if op in CONSUMES_READ:
+                read_pos += n
+        for k, (op, n, rpos, qpos) in enumerate(spans):
+            if op not in "ID" or k == 0:
+                continue
+            prev_op, prev_n, _, _ = spans[k - 1]
+            if prev_op != "M" or prev_n == 0:
+                continue
+            # unit = the indel sequence
+            if op == "D":
+                seg = ref[rpos:rpos + n]
+                left = ref[rpos - 1] if rpos - 1 >= 0 else None
+            else:
+                seg = read[qpos:qpos + n]
+                left = read[qpos - 1] if qpos - 1 >= 0 else None
+            if left is None or seg.size == 0:
+                continue
+            if seg[-1] == left:
+                # shift indel one base left
+                new = list(cigar)
+                new[k - 1] = (prev_op, prev_n - 1)
+                if k + 1 < len(new) and new[k + 1][0] == "M":
+                    new[k + 1] = ("M", new[k + 1][1] + 1)
+                else:
+                    new.insert(k + 1, ("M", 1))
+                cigar = merge_adjacent(new)
+                changed = True
+                break
+    return cigar
+
+
+def calculate_cigar(ref_seq: np.ndarray, alt_seq: np.ndarray,
+                    strategy=None, params=None):
+    """Haplotype-vs-reference CIGAR (cigar_utils.rs:358-457): trivial cases,
+    then N-padded SW + pad trimming + indel left-alignment."""
+    from lorikeet_tpu.ops.smith_waterman import (
+        align, NEW_SW_PARAMETERS, OverhangStrategy)
+    if params is None:
+        params = NEW_SW_PARAMETERS
+    if strategy is None:
+        strategy = OverhangStrategy.SOFTCLIP
+    ref_seq = np.asarray(ref_seq, np.uint8)
+    alt_seq = np.asarray(alt_seq, np.uint8)
+    if alt_seq.size == 0:
+        return [("D", int(ref_seq.size))]
+    if alt_seq.size == ref_seq.size:
+        mismatches = int(np.count_nonzero(alt_seq != ref_seq))
+        if mismatches <= 2:
+            return [("M", int(ref_seq.size))]
+    pad = np.full(10, ord("N"), np.uint8)
+    padded_ref = np.concatenate([pad, ref_seq, pad])
+    padded_alt = np.concatenate([pad, alt_seq, pad])
+    cigar, offset = align(padded_ref, padded_alt, params, strategy)
+    if offset != 0 or any(op == "S" for op, _ in cigar):
+        return None  # SW failure (is_s_w_failure)
+    trimmed, lead_del, trail_del = trim_cigar_by_bases(
+        cigar, 10, len(padded_alt) - 11)
+    if trail_del > 0:
+        trimmed = trimmed + [("D", trail_del)]
+        trail_del = 0
+    aligned = left_align_indels(trimmed, ref_seq, alt_seq, lead_del)
+    out = []
+    if lead_del > 0:
+        out.append(("D", lead_del))
+    out.extend(aligned)
+    return merge_adjacent(out)
