@@ -1,0 +1,224 @@
+"""Per-region variant calling: assemble -> pair-HMM -> genotype -> annotate.
+
+Contracts:
+- haplotype_caller_engine.rs:1162-1450 call_region (assemble, filter reads,
+  likelihoods, assign genotypes);
+- haplotype_caller_genotyping_engine.rs:101-330 assign_genotype_likelihoods
+  (event maps -> per-locus merge -> marginalize -> evidence retention window
+  -> GLs -> calculate_genotypes -> annotate);
+- genotyping_engine.rs:80-250 calculate_genotypes (AF calc, emit/call
+  thresholds, output allele subset, MLEAC/MLEAF attributes);
+- annotator/variant_annotation.rs (DP, AD, GQ, PL, QD with 45-cap, MQ, AF).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lorikeet_tpu.assembly.graph import assemble_region
+from lorikeet_tpu.calling.events import (
+    build_event_map, create_allele_mapper, events_at_locus, merge_events,
+)
+from lorikeet_tpu.calling.likelihoods import AlleleLikelihoods, compute_read_likelihoods
+from lorikeet_tpu.models.af_calc import AlleleFrequencyCalculator
+from lorikeet_tpu.models.genotype_alleles import (
+    genotype_count_matrix, genotype_likelihoods_from_read_matrix,
+)
+from lorikeet_tpu.models.variants import Allele, Genotype, VariantContext
+from lorikeet_tpu.utils.math import log10_one_minus_pow10
+
+ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN = 2
+MAX_QD_BEFORE_FIXING = 45.0
+IDEAL_HIGH_QD = 45.0
+
+
+@dataclass
+class CallerConfig:
+    ploidy: int = 2
+    snp_heterozygosity: float = 0.001
+    indel_heterozygosity: float = 0.000125
+    heterozygosity_stdev: float = 0.01
+    stand_min_conf: float = 25.0
+    max_mnp_distance: int = 0
+    min_base_quality: int = 10
+    mapq_threshold: int = 20
+    kmer_sizes: tuple = (21, 33)
+    use_pallas: bool | None = None
+    max_alt_alleles: int = 6
+
+
+class GenotypingEngine:
+    """calculate_genotypes (genotyping_engine.rs:80-250, core path)."""
+
+    def __init__(self, cfg: CallerConfig):
+        self.cfg = cfg
+        self.af_calc = AlleleFrequencyCalculator.make_calculator(
+            cfg.snp_heterozygosity, cfg.indel_heterozygosity,
+            cfg.heterozygosity_stdev, cfg.ploidy)
+
+    def calculate_genotypes(self, vc: VariantContext) -> VariantContext | None:
+        if vc.n_samples == 0 or vc.n_alleles < 2:
+            return None
+        af = self.af_calc.calculate(vc, self.cfg.ploidy)
+
+        output_alts = []
+        mle_counts = []
+        site_is_monomorphic = True
+        for a in vc.alternate_alleles:
+            plausible = af.passes_threshold(a, self.cfg.stand_min_conf)
+            site_is_monomorphic &= not plausible
+            if plausible:
+                output_alts.append(a)
+                mle_counts.append(af.get_allele_count_at_mle(a))
+        log10_confidence = (af.log10_prob_only_ref_allele_exists()
+                            if not site_is_monomorphic
+                            else af.log10_prob_variant_present())
+        phred_confidence = -10.0 * log10_confidence + 0.0
+        if site_is_monomorphic or phred_confidence < self.cfg.stand_min_conf \
+                or not output_alts:
+            return None
+
+        out_alleles = [vc.reference] + output_alts
+        genotypes = self._subset_and_assign(vc, out_alleles)
+        call = VariantContext(vc.tid, vc.start, vc.end, out_alleles, genotypes)
+        call.log10_p_error = log10_confidence
+        an = sum(g.ploidy for g in genotypes if g.alleles)
+        call.attributes["MLEAC"] = mle_counts
+        call.attributes["MLEAF"] = [min(1.0, c / an) if an else 0.0
+                                    for c in mle_counts]
+        return call
+
+    def _subset_and_assign(self, vc: VariantContext, out_alleles):
+        """Subset GLs to the output alleles and assign GT by best likelihood
+        (AlleleSubsettingUtils::subset_alleles + UsePLsToAssign)."""
+        old_idx = [vc.alleles.index(a) for a in out_alleles]
+        counts_new = genotype_count_matrix(self.cfg.ploidy, len(out_alleles))
+        counts_old = genotype_count_matrix(self.cfg.ploidy, vc.n_alleles)
+        # map each new genotype to the old genotype index
+        gmap = []
+        for row in counts_new:
+            old_row = np.zeros(vc.n_alleles, np.int32)
+            for new_a, c in enumerate(row):
+                old_row[old_idx[new_a]] += c
+            gmap.append(int(np.nonzero((counts_old == old_row).all(axis=1))[0][0]))
+        gmap = np.array(gmap)
+
+        out = []
+        for g in vc.genotypes:
+            gl = g.log10_likelihoods[gmap]
+            gl = gl - gl.max()
+            best = int(np.argmax(gl))
+            alleles = [out_alleles[a]
+                       for a in np.repeat(np.arange(len(out_alleles)),
+                                          counts_new[best])]
+            pls = np.rint(-10.0 * (gl - gl.max())).astype(np.int64)
+            sorted_pls = np.sort(pls)
+            gq = int(min(99, sorted_pls[1] - sorted_pls[0])) if len(pls) > 1 else -1
+            ng = Genotype(g.sample, g.ploidy, gl, alleles, gq=gq,
+                          dp=g.dp, ad=g.ad.copy() if g.ad is not None else None)
+            # subset AD to output alleles
+            if g.ad is not None:
+                ng.ad = g.ad[old_idx]
+            out.append(ng)
+        return out
+
+
+class HaplotypeCallerEngine:
+    def __init__(self, cfg: CallerConfig = None):
+        self.cfg = cfg or CallerConfig()
+        self.genotyping = GenotypingEngine(self.cfg)
+
+    def call_region(
+        self,
+        ref_window: np.ndarray,       # padded reference bases for the region
+        window_start: int,            # genome position of ref_window[0]
+        active_start: int,            # active span (genome, inclusive)
+        active_end: int,
+        reads_by_sample: dict,        # sample -> [BamRecord] overlapping window
+        tid: int = 0,
+    ) -> list:
+        """Returns [VariantContext] called within the active span."""
+        if not any(reads_by_sample.values()):
+            return []
+        haplotypes = assemble_region(
+            ref_window, reads_by_sample,
+            kmer_sizes=self.cfg.kmer_sizes,
+            min_base_quality=self.cfg.min_base_quality)
+        if len(haplotypes) <= 1:
+            return []
+
+        likelihoods = compute_read_likelihoods(
+            haplotypes, reads_by_sample, use_pallas=self.cfg.use_pallas)
+
+        hap_events = [build_event_map(h, ref_window, window_start,
+                                      self.cfg.max_mnp_distance)
+                      for h in haplotypes]
+        start_positions = sorted({loc for ev in hap_events for loc in ev})
+
+        calls = []
+        for loc in start_positions:
+            if loc < active_start or loc > active_end:
+                continue
+            events = events_at_locus(loc, hap_events)
+            merged = merge_events(events, loc)
+            if merged is None:
+                continue
+            merged.tid = tid
+            mapper = create_allele_mapper(merged, loc, haplotypes, hap_events)
+            # cap alt alleles (remove_alt_alleles_if_too_many_genotypes, simple)
+            if len(merged.alleles) - 1 > self.cfg.max_alt_alleles:
+                continue
+            allele_lks = likelihoods.marginalize(mapper)
+            window_lo = merged.start - ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
+            window_hi = merged.end + ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
+            allele_lks.retain_evidence(
+                lambda r: r.pos <= window_hi and r.reference_end > window_lo)
+
+            genotypes = self._genotypes_for_event(allele_lks, merged)
+            merged.genotypes = genotypes
+            call = self.genotyping.calculate_genotypes(merged)
+            if call is None:
+                continue
+            self._annotate(call, allele_lks)
+            calls.append(call)
+        return calls
+
+    def _genotypes_for_event(self, allele_lks: AlleleLikelihoods,
+                             merged: VariantContext):
+        genotypes = []
+        n_alleles = merged.n_alleles
+        for s in allele_lks.samples:
+            mat = allele_lks.values[s]            # [A, R]
+            gl = genotype_likelihoods_from_read_matrix(mat.T, self.cfg.ploidy)
+            # AD: count reads best-supporting each allele
+            ad = np.zeros(n_alleles, np.int64)
+            if mat.shape[1]:
+                best = mat.argmax(axis=0)
+                for b in best:
+                    ad[b] += 1
+            genotypes.append(Genotype(s, self.cfg.ploidy, gl,
+                                      dp=int(mat.shape[1]), ad=ad))
+        return genotypes
+
+    def _annotate(self, call: VariantContext, allele_lks: AlleleLikelihoods):
+        depth = sum(max(g.dp, 0) for g in call.genotypes)
+        call.attributes["DP"] = depth
+        an = sum(g.ploidy for g in call.genotypes if g.alleles)
+        acs = []
+        for alt in call.alternate_alleles:
+            ac = sum(sum(1 for a in g.alleles if a == alt) for g in call.genotypes)
+            acs.append(ac)
+        call.attributes["AC"] = acs
+        call.attributes["AN"] = an
+        call.attributes["AF"] = [round(c / an, 4) if an else 0.0 for c in acs]
+        if depth > 0:
+            qd = call.phred_scaled_qual / depth
+            if qd >= MAX_QD_BEFORE_FIXING:
+                qd = IDEAL_HIGH_QD          # deterministic (no jitter)
+            call.attributes["QD"] = round(qd, 2)
+        mapqs = [r.mapq for s in allele_lks.samples
+                 for r in allele_lks.reads_by_sample[s]]
+        if mapqs:
+            call.attributes["MQ"] = round(
+                float(np.sqrt(np.mean(np.square(mapqs)))), 2)

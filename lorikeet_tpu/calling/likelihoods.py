@@ -1,0 +1,326 @@
+"""Read x allele likelihood machinery and the pair-HMM likelihood engine.
+
+Contracts:
+- allele_likelihoods.rs: per-sample [alleles, reads] log10 matrices;
+  normalize_likelihoods caps each read's worst value at best + cap (:378-447);
+  marginalize takes the max over the haplotypes backing each allele (:633);
+  filter_poorly_modeled_evidence drops reads whose best likelihood is below a
+  per-read threshold (:925).
+- pair_hmm_likelihood_calculation_engine.rs: read quality preparation (cap
+  base quals at mapq, fix quals < 18 to 6; ins/del quals default 45 adjusted
+  by the conservative PCR error model on STR repeats, floors at 6; gcp 10)
+  and the static disqualification threshold
+  min(2, ceil(len * 0.001)) * -4.0 (:293-320).
+
+The likelihood values themselves come from the batched TPU pair-HMM
+(ops.pairhmm_pallas on device, ops.pairhmm scan on CPU), escalated through
+pairhmm_forward_checked for f32-flushed deep negatives.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from lorikeet_tpu.ops import pairhmm as pairhmm_mod
+from lorikeet_tpu.ops.pairhmm import pack_pairhmm_batch, pairhmm_forward_checked
+
+DEFAULT_INS_QUAL = 45
+DEFAULT_DEL_QUAL = 45
+DEFAULT_GCP = 10
+MIN_USABLE_Q = 6
+BASE_QUALITY_SCORE_THRESHOLD = 18
+EXPECTED_ERROR_RATE_PER_BASE = 0.001
+LOG10_QUAL_PER_BASE = -4.0
+MAX_STR_UNIT_LENGTH = 20
+MAX_REPEAT_LENGTH = 100
+INITIAL_QSCORE = 40.0
+
+
+@functools.lru_cache(maxsize=None)
+def _pcr_error_cache(rate_factor: float = 3.0) -> np.ndarray:
+    # pair_hmm_likelihood_calculation_engine.rs:169-193 (conservative = 3)
+    out = np.empty(MAX_REPEAT_LENGTH + 1, np.uint8)
+    for rl in range(MAX_REPEAT_LENGTH + 1):
+        out[rl] = max(6, int(INITIAL_QSCORE - np.exp(rl / (rate_factor * np.pi)) + 1.0))
+    out.setflags(write=False)
+    return out
+
+
+def _run_end(m: np.ndarray) -> np.ndarray:
+    """Consecutive-True run length of m ending at each index (vectorized)."""
+    n = len(m)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    idx = np.arange(n)
+    last_false = np.maximum.accumulate(np.where(~m, idx, -1))
+    return np.where(m, idx - last_false, 0)
+
+
+def repeat_lengths_vector(bases: np.ndarray) -> np.ndarray:
+    """Tandem-repeat length at every offset, vectorized over positions.
+
+    Exact semantics of find_tandem_repeat_units
+    (pair_hmm_likelihood_calculation_engine.rs:528-612), derived as follows:
+    with m_s[t] = (bases[t+s] == bases[t]) and r_end/r_start its run lengths,
+    the backward repeat count of the size-s unit ending at offset i is
+    1 + r_end_s[i-s]//s, the forward count of the unit starting at i+1 is
+    1 + r_start_s[i+1]//s, units are equal iff r_end_s[i] >= s, and in the
+    unequal case the backward extension of the forward unit is
+    r_end_{s_fw}[i] // s_fw.  Cross-checked against the scalar version.
+    """
+    n = len(bases)
+    out = np.zeros(n, np.int64)
+    if n < 2:
+        return np.minimum(np.ones(n, np.int64), MAX_REPEAT_LENGTH)
+    idx = np.arange(n)
+    smax = min(MAX_STR_UNIT_LENGTH, n - 1)
+
+    r_end = {}
+    r_start = {}
+    for s in range(1, smax + 1):
+        m = bases[s:] == bases[:-s]
+        r_end[s] = _run_end(m)
+        r_start[s] = _run_end(m[::-1])[::-1]
+
+    def _gather(arr, pos):
+        ok = (pos >= 0) & (pos < len(arr))
+        return np.where(ok, arr[np.clip(pos, 0, max(len(arr) - 1, 0))], 0), ok
+
+    NOT_FOUND = 0
+    bw_s = np.zeros(n, np.int64)
+    bw_count = np.ones(n, np.int64)
+    fw_s = np.zeros(n, np.int64)
+    fw_count = np.where(idx < n - 1, 1, 0).astype(np.int64)
+    for s in range(1, smax + 1):
+        re_, ok = _gather(r_end[s], idx - s)
+        cnt = np.where(ok & (idx + 1 - s >= 0), 1 + re_ // s, 1)
+        hit = (bw_s == NOT_FOUND) & (cnt > 1)
+        bw_s[hit] = s
+        bw_count[hit] = cnt[hit]
+
+        rs_, okf = _gather(r_start[s], idx + 1)
+        tryable = (idx + s + 1 <= n) & (idx < n - 1)
+        cntf = np.where(tryable, 1 + np.where(okf, rs_, 0) // s, 0)
+        hitf = (fw_s == NOT_FOUND) & tryable & (cntf > 1)
+        fw_s[hitf] = s
+        fw_count[hitf] = cntf[hitf]
+
+    eff_bw_s = np.where(bw_s == NOT_FOUND, 1, bw_s)
+    eff_fw_s = np.where(fw_s == NOT_FOUND, 1, fw_s)
+    # units equal iff same size and r_end_s[i] >= s
+    re_at_i = np.zeros(n, np.int64)
+    for s in range(1, smax + 1):
+        sel = eff_bw_s == s
+        vals, ok = _gather(r_end[s], idx)
+        re_at_i[sel] = vals[sel]
+    units_equal = (eff_bw_s == eff_fw_s) & (re_at_i >= eff_bw_s) & (idx + 1 - eff_bw_s >= 0)
+    # backward extension of the forward unit (unequal case)
+    bw2 = np.zeros(n, np.int64)
+    for s in range(1, smax + 1):
+        sel = eff_fw_s == s
+        vals, ok = _gather(r_end[s], idx)
+        bw2[sel] = np.where((idx + 1 - s >= 0), vals // s, 0)[sel]
+
+    has_fw = idx < n - 1
+    rl = np.where(has_fw,
+                  np.where(units_equal, bw_count + fw_count, fw_count + bw2),
+                  bw_count)
+    return np.minimum(rl, MAX_REPEAT_LENGTH)
+
+
+def _repeat_length_at(bases: np.ndarray, offset: int) -> int:
+    """Tandem-repeat length around offset (find_tandem_repeat_units, compact)."""
+    n = len(bases)
+    best_bw = 0
+    bw_unit = bases[offset:offset + 1]
+    for s in range(1, MAX_STR_UNIT_LENGTH + 1):
+        if offset + 1 - s < 0:
+            break
+        unit = bases[offset + 1 - s:offset + 1]
+        reps = _count_reps_backward(bases[:offset + 1], unit)
+        if reps > 1:
+            best_bw = reps
+            bw_unit = unit
+            break
+        best_bw = max(best_bw, reps) if s == 1 else best_bw
+    max_rl = best_bw
+    if offset < n - 1:
+        fw_unit = bases[offset + 1:offset + 2]
+        max_fw = 0
+        for s in range(1, MAX_STR_UNIT_LENGTH + 1):
+            if offset + s + 1 > n:
+                break
+            unit = bases[offset + 1:offset + 1 + s]
+            reps = _count_reps_forward(bases[offset + 1:], unit)
+            if reps > 1:
+                max_fw = reps
+                fw_unit = unit
+                break
+            if s == 1:
+                max_fw = reps
+        if fw_unit.tobytes() == bw_unit.tobytes():
+            max_rl = best_bw + max_fw
+        else:
+            bw2 = _count_reps_backward(bases[:offset + 1], fw_unit)
+            max_rl = max_fw + bw2
+    return min(max_rl, MAX_REPEAT_LENGTH)
+
+
+def _count_reps_forward(seq: np.ndarray, unit: np.ndarray) -> int:
+    s = len(unit)
+    reps = 0
+    pos = 0
+    while pos + s <= len(seq) and np.array_equal(seq[pos:pos + s], unit):
+        reps += 1
+        pos += s
+    return reps
+
+
+def _count_reps_backward(seq: np.ndarray, unit: np.ndarray) -> int:
+    s = len(unit)
+    reps = 0
+    pos = len(seq)
+    while pos - s >= 0 and np.array_equal(seq[pos - s:pos], unit):
+        reps += 1
+        pos -= s
+    return reps
+
+
+def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False):
+    """(bases, quals, ins_quals, del_quals, gcps) after engine preparation."""
+    bases = rec.seq
+    quals = rec.qual.astype(np.int64)
+    if not disable_cap_to_mapq:
+        quals = np.minimum(quals, rec.mapq)
+    quals = np.where(quals < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, quals)
+    n = len(bases)
+    iq = np.full(n, DEFAULT_INS_QUAL, np.int64)
+    dq = np.full(n, DEFAULT_DEL_QUAL, np.int64)
+    cache = _pcr_error_cache()
+    # conservative PCR model: cap indel quals by repeat content (vectorized;
+    # apply_pcr_error_model caps position i-1 by the repeat length at i-1)
+    if n > 1:
+        rls = repeat_lengths_vector(bases)[:n - 1]
+        caps = cache[rls].astype(np.int64)
+        iq[:n - 1] = np.minimum(iq[:n - 1], caps)
+        dq[:n - 1] = np.minimum(dq[:n - 1], caps)
+    iq = np.where(iq < MIN_USABLE_Q, MIN_USABLE_Q, iq)
+    dq = np.where(dq < MIN_USABLE_Q, MIN_USABLE_Q, dq)
+    gcp = np.full(n, DEFAULT_GCP, np.uint8)
+    return (bases, quals.astype(np.uint8), iq.astype(np.uint8),
+            dq.astype(np.uint8), gcp)
+
+
+class AlleleLikelihoods:
+    """Per-sample log10 likelihood matrices over (alleles x reads)."""
+
+    def __init__(self, alleles: list, reads_by_sample: dict):
+        self.alleles = list(alleles)
+        self.reads_by_sample = {s: list(v) for s, v in reads_by_sample.items()}
+        self.values = {s: np.zeros((len(self.alleles), len(v)))
+                       for s, v in self.reads_by_sample.items()}
+        self.filtered_reads = {s: [] for s in self.reads_by_sample}
+
+    @property
+    def samples(self):
+        return sorted(self.reads_by_sample)
+
+    def normalize_likelihoods(self, cap: float, symmetric: bool = True):
+        for s, mat in self.values.items():
+            if mat.shape[0] <= 1 or mat.shape[1] == 0:
+                continue
+            best = mat.max(axis=0)
+            floor = best + cap
+            np.maximum(mat, floor[None, :], out=mat)
+
+    def filter_poorly_modeled_evidence(self):
+        """Static threshold: best lk < min(2, ceil(len*0.001))*-4 -> drop."""
+        for s in list(self.reads_by_sample):
+            reads = self.reads_by_sample[s]
+            mat = self.values[s]
+            if not reads:
+                continue
+            thresholds = np.array([
+                min(2.0, np.ceil(len(r) * EXPECTED_ERROR_RATE_PER_BASE))
+                * LOG10_QUAL_PER_BASE for r in reads])
+            keep = mat.max(axis=0) >= thresholds
+            self.filtered_reads[s] = [r for r, k in zip(reads, keep) if not k]
+            self.reads_by_sample[s] = [r for r, k in zip(reads, keep) if k]
+            self.values[s] = mat[:, keep]
+
+    def marginalize(self, allele_mapper: dict) -> "AlleleLikelihoods":
+        """Haplotype likelihoods -> allele likelihoods via per-read max over
+        each allele's haplotypes (allele_likelihoods.rs:633)."""
+        new_alleles = list(allele_mapper.keys())
+        out = AlleleLikelihoods(new_alleles, self.reads_by_sample)
+        for s, mat in self.values.items():
+            new_mat = np.full((len(new_alleles), mat.shape[1]), -np.inf)
+            for ai, allele in enumerate(new_alleles):
+                hap_idx = allele_mapper[allele]
+                if hap_idx:
+                    new_mat[ai] = mat[hap_idx, :].max(axis=0)
+            out.values[s] = new_mat
+        return out
+
+    def retain_evidence(self, predicate):
+        """Keep only reads passing predicate (overlap window etc.)."""
+        for s in list(self.reads_by_sample):
+            reads = self.reads_by_sample[s]
+            keep = np.array([predicate(r) for r in reads], bool) \
+                if reads else np.zeros(0, bool)
+            self.reads_by_sample[s] = [r for r, k in zip(reads, keep) if k]
+            self.values[s] = self.values[s][:, keep]
+
+    def best_allele_per_read(self, sample):
+        mat = self.values[sample]
+        if mat.size == 0:
+            return np.zeros(0, np.int64)
+        return mat.argmax(axis=0)
+
+
+def compute_read_likelihoods(haplotypes: list, reads_by_sample: dict,
+                             use_pallas: bool = None) -> AlleleLikelihoods:
+    """Pair-HMM likelihoods for every (read, haplotype) pair, batched on
+    device, with engine-level quality preparation, normalization (cap
+    -45/10) and static read disqualification."""
+    result = AlleleLikelihoods(haplotypes, reads_by_sample)
+    hap_arrays = [np.frombuffer(h.bases, np.uint8) for h in haplotypes]
+    pairs = []
+    index = []  # (sample, allele_idx, read_idx)
+    for s in sorted(reads_by_sample):
+        for r_idx, rec in enumerate(reads_by_sample[s]):
+            bases, q, iq, dq, gcp = prepare_read_for_hmm(rec)
+            for a_idx, hap in enumerate(hap_arrays):
+                pairs.append((hap, bases, q, iq, dq, gcp))
+                index.append((s, a_idx, r_idx))
+    if not pairs:
+        return result
+    if use_pallas is None:
+        import jax
+        use_pallas = jax.default_backend() not in ("cpu",)
+    if use_pallas:
+        # bucket the batch shape so TPU compiles are shared across regions
+        batch = pack_pairhmm_batch(pairs, r_pad_to=32, h_pad_to=128)
+        B = batch["reads"].shape[0]
+        Bpad = 1 << (B - 1).bit_length()
+        if Bpad != B:
+            pad = Bpad - B
+            for key in batch:
+                arr = batch[key]
+                widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
+                batch[key] = np.pad(arr, widths)
+            batch["read_lens"][B:] = 1
+            batch["hap_lens"][B:] = 1
+        from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_pallas
+        raw = np.asarray(pairhmm_forward_pallas(**batch))
+        lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)
+    else:
+        # CPU: the exact f64 host kernel beats XLA-scan compile amortization
+        from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
+        lks = np.array([pairhmm_forward_np(*p) for p in pairs])
+    for (s, a_idx, r_idx), lk in zip(index, lks):
+        result.values[s][a_idx, r_idx] = lk
+    result.normalize_likelihoods(-4.5)
+    result.filter_poorly_modeled_evidence()
+    return result

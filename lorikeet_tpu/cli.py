@@ -1,0 +1,107 @@
+"""Command-line interface.
+
+Mirrors the reference's subcommand surface (/root/reference/src/cli.rs:1017-1184:
+call / genotype / consensus / summarise) with the semantic knob set (not all
+378 repeated Args — a typed config carries the defaults; see SURVEY §5).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lorikeet-tpu",
+        description="TPU-native strain-level variant analysis "
+                    "(call, consensus, summarise, genotype)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def add_common(sp):
+        sp.add_argument("-r", "--reference", required=True,
+                        help="reference FASTA (one or more genomes)")
+        sp.add_argument("-b", "--bam-files", nargs="+", required=True,
+                        help="indexed/sorted BAM files, one per sample")
+        sp.add_argument("-o", "--output-directory", default="./lorikeet_out")
+        sp.add_argument("--ploidy", type=int, default=2)
+        sp.add_argument("--min-base-quality", type=int, default=10)
+        sp.add_argument("--min-mapq", type=int, default=20)
+        sp.add_argument("--standard-min-confidence-threshold-for-calling",
+                        dest="stand_min_conf", type=float, default=25.0)
+        sp.add_argument("--snp-heterozygosity", type=float, default=0.001)
+        sp.add_argument("--indel-heterozygosity", type=float, default=0.000125)
+        sp.add_argument("--heterozygosity-stdev", type=float, default=0.01)
+        sp.add_argument("--kmer-sizes", type=int, nargs="+", default=[21, 33])
+        sp.add_argument("--max-mnp-distance", type=int, default=0)
+        sp.add_argument("--force-cpu", action="store_true",
+                        help="use the host pair-HMM even when a TPU is present")
+        sp.add_argument("--limiting-interval", default=None,
+                        help="restrict to start-end (applies per contig)")
+
+    for cmd, desc in (("call", "variant calling"),
+                      ("consensus", "consensus genomes per sample"),
+                      ("genotype", "strain-resolved genotyping")):
+        sp = sub.add_parser(cmd, help=desc)
+        add_common(sp)
+
+    ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)")
+    ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
+    ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
+    return p
+
+
+def _caller_config(args):
+    from lorikeet_tpu.calling.engine import CallerConfig
+    return CallerConfig(
+        ploidy=args.ploidy,
+        snp_heterozygosity=args.snp_heterozygosity,
+        indel_heterozygosity=args.indel_heterozygosity,
+        heterozygosity_stdev=args.heterozygosity_stdev,
+        stand_min_conf=args.stand_min_conf,
+        max_mnp_distance=args.max_mnp_distance,
+        min_base_quality=args.min_base_quality,
+        mapq_threshold=args.min_mapq,
+        kmer_sizes=tuple(args.kmer_sizes),
+        use_pallas=False if args.force_cpu else None,
+    )
+
+
+def main(argv=None) -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/lorikeet_tpu_jax"))
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    args = build_parser().parse_args(argv)
+
+    if args.command == "summarise":
+        from lorikeet_tpu.strain.ani import run_summarise
+        out = run_summarise(args.vcfs, args.output_directory)
+        print(json.dumps({"mode": "summarise", "outputs": out}))
+        return 0
+
+    limit = None
+    if args.limiting_interval:
+        lo, hi = args.limiting_interval.split("-")
+        limit = (int(lo), int(hi))
+
+    cfg = _caller_config(args)
+    from lorikeet_tpu.processing import run_call
+    vcf = run_call(args.reference, args.bam_files, args.output_directory,
+                   cfg, limit=limit)
+    outputs = {"vcf": vcf}
+
+    if args.command == "consensus":
+        from lorikeet_tpu.strain.consensus import generate_consensus
+        outputs["consensus"] = generate_consensus(
+            args.reference, vcf, args.output_directory)
+    elif args.command == "genotype":
+        from lorikeet_tpu.strain.genotype_mode import run_genotype
+        outputs.update(run_genotype(args.reference, vcf, args.output_directory))
+
+    print(json.dumps({"mode": args.command, "outputs": outputs}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -242,7 +242,7 @@ class BamReader:
                 yield from self._by_tid[t]
             return
         recs = self._by_tid.get(tid, [])
-        if start is None:
+        if start is None or not recs:
             yield from recs
             return
         # records are position-sorted; reads overlapping [start,end) have

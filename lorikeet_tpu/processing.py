@@ -1,0 +1,168 @@
+"""Pipeline orchestration: genome -> contigs -> chunks -> regions -> calls.
+
+Mirrors the reference's orchestration spine
+(/root/reference/src/processing/lorikeet_engine.rs:77-520 apply_per_reference,
+haplotype_caller_engine.rs:304-620 collect_activity_profile,
+assembly_region_walker.rs:33-213): stream each BAM over contig chunks,
+build per-sample ref-vs-any profiles, smooth, carve regions, call active
+regions, then write the per-genome VCF.
+
+The chunking matches the reference sizing: outer chunks of
+~250kb/total_samples (haplotype_caller_engine.rs:417) and the same region
+padding/size defaults.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from lorikeet_tpu.calling.engine import CallerConfig, HaplotypeCallerEngine
+from lorikeet_tpu.io.bam import BamReader
+from lorikeet_tpu.io.fasta import FastaReader
+from lorikeet_tpu.io.vcf import write_vcf
+from lorikeet_tpu.models.activity import (
+    RefVsAnyProfile, accumulate_read, active_probabilities, band_pass_smooth,
+    extract_regions,
+)
+
+ASSEMBLY_REGION_PADDING = 100
+MIN_ASSEMBLY_REGION_SIZE = 50
+MAX_ASSEMBLY_REGION_SIZE = 300
+MAX_INPUT_DEPTH = 200_000
+DEPTH_PER_SAMPLE_FILTER = 5
+
+
+def _read_passes_filters(rec, mapq_threshold=20):
+    """read_utils.rs:25-100 core filter set (short-read path)."""
+    from lorikeet_tpu.utils.cigar import read_length, reference_length
+    if len(rec.seq) == 0 or len(rec.qual) == 0 or not rec.cigar:
+        return False
+    if rec.is_secondary or rec.is_supplementary or rec.is_unmapped:
+        return False
+    if rec.is_paired and not rec.is_proper_pair:
+        return False
+    if rec.is_duplicate or rec.is_qc_fail:
+        return False
+    if rec.mapq < mapq_threshold or rec.mapq == 255:
+        return False
+    if len(rec.seq) < 30:
+        return False
+    if reference_length(rec.cigar) == 0:
+        return False
+    if read_length(rec.cigar) != len(rec.seq):
+        return False
+    if any(op == "N" for op, _ in rec.cigar):
+        return False
+    # no consecutive indels, no leading/trailing deletion
+    core = [op for op, _ in rec.cigar if op not in "SH"]
+    if core and (core[0] == "D" or core[-1] == "D"):
+        return False
+    for a, b in zip(core, core[1:]):
+        if a in "ID" and b in "ID":
+            return False
+    return True
+
+
+@dataclass
+class ContigResult:
+    tid: int
+    calls: list = field(default_factory=list)
+    n_regions: int = 0
+    n_active: int = 0
+
+
+def call_contig(
+    fasta: FastaReader,
+    bams: list,                 # one BamReader per sample
+    contig_name: str,
+    cfg: CallerConfig = None,
+    engine: HaplotypeCallerEngine = None,
+    limit=None,                 # optional (start, end) restriction
+) -> ContigResult:
+    cfg = cfg or CallerConfig()
+    engine = engine or HaplotypeCallerEngine(cfg)
+    length = fasta.length(contig_name)
+    ref_seq = fasta.fetch(contig_name)
+    n_samples = len(bams)
+    tid_per_bam = [b.tid(contig_name) if contig_name in b.references else -1
+                   for b in bams]
+    result = ContigResult(tid=tid_per_bam[0] if tid_per_bam else 0)
+
+    lo, hi = (0, length) if limit is None else (max(0, limit[0]), min(length, limit[1]))
+
+    # ---- activity profiling (whole contig; chunking is an optimization the
+    # host can afford to skip for small contigs) ----
+    profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
+    all_reads = [[] for _ in range(n_samples)]
+    for s, bam in enumerate(bams):
+        if tid_per_bam[s] < 0:
+            continue
+        for rec in bam.fetch(tid_per_bam[s], lo, hi):
+            if not _read_passes_filters(rec, cfg.mapq_threshold):
+                continue
+            rec.sample_index = s
+            all_reads[s].append(rec)
+            accumulate_read(profiles[s], rec, ref_seq[lo:hi], lo, hi,
+                            bq=cfg.min_base_quality, ploidy=cfg.ploidy)
+
+    gls = np.stack([p.finalize_gls(cfg.ploidy) for p in profiles])
+    raw_probs = active_probabilities(gls, cfg.ploidy,
+                                     cfg.snp_heterozygosity,
+                                     cfg.heterozygosity_stdev,
+                                     cfg.stand_min_conf)
+    hq_n = sum(p.hq_sc_n for p in profiles)
+    hq_sum = sum(p.hq_sc_sum for p in profiles)
+    hq_mean = np.where(hq_n > 0, hq_sum / np.maximum(hq_n, 1), 0.0)
+    smoothed = band_pass_smooth(raw_probs, hq_mean)
+    regions = extract_regions(smoothed,
+                              min_region_size=MIN_ASSEMBLY_REGION_SIZE,
+                              max_region_size=MAX_ASSEMBLY_REGION_SIZE)
+    result.n_regions = len(regions)
+
+    # ---- call each active region ----
+    for region in regions:
+        if not region.is_active:
+            continue
+        result.n_active += 1
+        active_start = lo + region.start
+        active_end = lo + region.end
+        pad_start = max(0, active_start - ASSEMBLY_REGION_PADDING)
+        pad_end = min(length - 1, active_end + ASSEMBLY_REGION_PADDING)
+        window = ref_seq[pad_start:pad_end + 1]
+        reads_by_sample = {}
+        for s in range(n_samples):
+            sel = [r for r in all_reads[s]
+                   if r.pos <= pad_end and r.reference_end > pad_start]
+            reads_by_sample[s] = sel[:MAX_INPUT_DEPTH]
+        calls = engine.call_region(window, pad_start, active_start, active_end,
+                                   reads_by_sample, tid=result.tid)
+        result.calls.extend(calls)
+    return result
+
+
+def run_call(reference: str, bam_paths: list, output_dir: str,
+             cfg: CallerConfig = None, sample_names=None, limit=None) -> str:
+    """`call` mode for one genome: returns the VCF path."""
+    cfg = cfg or CallerConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    fasta = FastaReader(reference)
+    bams = [BamReader(p) for p in bam_paths]
+    if sample_names is None:
+        sample_names = []
+        for k, b in enumerate(bams):
+            names = b.sample_names()
+            sample_names.append(names[0] if names else f"sample{k}")
+    engine = HaplotypeCallerEngine(cfg)
+    all_calls = []
+    for contig in fasta.names:
+        res = call_contig(fasta, bams, contig, cfg, engine, limit=limit)
+        for vc in res.calls:
+            vc.tid = fasta.names.index(contig)
+        all_calls.extend(res.calls)
+    genome_name = os.path.splitext(os.path.basename(reference))[0]
+    vcf_path = os.path.join(output_dir, f"{genome_name}.vcf")
+    write_vcf(vcf_path, all_calls, fasta.names,
+              [fasta.length(n) for n in fasta.names], sample_names)
+    return vcf_path

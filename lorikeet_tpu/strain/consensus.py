@@ -1,0 +1,77 @@
+"""Consensus genome writing (`consensus` mode).
+
+Contract: /root/reference/src/reference/reference_writer.rs:120-315
+generate_consensus — per sample, apply that sample's consensus allele
+(argmax AD; qualifying sites only) to the reference and write
+consensus_{sample}_{genome}.fna; splice semantics for SNP/insertion/deletion
+from modify_reference_bases_based_on_variant_type (:241).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from lorikeet_tpu.io.fasta import FastaReader
+from lorikeet_tpu.io.vcf import read_vcf
+from lorikeet_tpu.strain.ani import site_passes
+
+
+def apply_consensus_to_contig(ref: np.ndarray, contexts, sample_idx: int) -> np.ndarray:
+    """Apply per-sample consensus alleles (sorted by position) to one contig."""
+    pieces = []
+    cursor = 0
+    for vc in sorted(contexts, key=lambda v: v.start):
+        if not site_passes(vc):
+            continue
+        if sample_idx >= len(vc.genotypes):
+            continue
+        g = vc.genotypes[sample_idx]
+        if g.ad is None or np.max(g.ad) == 0:
+            continue
+        ci = int(np.argmax(g.ad))
+        if ci == 0:
+            continue  # consensus is reference
+        allele = vc.alleles[ci]
+        if allele.is_symbolic:
+            continue
+        if vc.start < cursor:
+            continue  # overlapping an applied deletion
+        pieces.append(ref[cursor:vc.start])
+        pieces.append(np.frombuffer(allele.bases, np.uint8))
+        cursor = vc.start + len(vc.reference)
+    pieces.append(ref[cursor:])
+    return np.concatenate(pieces) if pieces else ref.copy()
+
+
+def _write_fasta(path: str, contigs: dict, line_width: int = 60):
+    with open(path, "w") as out:
+        for name, seq in contigs.items():
+            out.write(f">{name}\n")
+            s = seq.tobytes().decode()
+            for i in range(0, len(s), line_width):
+                out.write(s[i:i + line_width] + "\n")
+
+
+def generate_consensus(reference: str, vcf_path: str, output_dir: str) -> list:
+    """Write one consensus FASTA per sample; returns the paths."""
+    os.makedirs(output_dir, exist_ok=True)
+    fasta = FastaReader(reference)
+    contexts, contigs, samples = read_vcf(vcf_path)
+    if not samples:
+        samples = ["sample0"]
+    genome = os.path.splitext(os.path.basename(reference))[0]
+    by_contig = {}
+    for vc in contexts:
+        by_contig.setdefault(vc.tid, []).append(vc)
+    paths = []
+    for s_idx, sample in enumerate(samples):
+        out_contigs = {}
+        for tid, name in enumerate(fasta.names):
+            ref = fasta.fetch(name)
+            out_contigs[name] = apply_consensus_to_contig(
+                ref, by_contig.get(tid, []), s_idx)
+        path = os.path.join(output_dir, f"consensus_{sample}_{genome}.fna")
+        _write_fasta(path, out_contigs)
+        paths.append(path)
+    return paths

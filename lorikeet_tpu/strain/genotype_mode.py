@@ -1,0 +1,194 @@
+"""`genotype` mode: strain resolution via clustering + abundance EM.
+
+Contracts:
+- variant_context_utils.rs:607 split_contexts (one context per alt allele,
+  QD-qualified sites);
+- haplotype_clustering_engine.rs:63-270: cluster variant depth profiles into
+  variant groups, tag VariantGroup, then derive strains.  The reference
+  shells out to the external Python tool `flight` (UMAP + HDBSCAN); here
+  clustering runs in-process on standardized per-sample depth fractions —
+  HDBSCAN via scikit-learn, with a PCA embedding playing UMAP's role (a
+  TPU-accelerated UMAP is future work, noted in SURVEY §7);
+- linkage_engine.rs:73-1202 groups variant groups into strains via
+  co-occurrence; round-1 strains = variant groups plus the reference strain
+  heuristic (abundance_calculator_engine.rs:485);
+- abundance EM: strain_abundances_calculator.rs:38-155 (centrifuge-style EM:
+  variant weights <- theta-pooled reweighting, theta <- weight mass /
+  total), with per-sample *_strain_coverages.tsv output
+  (abundance_calculator_engine.rs:379-439).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from lorikeet_tpu.io.fasta import FastaReader
+from lorikeet_tpu.io.vcf import read_vcf
+from lorikeet_tpu.models.variants import Allele, VariantContext
+from lorikeet_tpu.strain.ani import site_passes
+from lorikeet_tpu.strain.consensus import _write_fasta
+
+
+def split_contexts(contexts, qual_by_depth_filter=25.0):
+    """One context per alt allele for qualifying sites
+    (variant_context_utils.rs:607)."""
+    out = []
+    for vc in contexts:
+        if not site_passes(vc, qual_by_depth_filter):
+            continue
+        for ai, alt in enumerate(vc.alternate_alleles, start=1):
+            split = VariantContext(vc.tid, vc.start, vc.end,
+                                   [vc.reference, alt], vc.genotypes)
+            split.log10_p_error = vc.log10_p_error
+            split.attributes = dict(vc.attributes)
+            split.attributes["_ALT_INDEX"] = ai
+            out.append(split)
+    return out
+
+
+def depth_matrix(contexts) -> np.ndarray:
+    """[variants, samples] alt-allele depth fractions (the clustering input
+    the reference writes to .npy for flight)."""
+    rows = []
+    for vc in contexts:
+        ai = vc.attributes.get("_ALT_INDEX", 1)
+        row = []
+        for g in vc.genotypes:
+            ad = np.asarray(g.ad) if g.ad is not None else np.zeros(2)
+            total = ad.sum()
+            frac = ad[ai] / total if total > 0 and ai < len(ad) else 0.0
+            row.append(frac)
+        rows.append(row)
+    return np.asarray(rows, np.float64)
+
+
+def cluster_variants(contexts, min_cluster_size: int = 5,
+                     random_state: int = 42) -> np.ndarray:
+    """Label each split context with a variant group (-1 = noise)."""
+    if not contexts:
+        return np.zeros(0, np.int64)
+    X = depth_matrix(contexts)
+    n = len(contexts)
+    if n < max(min_cluster_size, 2):
+        return np.zeros(n, np.int64)
+    from sklearn.decomposition import PCA
+    from sklearn.cluster import HDBSCAN
+    k = min(X.shape[1], 10)
+    emb = X if X.shape[1] <= 2 else PCA(
+        n_components=k, random_state=random_state).fit_transform(X)
+    labels = HDBSCAN(min_cluster_size=min(min_cluster_size, max(2, n // 2)),
+                     allow_single_cluster=True).fit_predict(emb)
+    return labels.astype(np.int64)
+
+
+def abundance_em(variant_weights: np.ndarray, membership: list,
+                 eps: float = 1e-4, max_iters: int = 1000) -> np.ndarray:
+    """Per-sample strain abundance EM (strain_abundances_calculator.rs:38).
+
+    variant_weights: [n_variants] depth fractions for one sample.
+    membership: per variant, the list of strain indices carrying it.
+    Returns theta [n_strains].
+    """
+    n_strains = max((s for m in membership for s in m), default=-1) + 1
+    if n_strains == 0:
+        return np.zeros(0)
+    w = [variant_weights.copy() for _ in range(n_strains)]
+    strain_vars = [[i for i, m in enumerate(membership) if s in m]
+                   for s in range(n_strains)]
+    weights = [variant_weights[strain_vars[s]].astype(np.float64)
+               for s in range(n_strains)]
+    theta = np.ones(n_strains)
+    omega = 1.0
+    iters = 0
+    while omega > eps and iters < max_iters:
+        iters += 1
+        theta_prev = theta.copy()
+        new_weights = []
+        new_theta = np.zeros(n_strains)
+        denominator = sum(float(np.sum(wt)) for wt in weights)
+        for s in range(n_strains):
+            if abs(theta[s]) <= eps or not len(weights[s]):
+                new_weights.append(weights[s])
+                new_theta[s] = 0.0
+                continue
+            pooled = np.array([
+                max(sum(theta[g] for g in membership[v]), np.finfo(float).eps)
+                for v in strain_vars[s]])
+            wnew = weights[s] * theta[s] / pooled
+            ab = wnew.sum() / denominator if denominator > 0 else 0.0
+            if not np.isfinite(ab) or ab < eps:
+                ab = 0.0
+            new_weights.append(wnew)
+            new_theta[s] = ab
+        weights = new_weights
+        theta = new_theta
+        omega = np.abs(theta - theta_prev).sum()
+    return theta
+
+
+def run_genotype(reference: str, vcf_path: str, output_dir: str) -> dict:
+    """Cluster variants into strains, estimate abundances, write strain
+    FASTAs + coverage tables."""
+    os.makedirs(output_dir, exist_ok=True)
+    fasta = FastaReader(reference)
+    contexts, contigs, samples = read_vcf(vcf_path)
+    if not samples:
+        samples = ["sample0"]
+    genome = os.path.splitext(os.path.basename(reference))[0]
+
+    split = split_contexts(contexts)
+    labels = cluster_variants(split)
+    groups = sorted(set(labels) - {-1})
+    for vc, lab in zip(split, labels):
+        vc.attributes["VG"] = int(lab)
+
+    outputs = {"n_variant_groups": len(groups)}
+
+    # --- strains = variant groups (round-1 linkage: identity mapping) ---
+    strains = {g: [vc for vc, lab in zip(split, labels) if lab == g]
+               for g in groups}
+
+    # --- abundance EM per sample ---
+    X = depth_matrix(split) if split else np.zeros((0, len(samples)))
+    coverage_path = os.path.join(output_dir, f"{genome}_strain_coverages.tsv")
+    with open(coverage_path, "w") as out:
+        out.write("strainID\t" + "\t".join(samples) + "\n")
+        thetas = []
+        for s_idx in range(len(samples)):
+            membership = [[groups.index(lab)] if lab in strains else []
+                          for lab in labels]
+            theta = abundance_em(X[:, s_idx] if len(split) else np.zeros(0),
+                                 membership)
+            thetas.append(theta)
+        for g_idx, g in enumerate(groups):
+            vals = [f"{thetas[s][g_idx]:.6f}" if len(thetas[s]) > g_idx else "0"
+                    for s in range(len(samples))]
+            out.write(f"strain_{g}\t" + "\t".join(vals) + "\n")
+    outputs["strain_coverages"] = coverage_path
+
+    # --- strain FASTAs: apply each group's variants to the reference ---
+    strain_paths = []
+    for g in groups:
+        out_contigs = {}
+        for tid, name in enumerate(fasta.names):
+            ref = fasta.fetch(name)
+            vcs = [vc for vc in strains[g] if vc.tid == tid]
+            pieces = []
+            cursor = 0
+            for vc in sorted(vcs, key=lambda v: v.start):
+                if vc.start < cursor:
+                    continue
+                alt = vc.alternate_alleles[0]
+                if alt.is_symbolic:
+                    continue
+                pieces.append(ref[cursor:vc.start])
+                pieces.append(np.frombuffer(alt.bases, np.uint8))
+                cursor = vc.start + len(vc.reference)
+            pieces.append(ref[cursor:])
+            out_contigs[name] = np.concatenate(pieces)
+        path = os.path.join(output_dir, f"{genome}_strain_{g}.fna")
+        _write_fasta(path, out_contigs)
+        strain_paths.append(path)
+    outputs["strain_fastas"] = strain_paths
+    return outputs

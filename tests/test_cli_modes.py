@@ -1,0 +1,85 @@
+"""CLI-level tests for call / consensus / genotype / summarise modes."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from lorikeet_tpu.io.bam_writer import write_bam
+from lorikeet_tpu.io.fasta import FastaReader
+from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+DATA = "/root/reference/tests/data"
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(DATA), reason="reference data absent")
+
+
+@pytest.fixture(scope="module")
+def sim_bam(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli")
+    fr = FastaReader(os.path.join(DATA, "7seqs.fna"))
+    contig = "genome2~seq1"
+    tid = fr.names.index(contig)
+    ref = fr.fetch(contig)
+    variants = [Variant(300, bytes(ref[300:301]),
+                        b"C" if ref[300] != ord("C") else b"T"),
+                Variant(700, bytes(ref[700:701]),
+                        b"G" if ref[700] != ord("G") else b"A")]
+    recs = simulate_reads(ref, variants, coverage=30, seed=5,
+                          allele_fraction=1.0, tid=tid)
+    bam = str(tmp / "s1.bam")
+    write_bam(bam, fr.names, [fr.length(n) for n in fr.names], recs)
+    return bam, variants, contig, str(tmp)
+
+
+def _run_cli(args):
+    proc = subprocess.run(
+        [sys.executable, "-m", "lorikeet_tpu.cli"] + args,
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_cli_call(sim_bam):
+    bam, variants, contig, tmp = sim_bam
+    out = _run_cli(["call", "-r", os.path.join(DATA, "7seqs.fna"),
+                    "-b", bam, "-o", tmp + "/call_out", "--force-cpu"])
+    vcf = out["outputs"]["vcf"]
+    assert os.path.exists(vcf)
+    body = [l for l in open(vcf) if not l.startswith("#")]
+    positions = {int(l.split("\t")[1]) - 1 for l in body}
+    for v in variants:
+        assert v.pos in positions
+    return vcf
+
+
+def test_cli_consensus(sim_bam):
+    bam, variants, contig, tmp = sim_bam
+    out = _run_cli(["consensus", "-r", os.path.join(DATA, "7seqs.fna"),
+                    "-b", bam, "-o", tmp + "/cons_out", "--force-cpu"])
+    cons = out["outputs"]["consensus"]
+    assert len(cons) == 1 and os.path.exists(cons[0])
+    # the consensus genome must contain the (hom) alt alleles
+    fr = FastaReader(cons[0])
+    seq = fr.fetch(contig)
+    for v in variants:
+        assert seq[v.pos] == v.alt[0], (chr(seq[v.pos]), chr(v.alt[0]))
+
+
+def test_cli_genotype_and_summarise(sim_bam):
+    bam, variants, contig, tmp = sim_bam
+    out = _run_cli(["genotype", "-r", os.path.join(DATA, "7seqs.fna"),
+                    "-b", bam, "-o", tmp + "/geno_out", "--force-cpu"])
+    assert os.path.exists(out["outputs"]["strain_coverages"])
+    vcf = out["outputs"]["vcf"]
+    out2 = _run_cli(["summarise", "-i", vcf, "-o", tmp + "/sum_out"])
+    tables = list(out2["outputs"].values())[0]
+    assert os.path.exists(tables["consensus_ani"])
+    with open(tables["consensus_ani"]) as fh:
+        lines = fh.read().splitlines()
+    assert lines[1].startswith("SampleID")
+    # single sample: self-ANI = 1
+    assert float(lines[2].split("\t")[1]) == 1.0
