@@ -84,9 +84,19 @@ class ReadThreadingGraph:
 
     def add_read(self, rec, min_base_quality: int):
         """Split the read at low-quality/N bases (GATK add_read semantics) and
-        add each stretch longer than kmer_size."""
+        add each stretch longer than kmer_size.  Soft-clipped bases are
+        excluded (run_local_assembly hard-clips them,
+        read_threading_assembler.rs:237-242)."""
         seq = rec.seq
         qual = rec.qual
+        cigar = getattr(rec, "cigar", None)
+        if cigar:
+            lead = cigar[0][1] if cigar[0][0] == "S" else 0
+            tail = cigar[-1][1] if cigar[-1][0] == "S" else 0
+            if lead or tail:
+                end = len(seq) - tail
+                seq = seq[lead:end]
+                qual = qual[lead:end]
         good = (qual >= min_base_quality) & (seq != ord("N"))
         start = None
         for i in range(len(seq) + 1):
