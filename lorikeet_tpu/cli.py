@@ -39,6 +39,11 @@ def build_parser() -> argparse.ArgumentParser:
                         help="use the host pair-HMM even when a TPU is present")
         sp.add_argument("--limiting-interval", default=None,
                         help="restrict to start-end (applies per contig)")
+        sp.add_argument("--calculate-dnds", action="store_true")
+        sp.add_argument("--gff-file", default=None,
+                        help="gene models for --calculate-dnds (prodigal GFF3;"
+                             " prodigal is not shipped, supply the file)")
+        sp.add_argument("--calculate-fst", action="store_true")
 
     for cmd, desc in (("call", "variant calling"),
                       ("consensus", "consensus genomes per sample"),
@@ -90,6 +95,22 @@ def main(argv=None) -> int:
     vcf = run_call(args.reference, args.bam_files, args.output_directory,
                    cfg, limit=limit)
     outputs = {"vcf": vcf}
+
+    if args.calculate_dnds:
+        if not args.gff_file:
+            print("--calculate-dnds requires --gff-file", file=sys.stderr)
+            return 2
+        from lorikeet_tpu.strain.dnds import calculate_dnds
+        outputs["dnds"] = calculate_dnds(args.reference, vcf, args.gff_file,
+                                         args.output_directory)
+    if args.calculate_fst:
+        from lorikeet_tpu.io.vcf import read_vcf
+        from lorikeet_tpu.strain.fst import write_fst
+        contexts, _, samples = read_vcf(vcf)
+        samples = samples or ["sample0"]
+        genome = os.path.splitext(os.path.basename(args.reference))[0]
+        outputs["fst"] = write_fst(contexts, len(samples), samples,
+                                   args.output_directory, genome)
 
     if args.command == "consensus":
         from lorikeet_tpu.strain.consensus import generate_consensus
