@@ -42,14 +42,14 @@ def main():
         del_quals=np.full((B, R), 45, np.uint8),
         gcps=np.full((B, R), 10, np.uint8),
     )
-    operands, nchunks, _ = pack_pallas_inputs(**big, block_b=128)
-    np.asarray(pairhmm_forward_packed(operands, nchunks, B, 128))  # warm/compile
+    operands, nchunks, _ = pack_pallas_inputs(**big, block_b=256)
+    np.asarray(pairhmm_forward_packed(operands, nchunks, B, 256))  # warm/compile
 
     def run_n(n):
         t0 = time.time()
         out = None
         for _ in range(n):
-            out = pairhmm_forward_packed(operands, nchunks, B, 128)
+            out = pairhmm_forward_packed(operands, nchunks, B, 256)
         np.asarray(out)
         return time.time() - t0
 

@@ -71,6 +71,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     pm = p_match[...]
     px = p_mis[...]
     rp = read_pad[...]
+    rp_is_n = rp == _NBASE  # loop-invariant
 
     zeros = jnp.zeros((TB, Rpad), f32)
 
@@ -87,17 +88,19 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         # head of the rolling window (Mosaic only allows lane-aligned dynamic
         # slices, so the stream is consumed via offset-0 extract + roll).
         c, carry, window = chunk_carry
-        m1, i1, d1, m2, i2, d2, hapd, bval, acc, ls = carry
+        # sid2 carries i2 + d2: the two-generation states only ever enter
+        # m_new through their sum, saving a roll and an add per step
+        m1, i1, d1, m2, sid2, hapd, bval, acc, ls = carry
         for s in range(_GROUP):
             d = c * _LANES + g * _GROUP + s + 1
             new_hap = jnp.broadcast_to(col(window, 0), (TB, Rpad))
             window = pltpu.roll(window, _LANES - 1, 1)
             hapd = jnp.where(boundary, new_hap, pltpu.roll(hapd, 1, 1))
 
-            base_match = (rp == hapd) | (rp == _NBASE) | (hapd == _NBASE)
+            base_match = (rp == hapd) | rp_is_n | (hapd == _NBASE)
             prior = jnp.where(base_match, pm, px)
 
-            m_new = prior * (shift(m2) * tmm + (shift(i2) + shift(d2)) * tim)
+            m_new = prior * (shift(m2) * tmm + shift(sid2) * tim)
             i_new = shift(m1) * tmi + shift(i1) * tii
             d_new = m1 * tmd + d1 * tdd
 
@@ -108,7 +111,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
             j_here = d - read_len                              # [TB,Rpad]
             valid = (j_here >= 1) & (j_here <= hap_len) & is_end_row
             acc = acc + jnp.where(valid, m_new + i_new, 0.0)
-            m1, i1, d1, m2, i2, d2 = m_new, i_new, d_new, m1, i1, d1
+            m1, i1, d1, m2, sid2 = m_new, i_new, d_new, m1, i1 + d1
 
         # Renormalise all live state by a power-of-two scale derived from the
         # group *interior* max's exponent bits (replaces the reference's
@@ -127,7 +130,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         e = jax.lax.shift_right_logical(pltpu.bitcast(peak, jnp.int32), 23) & 0xFF
         inv = pltpu.bitcast(jax.lax.shift_left(254 - e, 23), jnp.float32)  # 2^(127-e)
         carry = (m1 * inv, i1 * inv, d1 * inv,
-                 m2 * inv, i2 * inv, d2 * inv,
+                 m2 * inv, sid2 * inv,
                  hapd, bval * inv, acc * inv, ls + (e - 127))
         return (c, carry, window)
 
@@ -139,11 +142,11 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         return carry
 
     init_d = jnp.where(boundary, b0, 0.0)
-    carry = (zeros, zeros, init_d, zeros, zeros, zeros,
+    carry = (zeros, zeros, init_d, zeros, zeros,
              jnp.zeros((TB, Rpad), jnp.int32), b0, zeros,
              jnp.zeros((TB, Rpad), jnp.int32))
     carry = jax.lax.fori_loop(0, nchunks, chunk_body, carry)
-    acc, ls = carry[8], carry[9]
+    acc, ls = carry[7], carry[8]
     total = jnp.sum(acc, axis=1, keepdims=True)
     # ls lanes are identical; log10(2^ls) = ls * log10(2)
     ls_col = jnp.max(ls, axis=1, keepdims=True).astype(f32) * np.float32(np.log10(2.0))
