@@ -1,0 +1,116 @@
+"""Sharded device pipeline steps: activity profiling over a position-sharded
+mesh with halo exchange, plus the pair-HMM region batch.
+
+The reference scales the genome axis by chunking with small overlaps
+(haplotype_caller_engine.rs:417,947; band-pass needs only a +/-50bp halo,
+band_pass_activity_profile.rs:24-26).  TPU-native equivalent (SURVEY §5):
+shard the position axis across the mesh, run the per-position ref-vs-any EM
+locally, exchange kernel-width halos with jax.lax.ppermute over ICI for the
+band-pass convolution, and psum the (samples x samples)-style depth
+reductions.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+# jax.shard_map (v0.8) enforces varying-axis typing on scan carries;
+# the experimental entry point with check_rep=False accepts replicated
+# closure constants inside the shard (what the EM scan uses).
+from jax.experimental.shard_map import shard_map
+
+from lorikeet_tpu.models.activity import gaussian_kernel
+
+
+def active_probabilities_jax(gls, ploidy: int,
+                             snp_heterozygosity=0.001,
+                             heterozygosity_stdev=0.01,
+                             stand_min_conf=25.0,
+                             n_iters: int = 20):
+    """jnp version of models.activity.active_probabilities with a fixed
+    iteration count (static shapes for jit); converged positions freeze."""
+    S, L, G = gls.shape
+    counts = jnp.stack([jnp.arange(ploidy, -1, -1), jnp.arange(0, ploidy + 1)],
+                       axis=1).astype(gls.dtype)
+    import math
+    log10_comb = jnp.array(
+        [(math.lgamma(ploidy + 1) - math.lgamma(i + 1)
+          - math.lgamma(ploidy - i + 1)) / np.log(10) for i in range(G)],
+        gls.dtype)
+    ref_pseudo = snp_heterozygosity / heterozygosity_stdev ** 2
+    prior_pseudo = jnp.array([ref_pseudo, snp_heterozygosity * ref_pseudo],
+                             gls.dtype)
+
+    def posteriors(log10_af):
+        raw = (log10_comb[None, None, :] + gls
+               + jnp.einsum("ga,la->lg", counts, log10_af)[None, :, :])
+        m = raw.max(axis=2, keepdims=True)
+        norm = m + jnp.log10(jnp.sum(10.0 ** (raw - m), axis=2, keepdims=True))
+        return raw - norm
+
+    def body(state, _):
+        log10_af, allele_counts, active = state
+        post = posteriors(log10_af)
+        lin = 10.0 ** post
+        new_counts = jnp.einsum("slg,ga->la", lin, counts)
+        diff = jnp.abs(new_counts - allele_counts).max(axis=1)
+        upd = active[:, None]
+        allele_counts = jnp.where(upd, new_counts, allele_counts)
+        pseudo = prior_pseudo[None, :] + allele_counts
+        af_new = jnp.log10(pseudo / pseudo.sum(axis=1, keepdims=True))
+        log10_af = jnp.where(upd, af_new, log10_af)
+        active = active & (diff > 0.01)
+        return (log10_af, allele_counts, active), None
+
+    log10_af0 = jnp.full((L, 2), -np.log10(2.0), gls.dtype)
+    state0 = (log10_af0, jnp.zeros((L, 2), gls.dtype), jnp.ones(L, bool))
+    (log10_af, _, _), _ = jax.lax.scan(body, state0, None, length=n_iters)
+
+    post = posteriors(log10_af)
+    log10_p_no_variant = post[:, :, 0].sum(axis=0)
+    phred = -10.0 * log10_p_no_variant
+    plausible = (log10_p_no_variant + 1e-10) < (stand_min_conf * -0.1)
+    emit_ok = phred >= stand_min_conf
+    qual_u8 = jnp.clip(jnp.trunc(phred), 0, 255)
+    prob = 1.0 - 10.0 ** (qual_u8 / -10.0)
+    return jnp.where(plausible & emit_ok, prob, 0.0).astype(jnp.float32)
+
+
+def sharded_activity_step(mesh: Mesh, ploidy: int = 2, axis: str = "data"):
+    """Position-sharded activity profiling: local EM + ICI halo exchange +
+    band-pass convolution + psum'd per-sample depth totals.
+
+    Returns a jitted fn(gls [S, L, G] f32, depths [S, L] f32)
+    -> (smoothed probs [L], depth_totals [S]).
+    """
+    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+    halo = (len(kernel) - 1) // 2
+    n = mesh.devices.size
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_rep=False,
+        in_specs=(P(None, axis, None), P(None, axis)),
+        out_specs=(P(axis), P()),
+    )
+    def step(gls, depths):
+        probs = active_probabilities_jax(gls, ploidy)          # [L_local]
+        # halo exchange: my left edge goes to my left neighbor's right halo
+        left_edge = probs[:halo]
+        right_edge = probs[-halo:]
+        from_right = jax.lax.ppermute(
+            left_edge, axis, [(i, (i - 1) % n) for i in range(n)])
+        from_left = jax.lax.ppermute(
+            right_edge, axis, [(i, (i + 1) % n) for i in range(n)])
+        idx = jax.lax.axis_index(axis)
+        # zero the wrapped halos at the genome ends
+        from_left = jnp.where(idx == 0, 0.0, from_left)
+        from_right = jnp.where(idx == n - 1, 0.0, from_right)
+        padded = jnp.concatenate([from_left, probs, from_right])
+        smoothed = jnp.convolve(padded, kernel, mode="same")[halo:-halo]
+        depth_total = jax.lax.psum(depths.sum(axis=1), axis)   # [S]
+        return smoothed.astype(jnp.float32), depth_total
+
+    return jax.jit(step)

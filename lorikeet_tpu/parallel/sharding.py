@@ -20,6 +20,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
+# jax.shard_map (v0.8) enforces varying-axis typing on scan carries;
+# the experimental entry point with check_rep=False accepts replicated
+# closure constants inside the shard (what the EM scan uses).
 from jax.experimental.shard_map import shard_map
 
 from lorikeet_tpu.ops.pairhmm import _pairhmm_jit
@@ -31,7 +34,7 @@ def make_mesh(devices=None, axis_name: str = "data") -> Mesh:
     return Mesh(devices, (axis_name,))
 
 
-def region_batch_step(mesh: Mesh, axis_name: str = "data"):
+def region_batch_step(mesh: Mesh, axis_name: str = "data", n_samples: int = 8):
     """Build the jitted sharded step:
 
     inputs (sharded along the pair axis): packed pair-HMM operands
@@ -42,12 +45,11 @@ def region_batch_step(mesh: Mesh, axis_name: str = "data"):
     n = mesh.devices.size
 
     @functools.partial(
-        shard_map, mesh=mesh,
+        shard_map, mesh=mesh, check_rep=False,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name), P(axis_name),
                   P(axis_name), P(axis_name), P(axis_name)),
         out_specs=(P(axis_name), P()),
-        check_rep=False,
     )
     def step(haps, hap_lens, reads, read_lens, quals, iq, dq, gcp,
              lane, sample_ids, depths):
@@ -55,8 +57,7 @@ def region_batch_step(mesh: Mesh, axis_name: str = "data"):
                           iq, dq, gcp, lane, 1)
         # Depth reduction across chips (stand-in for the comparable-base
         # matrix fold): per-sample sum of per-pair depth vectors.
-        nsamples = depths.shape[1]
-        onehot = jax.nn.one_hot(sample_ids, nsamples, dtype=depths.dtype)
+        onehot = jax.nn.one_hot(sample_ids, n_samples, dtype=depths.dtype)
         local = jnp.einsum("bs,bp->sp", onehot, depths)
         total = jax.lax.psum(local, axis_name)
         return lk, total
