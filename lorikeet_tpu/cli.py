@@ -118,7 +118,8 @@ def main(argv=None) -> int:
             args.reference, vcf, args.output_directory)
     elif args.command == "genotype":
         from lorikeet_tpu.strain.genotype_mode import run_genotype
-        outputs.update(run_genotype(args.reference, vcf, args.output_directory))
+        outputs.update(run_genotype(args.reference, vcf, args.output_directory,
+                                    bam_paths=args.bam_files))
 
     print(json.dumps({"mode": args.command, "outputs": outputs}))
     return 0

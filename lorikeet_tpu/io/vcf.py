@@ -20,6 +20,8 @@ INFO_HEADER = [
     ('MLEAF', 'A', 'Float', 'Maximum likelihood expectation (MLE) for the allele frequency'),
     ('MQ', '1', 'Float', 'RMS Mapping Quality'),
     ('QD', '1', 'Float', 'Variant Confidence/Quality by Depth'),
+    ('VG', '1', 'Integer', 'Variant group or cluster the variant belongs to'),
+    ('ST', '.', 'Integer', 'Strain IDs the variant group occurs in'),
 ]
 FORMAT_HEADER = [
     ('GT', '1', 'String', 'Genotype'),

@@ -64,22 +64,45 @@ def depth_matrix(contexts) -> np.ndarray:
 
 
 def cluster_variants(contexts, min_cluster_size: int = 5,
-                     random_state: int = 42) -> np.ndarray:
-    """Label each split context with a variant group (-1 = noise)."""
+                     random_state: int = 42):
+    """Label each split context with a variant group (-1 = noise).
+
+    Returns (labels [n], separations [n_groups, n_groups]) — the separation
+    matrix plays the role of flight's `*_separation.npy`
+    (haplotype_clustering_engine.rs:259-268): pairwise cluster-centroid
+    distance scaled by mean intra-cluster spread, so values < 2.5 mean the
+    clusters are not clearly separable (linkage_engine.rs:1093).
+    """
     if not contexts:
-        return np.zeros(0, np.int64)
+        return np.zeros(0, np.int64), np.zeros((0, 0))
     X = depth_matrix(contexts)
     n = len(contexts)
     if n < max(min_cluster_size, 2):
-        return np.zeros(n, np.int64)
-    from sklearn.decomposition import PCA
-    from sklearn.cluster import HDBSCAN
-    k = min(X.shape[1], 10)
-    emb = X if X.shape[1] <= 2 else PCA(
-        n_components=k, random_state=random_state).fit_transform(X)
-    labels = HDBSCAN(min_cluster_size=min(min_cluster_size, max(2, n // 2)),
-                     allow_single_cluster=True).fit_predict(emb)
-    return labels.astype(np.int64)
+        labels = np.zeros(n, np.int64)
+    else:
+        from sklearn.decomposition import PCA
+        from sklearn.cluster import HDBSCAN
+        k = min(X.shape[1], 10)
+        emb = X if X.shape[1] <= 2 else PCA(
+            n_components=k, random_state=random_state).fit_transform(X)
+        labels = HDBSCAN(
+            min_cluster_size=min(min_cluster_size, max(2, n // 2)),
+            allow_single_cluster=True).fit_predict(emb).astype(np.int64)
+        X = emb
+    groups = sorted(set(labels.tolist()) - {-1})
+    n_groups = (max(groups) + 1) if groups else 0
+    sep = np.full((n_groups, n_groups), np.inf)
+    if n_groups:
+        centroids = {g: X[labels == g].mean(axis=0) for g in groups}
+        spreads = [np.linalg.norm(X[labels == g] - centroids[g], axis=1).mean()
+                   for g in groups]
+        scale = max(float(np.mean(spreads)), 1e-9)
+        np.fill_diagonal(sep, 0.0)
+        for i, gi in enumerate(groups):
+            for gj in groups[i + 1:]:
+                d = np.linalg.norm(centroids[gi] - centroids[gj]) / scale
+                sep[gi, gj] = sep[gj, gi] = d
+    return labels, sep
 
 
 def abundance_em(variant_weights: np.ndarray, membership: list,
@@ -127,9 +150,15 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
     return theta
 
 
-def run_genotype(reference: str, vcf_path: str, output_dir: str) -> dict:
-    """Cluster variants into strains, estimate abundances, write strain
-    FASTAs + coverage tables."""
+def run_genotype(reference: str, vcf_path: str, output_dir: str,
+                 bam_paths: list = None) -> dict:
+    """Cluster variants into variant groups, link groups into strains via
+    read linkage (linkage_engine.rs:73), estimate abundances, write strain
+    FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
+    from lorikeet_tpu.io.bam import BamReader
+    from lorikeet_tpu.io.vcf import write_vcf
+    from lorikeet_tpu.strain.linkage import LinkageEngine
+
     os.makedirs(output_dir, exist_ok=True)
     fasta = FastaReader(reference)
     contexts, contigs, samples = read_vcf(vcf_path)
@@ -138,42 +167,59 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str) -> dict:
     genome = os.path.splitext(os.path.basename(reference))[0]
 
     split = split_contexts(contexts)
-    labels = cluster_variants(split)
-    groups = sorted(set(labels) - {-1})
+    labels, separations = cluster_variants(split)
+    groups = sorted(set(labels.tolist()) - {-1})
     for vc, lab in zip(split, labels):
         vc.attributes["VG"] = int(lab)
 
     outputs = {"n_variant_groups": len(groups)}
 
-    # --- strains = variant groups (round-1 linkage: identity mapping) ---
-    strains = {g: [vc for vc, lab in zip(split, labels) if lab == g]
+    # --- link variant groups into strains via read co-occurrence ---
+    grouped = {g: [vc for vc, lab in zip(split, labels) if lab == g]
                for g in groups}
+    if bam_paths:
+        bams = [BamReader(p) for p in bam_paths]
+        engine = LinkageEngine(grouped, separations)
+        strain_groups = engine.run_linkage(bams)
+    else:
+        # no reads available (summarise-style input): strain = variant group
+        strain_groups = [[g] for g in groups]
+    outputs["n_strains"] = len(strain_groups)
 
-    # --- abundance EM per sample ---
+    # tag each context with the strains its group belongs to
+    group_to_strains = {}
+    for s_idx, sg in enumerate(strain_groups):
+        for g in sg:
+            group_to_strains.setdefault(g, []).append(s_idx)
+    for vc, lab in zip(split, labels):
+        st = group_to_strains.get(int(lab))
+        if st:
+            vc.attributes["ST"] = st if len(st) > 1 else st[0]
+
+    # --- abundance EM per sample over strains ---
     X = depth_matrix(split) if split else np.zeros((0, len(samples)))
+    membership = [group_to_strains.get(int(lab), []) for lab in labels]
     coverage_path = os.path.join(output_dir, f"{genome}_strain_coverages.tsv")
     with open(coverage_path, "w") as out:
         out.write("strainID\t" + "\t".join(samples) + "\n")
-        thetas = []
-        for s_idx in range(len(samples)):
-            membership = [[groups.index(lab)] if lab in strains else []
-                          for lab in labels]
-            theta = abundance_em(X[:, s_idx] if len(split) else np.zeros(0),
-                                 membership)
-            thetas.append(theta)
-        for g_idx, g in enumerate(groups):
-            vals = [f"{thetas[s][g_idx]:.6f}" if len(thetas[s]) > g_idx else "0"
-                    for s in range(len(samples))]
-            out.write(f"strain_{g}\t" + "\t".join(vals) + "\n")
+        thetas = [abundance_em(X[:, s] if len(split) else np.zeros(0),
+                               membership)
+                  for s in range(len(samples))]
+        for s_idx in range(len(strain_groups)):
+            vals = [f"{thetas[s][s_idx]:.6f}" if len(thetas[s]) > s_idx
+                    else "0" for s in range(len(samples))]
+            out.write(f"strain_{s_idx}\t" + "\t".join(vals) + "\n")
     outputs["strain_coverages"] = coverage_path
 
-    # --- strain FASTAs: apply each group's variants to the reference ---
+    # --- strain FASTAs: apply each strain's variants to the reference
+    #     (reference_writer.rs:31 generate_strains) ---
     strain_paths = []
-    for g in groups:
+    for s_idx, sg in enumerate(strain_groups):
+        vcs_in_strain = [vc for g in sg for vc in grouped.get(g, [])]
         out_contigs = {}
         for tid, name in enumerate(fasta.names):
             ref = fasta.fetch(name)
-            vcs = [vc for vc in strains[g] if vc.tid == tid]
+            vcs = [vc for vc in vcs_in_strain if vc.tid == tid]
             pieces = []
             cursor = 0
             for vc in sorted(vcs, key=lambda v: v.start):
@@ -187,8 +233,15 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str) -> dict:
                 cursor = vc.start + len(vc.reference)
             pieces.append(ref[cursor:])
             out_contigs[name] = np.concatenate(pieces)
-        path = os.path.join(output_dir, f"{genome}_strain_{g}.fna")
+        path = os.path.join(output_dir, f"{genome}_strain_{s_idx}.fna")
         _write_fasta(path, out_contigs)
         strain_paths.append(path)
     outputs["strain_fastas"] = strain_paths
+
+    # --- rewrite the VCF with VG/ST annotations (lorikeet_engine.rs:628) ---
+    contig_lengths = [fasta.length(n) for n in fasta.names]
+    annotated_vcf = os.path.join(output_dir, f"{genome}.vcf")
+    write_vcf(annotated_vcf, sorted(split, key=lambda v: (v.tid, v.start)),
+              fasta.names, contig_lengths, samples)
+    outputs["vcf"] = annotated_vcf
     return outputs
