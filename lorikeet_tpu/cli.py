@@ -20,11 +20,17 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def add_common(sp):
-        sp.add_argument("-r", "--reference", required=True,
-                        help="reference FASTA (one or more genomes)")
+        sp.add_argument("-r", "--reference", nargs="+", default=None,
+                        help="reference FASTA file(s); contigs named "
+                             "genome~contig group into genomes")
+        sp.add_argument("-d", "--genome-fasta-directory", default=None,
+                        help="directory of genome FASTAs")
+        sp.add_argument("-x", "--genome-fasta-extension", default="fna")
         sp.add_argument("-b", "--bam-files", nargs="+", required=True,
                         help="indexed/sorted BAM files, one per sample")
         sp.add_argument("-o", "--output-directory", default="./lorikeet_out")
+        sp.add_argument("--force", action="store_true",
+                        help="overwrite cached per-genome outputs")
         sp.add_argument("--ploidy", type=int, default=2)
         sp.add_argument("--min-base-quality", type=int, default=10)
         sp.add_argument("--min-mapq", type=int, default=20)
@@ -90,39 +96,55 @@ def main(argv=None) -> int:
         lo, hi = args.limiting_interval.split("-")
         limit = (int(lo), int(hi))
 
+    if not args.reference and not args.genome_fasta_directory:
+        print("supply -r and/or -d", file=sys.stderr)
+        return 2
+    if args.calculate_dnds and not args.gff_file:
+        print("--calculate-dnds requires --gff-file", file=sys.stderr)
+        return 2
+
     cfg = _caller_config(args)
-    from lorikeet_tpu.processing import run_call
-    vcf = run_call(args.reference, args.bam_files, args.output_directory,
-                   cfg, limit=limit)
-    outputs = {"vcf": vcf}
+    from lorikeet_tpu.processing import start_engine
+    results = start_engine(args.command, args.reference or [],
+                           args.bam_files, args.output_directory, cfg,
+                           genome_dir=args.genome_fasta_directory,
+                           extension=args.genome_fasta_extension,
+                           limit=limit, force=args.force)
 
-    if args.calculate_dnds:
-        if not args.gff_file:
-            print("--calculate-dnds requires --gff-file", file=sys.stderr)
-            return 2
-        from lorikeet_tpu.strain.dnds import calculate_dnds
-        outputs["dnds"] = calculate_dnds(args.reference, vcf, args.gff_file,
-                                         args.output_directory)
-    if args.calculate_fst:
-        from lorikeet_tpu.io.vcf import read_vcf
-        from lorikeet_tpu.strain.fst import write_fst
-        contexts, _, samples = read_vcf(vcf)
-        samples = samples or ["sample0"]
-        genome = os.path.splitext(os.path.basename(args.reference))[0]
-        outputs["fst"] = write_fst(contexts, len(samples), samples,
-                                   args.output_directory, genome)
+    for genome, out in results.items():
+        if out.get("cached"):
+            continue
+        gdir = os.path.join(args.output_directory, genome)
+        if args.calculate_dnds:
+            from lorikeet_tpu.strain.dnds import calculate_dnds
+            # dN/dS runs against the FASTA the genome's contigs live in
+            ref = _fasta_for_genome(args, genome)
+            out["dnds"] = calculate_dnds(ref, out["vcf"], args.gff_file, gdir)
+        if args.calculate_fst:
+            from lorikeet_tpu.io.vcf import read_vcf
+            from lorikeet_tpu.strain.fst import write_fst
+            contexts, _, samples = read_vcf(out["vcf"])
+            samples = samples or ["sample0"]
+            out["fst"] = write_fst(contexts, len(samples), samples, gdir,
+                                   genome)
 
-    if args.command == "consensus":
-        from lorikeet_tpu.strain.consensus import generate_consensus
-        outputs["consensus"] = generate_consensus(
-            args.reference, vcf, args.output_directory)
-    elif args.command == "genotype":
-        from lorikeet_tpu.strain.genotype_mode import run_genotype
-        outputs.update(run_genotype(args.reference, vcf, args.output_directory,
-                                    bam_paths=args.bam_files))
-
-    print(json.dumps({"mode": args.command, "outputs": outputs}))
+    # legacy single-genome shape: surface the lone VCF at top level
+    flat = {"genomes": results}
+    if len(results) == 1:
+        flat.update(next(iter(results.values())))
+    print(json.dumps({"mode": args.command, "outputs": flat},
+                     default=str))
     return 0
+
+
+def _fasta_for_genome(args, genome: str) -> str:
+    from lorikeet_tpu.processing import discover_genomes
+    for spec in discover_genomes(args.reference or [],
+                                 args.genome_fasta_directory,
+                                 args.genome_fasta_extension):
+        if spec.name == genome:
+            return spec.fasta
+    return (args.reference or [None])[0]
 
 
 if __name__ == "__main__":

@@ -71,6 +71,20 @@ class ContigResult:
     calls: list = field(default_factory=list)
     n_regions: int = 0
     n_active: int = 0
+    # per-sample passing-depth RLE (positive run = DP >= filter), the ANI
+    # comparable-base encoding of haplotype_caller_engine.rs:1015-1051
+    depth_pass_rle: list = field(default_factory=list)
+
+
+def _rle_encode(mask: np.ndarray) -> list:
+    """Boolean mask -> signed run lengths (True runs positive)."""
+    if mask.size == 0:
+        return []
+    changes = np.flatnonzero(np.diff(mask.view(np.int8))) + 1
+    bounds = np.concatenate([[0], changes, [mask.size]])
+    runs = np.diff(bounds)
+    signs = np.where(mask[bounds[:-1]], 1, -1)
+    return (runs * signs).tolist()
 
 
 def call_contig(
@@ -107,6 +121,8 @@ def call_contig(
             accumulate_read(profiles[s], rec, ref_seq[lo:hi], lo, hi,
                             bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
+    result.depth_pass_rle = [
+        _rle_encode(p.dp() >= DEPTH_PER_SAMPLE_FILTER) for p in profiles]
     gls = np.stack([p.finalize_gls(cfg.ploidy) for p in profiles])
     raw_probs = active_probabilities(gls, cfg.ploidy,
                                      cfg.snp_heterozygosity,
@@ -142,9 +158,123 @@ def call_contig(
     return result
 
 
+@dataclass
+class GenomeSpec:
+    """One genome inside one FASTA: named subset of contigs.
+
+    The reference concatenates genomes into one FASTA with contigs named
+    `genome~contig` (reference_reader_utils.rs:250-311 SEPARATOR '~'); a
+    FASTA without '~' names is a single genome named by file stem."""
+    name: str
+    fasta: str
+    contigs: list
+
+
+def discover_genomes(references: list, genome_dir: str = None,
+                     extension: str = "fna") -> list:
+    """Genome discovery from CLI inputs (reference_reader_utils.rs:160-311
+    parse_references): explicit FASTA paths and/or a directory scan."""
+    import glob as _glob
+    paths = list(references or [])
+    if genome_dir:
+        paths.extend(sorted(_glob.glob(os.path.join(genome_dir,
+                                                    f"*.{extension}"))))
+    specs = []
+    for path in paths:
+        fr = FastaReader(path)
+        names = fr.names
+        if names and all("~" in n for n in names):
+            by_genome = {}
+            for n in names:
+                by_genome.setdefault(n.split("~", 1)[0], []).append(n)
+            for gname, contigs in by_genome.items():
+                specs.append(GenomeSpec(gname, path, contigs))
+        else:
+            stem = os.path.splitext(os.path.basename(path))[0]
+            specs.append(GenomeSpec(stem, path, list(names)))
+    return specs
+
+
+def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
+               cfg: CallerConfig, sample_names: list, limit=None) -> dict:
+    """Call one genome's contigs; write `{genome}.vcf` + ANI tables.
+
+    Mirrors the per-genome task of lorikeet_engine.rs:77-520 (VCF at
+    haplotype_caller_engine.rs:1948-1957, ANI at ani_calculator.rs:55)."""
+    from lorikeet_tpu.strain.ani import run_ani
+
+    os.makedirs(genome_dir, exist_ok=True)
+    fasta = FastaReader(spec.fasta)
+    engine = HaplotypeCallerEngine(cfg)
+    all_calls = []
+    n_samples = len(bams)
+    passing_rle = [[] for _ in range(n_samples)]
+    genome_size = 0
+    for local_tid, contig in enumerate(spec.contigs):
+        res = call_contig(fasta, bams, contig, cfg, engine, limit=limit)
+        for vc in res.calls:
+            vc.tid = local_tid
+        all_calls.extend(res.calls)
+        for s in range(n_samples):
+            rle = (res.depth_pass_rle[s] if s < len(res.depth_pass_rle)
+                   else [-fasta.length(contig)])
+            passing_rle[s].extend(rle or [-fasta.length(contig)])
+        genome_size += fasta.length(contig)
+
+    contig_lengths = [fasta.length(n) for n in spec.contigs]
+    vcf_path = os.path.join(genome_dir, f"{spec.name}.vcf")
+    write_vcf(vcf_path, all_calls, spec.contigs, contig_lengths, sample_names)
+    ani_paths = run_ani(all_calls, os.path.join(genome_dir, spec.name),
+                        sample_names, spec.name, genome_size,
+                        passing_sites=passing_rle)
+    return {"vcf": vcf_path, "ani": ani_paths, "n_calls": len(all_calls)}
+
+
+def start_engine(mode: str, references: list, bam_paths: list,
+                 output_dir: str, cfg: CallerConfig = None,
+                 genome_dir: str = None, extension: str = "fna",
+                 sample_names=None, limit=None, force: bool = False) -> dict:
+    """Multi-genome orchestrator (start_lorikeet_engine,
+    lorikeet_engine.rs:1075 + apply_per_reference :77): one output directory
+    per genome, artifact-presence caching unless `force`
+    (lorikeet_engine.rs:135-157)."""
+    cfg = cfg or CallerConfig()
+    os.makedirs(output_dir, exist_ok=True)
+    specs = discover_genomes(references, genome_dir, extension)
+    bams = [BamReader(p) for p in bam_paths]
+    if sample_names is None:
+        sample_names = []
+        for k, b in enumerate(bams):
+            names = b.sample_names()
+            sample_names.append(names[0] if names else f"sample{k}")
+
+    results = {}
+    for spec in specs:
+        gdir = os.path.join(output_dir, spec.name)
+        vcf_path = os.path.join(gdir, f"{spec.name}.vcf")
+        if os.path.exists(vcf_path) and not force:
+            results[spec.name] = {"vcf": vcf_path, "cached": True}
+            continue
+        out = run_genome(spec, bams, gdir, cfg, sample_names, limit=limit)
+
+        if mode == "consensus":
+            from lorikeet_tpu.strain.consensus import generate_consensus
+            out["consensus"] = generate_consensus(
+                spec.fasta, out["vcf"], gdir, contigs=spec.contigs,
+                genome_name=spec.name)
+        elif mode == "genotype":
+            from lorikeet_tpu.strain.genotype_mode import run_genotype
+            out.update(run_genotype(
+                spec.fasta, out["vcf"], gdir, bam_paths=bam_paths,
+                contigs=spec.contigs, genome_name=spec.name))
+        results[spec.name] = out
+    return results
+
+
 def run_call(reference: str, bam_paths: list, output_dir: str,
              cfg: CallerConfig = None, sample_names=None, limit=None) -> str:
-    """`call` mode for one genome: returns the VCF path."""
+    """`call` mode over one FASTA's full contig set: returns the VCF path.
+    (Single-genome convenience wrapper; start_engine is the full driver.)"""
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
     fasta = FastaReader(reference)

@@ -53,24 +53,30 @@ def _write_fasta(path: str, contigs: dict, line_width: int = 60):
                 out.write(s[i:i + line_width] + "\n")
 
 
-def generate_consensus(reference: str, vcf_path: str, output_dir: str) -> list:
-    """Write one consensus FASTA per sample; returns the paths."""
+def generate_consensus(reference: str, vcf_path: str, output_dir: str,
+                       contigs: list = None, genome_name: str = None) -> list:
+    """Write one consensus FASTA per sample; returns the paths.
+
+    `contigs` restricts to a genome's contig subset (multi-genome FASTA);
+    variant tids index the VCF's own contig list."""
     os.makedirs(output_dir, exist_ok=True)
     fasta = FastaReader(reference)
-    contexts, contigs, samples = read_vcf(vcf_path)
+    contexts, vcf_contigs, samples = read_vcf(vcf_path)
     if not samples:
         samples = ["sample0"]
-    genome = os.path.splitext(os.path.basename(reference))[0]
+    names = contigs if contigs is not None else (vcf_contigs or fasta.names)
+    genome = genome_name or os.path.splitext(os.path.basename(reference))[0]
     by_contig = {}
     for vc in contexts:
-        by_contig.setdefault(vc.tid, []).append(vc)
+        cname = vcf_contigs[vc.tid] if vc.tid < len(vcf_contigs) else None
+        by_contig.setdefault(cname, []).append(vc)
     paths = []
     for s_idx, sample in enumerate(samples):
         out_contigs = {}
-        for tid, name in enumerate(fasta.names):
+        for name in names:
             ref = fasta.fetch(name)
             out_contigs[name] = apply_consensus_to_contig(
-                ref, by_contig.get(tid, []), s_idx)
+                ref, by_contig.get(name, []), s_idx)
         path = os.path.join(output_dir, f"consensus_{sample}_{genome}.fna")
         _write_fasta(path, out_contigs)
         paths.append(path)

@@ -151,7 +151,8 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
 
 
 def run_genotype(reference: str, vcf_path: str, output_dir: str,
-                 bam_paths: list = None) -> dict:
+                 bam_paths: list = None, contigs: list = None,
+                 genome_name: str = None) -> dict:
     """Cluster variants into variant groups, link groups into strains via
     read linkage (linkage_engine.rs:73), estimate abundances, write strain
     FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
@@ -161,10 +162,12 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
 
     os.makedirs(output_dir, exist_ok=True)
     fasta = FastaReader(reference)
-    contexts, contigs, samples = read_vcf(vcf_path)
+    contexts, vcf_contigs, samples = read_vcf(vcf_path)
     if not samples:
         samples = ["sample0"]
-    genome = os.path.splitext(os.path.basename(reference))[0]
+    genome = genome_name or os.path.splitext(os.path.basename(reference))[0]
+    contig_names = contigs if contigs is not None else (vcf_contigs
+                                                       or fasta.names)
 
     split = split_contexts(contexts)
     labels, separations = cluster_variants(split)
@@ -179,7 +182,22 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
                for g in groups}
     if bam_paths:
         bams = [BamReader(p) for p in bam_paths]
-        engine = LinkageEngine(grouped, separations)
+        # vc.tid indexes the VCF's contig list; remap to BAM tids for fetch
+        if vcf_contigs:
+            tid_map = {}
+            for local_tid, cname in enumerate(vcf_contigs):
+                for b in bams:
+                    if cname in b.references:
+                        tid_map[local_tid] = b.tid(cname)
+                        break
+            import dataclasses
+            remapped = {
+                g: [dataclasses.replace(vc, tid=tid_map.get(vc.tid, vc.tid))
+                    for vc in vcs]
+                for g, vcs in grouped.items()}
+        else:
+            remapped = grouped
+        engine = LinkageEngine(remapped, separations)
         strain_groups = engine.run_linkage(bams)
     else:
         # no reads available (summarise-style input): strain = variant group
@@ -214,12 +232,14 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     # --- strain FASTAs: apply each strain's variants to the reference
     #     (reference_writer.rs:31 generate_strains) ---
     strain_paths = []
+    tid_names = vcf_contigs or contig_names
     for s_idx, sg in enumerate(strain_groups):
         vcs_in_strain = [vc for g in sg for vc in grouped.get(g, [])]
         out_contigs = {}
-        for tid, name in enumerate(fasta.names):
+        for name in contig_names:
             ref = fasta.fetch(name)
-            vcs = [vc for vc in vcs_in_strain if vc.tid == tid]
+            vcs = [vc for vc in vcs_in_strain
+                   if vc.tid < len(tid_names) and tid_names[vc.tid] == name]
             pieces = []
             cursor = 0
             for vc in sorted(vcs, key=lambda v: v.start):
@@ -239,9 +259,9 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     outputs["strain_fastas"] = strain_paths
 
     # --- rewrite the VCF with VG/ST annotations (lorikeet_engine.rs:628) ---
-    contig_lengths = [fasta.length(n) for n in fasta.names]
+    contig_lengths = [fasta.length(n) for n in tid_names]
     annotated_vcf = os.path.join(output_dir, f"{genome}.vcf")
     write_vcf(annotated_vcf, sorted(split, key=lambda v: (v.tid, v.start)),
-              fasta.names, contig_lengths, samples)
+              list(tid_names), contig_lengths, samples)
     outputs["vcf"] = annotated_vcf
     return outputs

@@ -47,20 +47,27 @@ def test_cli_call(sim_bam):
     bam, variants, contig, tmp = sim_bam
     out = _run_cli(["call", "-r", os.path.join(DATA, "7seqs.fna"),
                     "-b", bam, "-o", tmp + "/call_out", "--force-cpu"])
-    vcf = out["outputs"]["vcf"]
+    # 7seqs.fna holds 7 '~'-named genomes -> one output dir per genome
+    genomes = out["outputs"]["genomes"]
+    assert len(genomes) == 6
+    vcf = genomes["genome2"]["vcf"]
     assert os.path.exists(vcf)
     body = [l for l in open(vcf) if not l.startswith("#")]
     positions = {int(l.split("\t")[1]) - 1 for l in body}
     for v in variants:
         assert v.pos in positions
-    return vcf
+    # call mode writes per-genome ANI tables
+    assert os.path.exists(genomes["genome2"]["ani"]["consensus_ani"])
+    # other genomes have no reads -> empty VCFs
+    assert not [l for l in open(genomes["genome1"]["vcf"])
+                if not l.startswith("#")]
 
 
 def test_cli_consensus(sim_bam):
     bam, variants, contig, tmp = sim_bam
     out = _run_cli(["consensus", "-r", os.path.join(DATA, "7seqs.fna"),
                     "-b", bam, "-o", tmp + "/cons_out", "--force-cpu"])
-    cons = out["outputs"]["consensus"]
+    cons = out["outputs"]["genomes"]["genome2"]["consensus"]
     assert len(cons) == 1 and os.path.exists(cons[0])
     # the consensus genome must contain the (hom) alt alleles
     fr = FastaReader(cons[0])
@@ -73,8 +80,9 @@ def test_cli_genotype_and_summarise(sim_bam):
     bam, variants, contig, tmp = sim_bam
     out = _run_cli(["genotype", "-r", os.path.join(DATA, "7seqs.fna"),
                     "-b", bam, "-o", tmp + "/geno_out", "--force-cpu"])
-    assert os.path.exists(out["outputs"]["strain_coverages"])
-    vcf = out["outputs"]["vcf"]
+    g2 = out["outputs"]["genomes"]["genome2"]
+    assert os.path.exists(g2["strain_coverages"])
+    vcf = g2["vcf"]
     out2 = _run_cli(["summarise", "-i", vcf, "-o", tmp + "/sum_out"])
     tables = list(out2["outputs"].values())[0]
     assert os.path.exists(tables["consensus_ani"])
