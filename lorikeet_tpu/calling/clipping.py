@@ -1,0 +1,257 @@
+"""Read clipping + region finalization (host-side read preparation).
+
+Contracts:
+- ReadClipper ops (/root/reference/src/reads/read_clipper.rs): revert /
+  hard-clip soft clips, hard-clip low-quality ends, adaptor clipping, clip
+  to region.  Clipped-away bases are dropped outright (the reference keeps
+  H ops in the CIGAR; nothing downstream of finalization reads them).
+- finalize_regions (/root/reference/src/assembly/assembly_based_caller_utils.rs:97-186):
+  revert-or-drop soft clips, hard-clip tails below min-base-quality - 1
+  (:304-310), adaptor-clip mapped reads, clip to the padded region span,
+  drop empties.
+- overlapping mate-pair base-quality correction
+  (/root/reference/src/utils/fragment_utils.rs:27-149): matching bases in
+  the fragment overlap are capped at half the PCR SNV quality, conflicting
+  bases are zeroed.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from lorikeet_tpu.io.bam import BamRecord, CIGAR_OPS, CONSUMES_QUERY, CONSUMES_REF
+
+HALF_PCR_SNV_QUAL = 20  # phred(1e-4) = 40, halved (fragment_utils.rs:9-14)
+
+
+def _replace(rec: BamRecord, **kw) -> BamRecord:
+    return dataclasses.replace(rec, **kw)
+
+
+def query_ref_positions(rec: BamRecord) -> np.ndarray:
+    """Reference position per query base; -1 for insertions, soft clips get
+    projected positions (soft start + offset)."""
+    out = np.full(len(rec.seq), -1, np.int64)
+    q = 0
+    r = rec.pos
+    for i, (op, n) in enumerate(rec.cigar):
+        if op == "S":
+            # project: leading S counts back from pos, trailing forward
+            if q == 0:
+                out[q:q + n] = np.arange(r - n, r)
+            else:
+                out[q:q + n] = np.arange(r, r + n)
+            q += n
+        elif op in "M=X":
+            out[q:q + n] = np.arange(r, r + n)
+            q += n
+            r += n
+        elif op == "I":
+            q += n
+        elif op in "DN":
+            r += n
+        # H/P consume nothing
+    return out
+
+
+def clip_by_read_indices(rec: BamRecord, keep_lo: int, keep_hi: int) -> BamRecord:
+    """Hard-clip: keep query bases [keep_lo, keep_hi); returns a new record
+    with adjusted pos/cigar/seq/qual (empty seq if nothing remains)."""
+    keep_lo = max(0, keep_lo)
+    keep_hi = min(len(rec.seq), keep_hi)
+    if keep_lo >= keep_hi:
+        return _replace(rec, cigar=[], seq=rec.seq[:0], qual=rec.qual[:0])
+    new_cigar = []
+    q = 0
+    r = rec.pos
+    new_pos = None
+    for op, n in rec.cigar:
+        cq = CONSUMES_QUERY[CIGAR_OPS.index(op)]
+        cr = CONSUMES_REF[CIGAR_OPS.index(op)]
+        if cq:
+            lo = max(q, keep_lo)
+            hi = min(q + n, keep_hi)
+            if hi > lo:
+                new_cigar.append((op, hi - lo))
+                if cr and new_pos is None:
+                    new_pos = r + (lo - q)
+                elif op == "S" and new_pos is None:
+                    pass  # pos comes from the first aligned op
+            q += n
+            if cr:
+                r += n
+        elif cr:  # D/N: keep only when interior to the kept query range
+            if keep_lo < q < keep_hi:
+                new_cigar.append((op, n))
+            r += n
+        # H/P dropped
+    # trim leading/trailing ref-only ops
+    while new_cigar and new_cigar[0][0] in "DN":
+        if new_pos is not None:
+            new_pos += new_cigar[0][1]
+        new_cigar.pop(0)
+    while new_cigar and new_cigar[-1][0] in "DN":
+        new_cigar.pop()
+    merged = []
+    for op, n in new_cigar:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + n)
+        else:
+            merged.append((op, n))
+    return _replace(rec, pos=new_pos if new_pos is not None else rec.pos,
+                    cigar=merged, seq=rec.seq[keep_lo:keep_hi].copy(),
+                    qual=rec.qual[keep_lo:keep_hi].copy())
+
+
+def revert_soft_clips(rec: BamRecord) -> BamRecord:
+    """S -> M, extending the alignment (read_clipper.rs
+    revert_soft_clipped_bases); alignment start moves back by the leading
+    clip length (clamped at 0)."""
+    if not any(op == "S" for op, _ in rec.cigar):
+        return rec
+    lead = rec.cigar[0][1] if rec.cigar[0][0] == "S" else 0
+    new_pos = max(0, rec.pos - lead)
+    if rec.pos - lead < 0:
+        # cannot extend past the contig start: hard clip the excess instead
+        rec = clip_by_read_indices(rec, lead - rec.pos, len(rec.seq))
+        lead = rec.cigar[0][1] if rec.cigar and rec.cigar[0][0] == "S" else 0
+        new_pos = rec.pos - lead
+    cigar = [("M", n) if op == "S" else (op, n) for op, n in rec.cigar]
+    merged = []
+    for op, n in cigar:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + n)
+        else:
+            merged.append((op, n))
+    return _replace(rec, pos=new_pos, cigar=merged)
+
+
+def hard_clip_soft_clips(rec: BamRecord) -> BamRecord:
+    lead = rec.cigar[0][1] if rec.cigar and rec.cigar[0][0] == "S" else 0
+    tail = rec.cigar[-1][1] if len(rec.cigar) > 1 and rec.cigar[-1][0] == "S" else 0
+    if lead == 0 and tail == 0:
+        return rec
+    return clip_by_read_indices(rec, lead, len(rec.seq) - tail)
+
+
+def hard_clip_low_qual_ends(rec: BamRecord, q_threshold: int) -> BamRecord:
+    quals = rec.qual
+    lo = 0
+    hi = len(quals)
+    while lo < hi and quals[lo] <= q_threshold:
+        lo += 1
+    while hi > lo and quals[hi - 1] <= q_threshold:
+        hi -= 1
+    if lo == 0 and hi == len(quals):
+        return rec
+    return clip_by_read_indices(rec, lo, hi)
+
+
+def adaptor_boundary(rec: BamRecord):
+    """ReadUtils::get_adaptor_boundary: fragment-end for forward reads,
+    mate-start - 1 for reverse reads; None when undefined."""
+    if (not rec.is_paired or rec.is_mate_unmapped or rec.tlen == 0
+            or rec.is_reverse == rec.is_mate_reverse):
+        return None
+    if rec.is_reverse:
+        return rec.mate_pos - 1
+    return rec.pos + abs(rec.tlen)
+
+
+def hard_clip_adaptor_sequence(rec: BamRecord) -> BamRecord:
+    boundary = adaptor_boundary(rec)
+    if boundary is None:
+        return rec
+    if rec.is_reverse:
+        if boundary < rec.pos:
+            return rec  # adaptor before the read
+        return hard_clip_to_region(rec, boundary + 1, np.iinfo(np.int64).max)
+    if boundary > rec.reference_end - 1:
+        return rec
+    return hard_clip_to_region(rec, -1, boundary - 1)
+
+
+def hard_clip_to_region(rec: BamRecord, start: int, end: int) -> BamRecord:
+    """Keep query bases whose reference position is within [start, end]
+    (read_clipper.rs hard_clip_to_region; end inclusive)."""
+    refpos = query_ref_positions(rec)
+    keep = (refpos >= start) & (refpos <= end)
+    if keep.all():
+        return rec
+    idx = np.flatnonzero(keep)
+    if idx.size == 0:
+        return _replace(rec, cigar=[], seq=rec.seq[:0], qual=rec.qual[:0])
+    return clip_by_read_indices(rec, int(idx[0]), int(idx[-1]) + 1)
+
+
+def _has_well_defined_fragment_size(rec: BamRecord) -> bool:
+    """read_utils.rs has_well_defined_fragment_size."""
+    if rec.tlen == 0 or not rec.is_paired or rec.is_unmapped or rec.is_mate_unmapped:
+        return False
+    if rec.is_reverse == rec.is_mate_reverse:
+        return False
+    if rec.is_reverse:
+        return rec.reference_end > rec.mate_pos
+    return rec.pos <= rec.mate_pos + rec.tlen
+
+
+def adjust_overlapping_pair_quals(reads: list) -> None:
+    """In-place qual adjustment for overlapping mate pairs of one sample
+    (fragment_utils.rs:27-149).  Matching overlap bases are capped at
+    HALF_PCR_SNV_QUAL; mismatching bases are zeroed."""
+    by_name = {}
+    for r in reads:
+        if r.is_paired:
+            by_name.setdefault(r.name, []).append(r)
+    for name, pair in by_name.items():
+        if len(pair) != 2:
+            continue
+        first, second = sorted(pair, key=lambda r: r.pos)
+        if first.reference_end <= second.pos:
+            continue
+        rp1 = query_ref_positions(first)
+        rp2 = query_ref_positions(second)
+        # aligned index per overlap ref position
+        m1 = {int(p): i for i, p in enumerate(rp1) if p >= 0}
+        m2 = {int(p): i for i, p in enumerate(rp2) if p >= 0}
+        for p in sorted(set(m1) & set(m2)):
+            i, j = m1[p], m2[p]
+            if first.seq[i] == second.seq[j]:
+                first.qual[i] = min(first.qual[i], HALF_PCR_SNV_QUAL)
+                second.qual[j] = min(second.qual[j], HALF_PCR_SNV_QUAL)
+            else:
+                first.qual[i] = 0
+                second.qual[j] = 0
+
+
+def finalize_region_reads(reads_by_sample: dict, padded_start: int,
+                          padded_end: int, min_base_quality: int = 10,
+                          dont_use_soft_clipped_bases: bool = False,
+                          correct_overlapping_quals: bool = True) -> dict:
+    """finalize_regions pipeline over {sample: [BamRecord]}; returns the
+    finalized mapping (records are clipped copies, input order by position)."""
+    min_tail_quality = max(min_base_quality - 1, 0)
+    out = {}
+    for s, reads in reads_by_sample.items():
+        kept = []
+        for rec in reads:
+            if dont_use_soft_clipped_bases or not _has_well_defined_fragment_size(rec):
+                r = hard_clip_soft_clips(rec)
+            else:
+                r = revert_soft_clips(rec)
+            r = hard_clip_low_qual_ends(r, min_tail_quality)
+            if not len(r.seq):
+                continue
+            r = hard_clip_adaptor_sequence(r)
+            if not len(r.seq) or not r.cigar:
+                continue
+            r = hard_clip_to_region(r, padded_start, padded_end)
+            if len(r.seq) and r.cigar and r.pos <= padded_end \
+                    and r.reference_end > padded_start:
+                kept.append(r)
+        kept.sort(key=lambda r: r.pos)
+        if correct_overlapping_quals:
+            adjust_overlapping_pair_quals(kept)
+        out[s] = kept
+    return out

@@ -141,6 +141,16 @@ class HaplotypeCallerEngine:
         """Returns [VariantContext] called within the active span."""
         if not any(reads_by_sample.values()):
             return []
+        # finalize reads: soft-clip handling, tail/adaptor/region clipping,
+        # overlapping mate-pair qual correction (finalize_regions,
+        # assembly_based_caller_utils.rs:97)
+        from lorikeet_tpu.calling.clipping import finalize_region_reads
+        reads_by_sample = finalize_region_reads(
+            reads_by_sample, window_start,
+            window_start + len(ref_window) - 1,
+            min_base_quality=self.cfg.min_base_quality)
+        if not any(reads_by_sample.values()):
+            return []
         haplotypes = assemble_region(
             ref_window, reads_by_sample,
             kmer_sizes=self.cfg.kmer_sizes,
@@ -182,7 +192,10 @@ class HaplotypeCallerEngine:
                 continue
             self._annotate(call, allele_lks)
             calls.append(call)
-        return calls
+        # physical phasing over the region's calls
+        # (assembly_based_caller_utils.rs:975 phase_calls)
+        from lorikeet_tpu.calling.phasing import phase_calls
+        return phase_calls(calls, hap_events)
 
     def _genotypes_for_event(self, allele_lks: AlleleLikelihoods,
                              merged: VariantContext):

@@ -29,6 +29,9 @@ FORMAT_HEADER = [
     ('DP', '1', 'Integer', 'Approximate read depth'),
     ('GQ', '1', 'Integer', 'Genotype Quality'),
     ('PL', 'G', 'Integer', 'Normalized, Phred-scaled likelihoods for genotypes as defined in the VCF specification'),
+    ('PGT', '1', 'String', 'Physical phasing haplotype information, describing how the alternate alleles are phased in relation to one another'),
+    ('PID', '1', 'String', 'Physical phasing ID information, where each unique ID within a given sample (but not across samples) connects records within a phasing group'),
+    ('PS', '1', 'Integer', 'Phasing set (typically the position of the first variant in the set)'),
 ]
 
 
@@ -69,7 +72,9 @@ def format_record(vc: VariantContext, contig_names: list) -> str:
         if key in vc.attributes:
             info_parts.append(f"{key}={_fmt_info_value(vc.attributes[key])}")
     info = ";".join(info_parts) if info_parts else "."
-    fmt = "GT:AD:DP:GQ:PL"
+    # physical-phasing FORMAT keys appear only when any genotype has them
+    phased = any(g.attributes.get("PGT") for g in vc.genotypes)
+    fmt = "GT:AD:DP:GQ:PGT:PID:PL:PS" if phased else "GT:AD:DP:GQ:PL"
     gts = []
     for g in vc.genotypes:
         gt = _format_gt(g, vc)
@@ -78,7 +83,13 @@ def format_record(vc: VariantContext, contig_names: list) -> str:
         gq = str(g.gq) if g.gq >= 0 else "."
         pl_arr = g.pl()
         pl = ",".join(str(int(x)) for x in pl_arr) if pl_arr is not None else "."
-        gts.append(f"{gt}:{ad}:{dp}:{gq}:{pl}")
+        if phased:
+            pgt = g.attributes.get("PGT", ".")
+            pid = g.attributes.get("PID", ".")
+            ps = str(g.attributes.get("PS", "."))
+            gts.append(f"{gt}:{ad}:{dp}:{gq}:{pgt}:{pid}:{pl}:{ps}")
+        else:
+            gts.append(f"{gt}:{ad}:{dp}:{gq}:{pl}")
     return (f"{chrom}\t{pos}\t.\t{ref}\t{alts}\t{qual}\t{filt}\t{info}\t{fmt}\t"
             + "\t".join(gts) + "\n")
 
