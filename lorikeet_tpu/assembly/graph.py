@@ -262,6 +262,125 @@ class ReadThreadingGraph:
                     chain_starts.append(last)
         return chains
 
+    def prune_chains_adaptive(self, initial_error_rate: float = 0.001,
+                              log_odds_threshold: float = 1.0,
+                              seeding_log_odds_threshold: float = 4.0,
+                              max_unpruned_variants: int = 100):
+        """Adaptive likelihood-ratio chain pruning
+        (adaptive_chain_pruner.rs:37-280, chain_pruner.rs:120-186): estimate
+        the error rate from probable-error chains under the initial rate,
+        re-run the classification, and remove non-ref error chains.
+
+        Thresholds are log10 odds (the CLI convention) and converted to
+        natural log here (haplotype_caller_engine.rs:164-171)."""
+        log_odds_threshold *= np.log(10.0)
+        seeding_log_odds_threshold *= np.log(10.0)
+        chains = self.find_chains()
+        if not chains:
+            return
+        probable = self._likely_error_chains(
+            chains, initial_error_rate, log_odds_threshold,
+            seeding_log_odds_threshold, max_unpruned_variants)
+        error_count = sum(
+            self.out_edges[chains[ci][-1][0]][chains[ci][-1][1]].multiplicity
+            for ci in probable)
+        total_bases = sum(self.out_edges[u][v].multiplicity
+                          for chain in chains for u, v in chain)
+        error_rate = error_count / total_bases if total_bases else 0.0
+        to_remove = self._likely_error_chains(
+            chains, error_rate, log_odds_threshold,
+            seeding_log_odds_threshold, max_unpruned_variants)
+        for ci in to_remove:
+            chain = chains[ci]
+            if any(self.out_edges[u][v].is_ref for u, v in chain):
+                continue
+            for u, v in chain:
+                self.remove_edge(u, v)
+        self._remove_orphans()
+
+    def _chain_log_odds(self, chain, error_rate: float):
+        """(left, right) ln-odds that the chain is real variation
+        (adaptive_chain_pruner.rs:197-246)."""
+        from lorikeet_tpu.utils.math import log_likelihood_ratio_constant_error
+        first = chain[0][0]
+        last = chain[-1][1]
+        first_edge = self.out_edges[chain[0][0]][chain[0][1]]
+        last_edge = self.out_edges[chain[-1][0]][chain[-1][1]]
+        left_total = sum(e.multiplicity for e in self.out_edges[first].values())
+        right_total = sum(e.multiplicity for e in self.in_edges[last].values())
+        if not self.in_edges[first]:       # graph source
+            left = 0.0
+        else:
+            left = log_likelihood_ratio_constant_error(
+                left_total - first_edge.multiplicity, first_edge.multiplicity,
+                error_rate)
+        if not self.out_edges[last]:       # graph sink
+            right = 0.0
+        else:
+            right = log_likelihood_ratio_constant_error(
+                right_total - last_edge.multiplicity, last_edge.multiplicity,
+                error_rate)
+        return left, right
+
+    def _likely_error_chains(self, chains, error_rate, log_odds_threshold,
+                             seeding_log_odds_threshold,
+                             max_unpruned_variants):
+        """Returns the set of chain INDICES classified as probable errors."""
+        import heapq
+        odds = [self._chain_log_odds(c, error_rate) for c in chains]
+        good_in = {}       # vertex -> [chain idx] with good right odds
+        good_out = {}      # vertex -> [chain idx] with good left odds
+        seed_count = {}    # vertex -> # seedable chains touching it
+        for ci, chain in enumerate(chains):
+            first, last = chain[0][0], chain[-1][1]
+            first_is_ref = self.out_edges[chain[0][0]][chain[0][1]].is_ref
+            if odds[ci][1] >= log_odds_threshold or first_is_ref:
+                good_in.setdefault(last, []).append(ci)
+            if odds[ci][0] >= log_odds_threshold or first_is_ref:
+                good_out.setdefault(first, []).append(ci)
+            if (odds[ci][0] >= seeding_log_odds_threshold
+                    and odds[ci][1] >= seeding_log_odds_threshold):
+                seed_count[first] = seed_count.get(first, 0) + 1
+                seed_count[last] = seed_count.get(last, 0) + 1
+
+        heap = []  # (-log_odds, chain idx)
+        max_ci = max(range(len(chains)), key=lambda ci: (
+            max(self.out_edges[u][v].multiplicity for u, v in chains[ci]),
+            len(chains[ci])))
+        heapq.heappush(heap, (-np.inf, max_ci))
+        processed = set()
+        for vertex, cnt in seed_count.items():
+            if cnt > 2:
+                for ci in good_out.get(vertex, ()):
+                    heapq.heappush(heap, (-odds[ci][0], ci))
+                for ci in good_in.get(vertex, ()):
+                    heapq.heappush(heap, (-odds[ci][1], ci))
+                processed.add(vertex)
+
+        good_chains = set()
+        have_good_outgoing = set()
+        variant_count = 0
+        while heap and variant_count <= max_unpruned_variants:
+            _, ci = heapq.heappop(heap)
+            if ci in good_chains:
+                continue
+            good_chains.add(ci)
+            first = chains[ci][0][0]
+            new_variant = first in have_good_outgoing
+            have_good_outgoing.add(first)
+            if new_variant:
+                variant_count += 1
+                if variant_count > max_unpruned_variants:
+                    continue
+            for vertex in (chains[ci][0][0], chains[ci][-1][1]):
+                if vertex not in processed:
+                    for cj in good_out.get(vertex, ()):
+                        heapq.heappush(heap, (-odds[cj][0], cj))
+                    for cj in good_in.get(vertex, ()):
+                        heapq.heappush(heap, (-odds[cj][1], cj))
+                    processed.add(vertex)
+        return {ci for ci in range(len(chains)) if ci not in good_chains}
+
     def prune_low_weight_chains(self, prune_factor: int):
         if prune_factor <= 0:
             return
@@ -482,6 +601,11 @@ def assemble_region(
     min_dangling_branch_length: int = 1,
     allow_kmer_extension: bool = True,
     region_size: int = None,
+    use_adaptive_pruning: bool = False,
+    initial_error_rate_for_pruning: float = 0.001,
+    pruning_log_odds_threshold: float = 1.0,
+    pruning_seeding_log_odds_threshold: float = 4.0,
+    max_unpruned_variants: int = 100,
 ) -> list:
     """Assemble haplotypes for one region. Returns [AssembledHaplotype],
     reference haplotype first.
@@ -492,8 +616,9 @@ def assemble_region(
     ref_bytes = np.asarray(ref_seq, np.uint8).tobytes()
     n_reads = sum(len(v) for v in reads_by_sample.values())
 
-    # coverage-keyed prune factor (read_threading_assembler.rs:246-255)
-    if not disable_prune_correction:
+    # coverage-keyed prune factor (read_threading_assembler.rs:246-255);
+    # a no-op under adaptive pruning (chain_pruner.rs:30-37)
+    if not disable_prune_correction and not use_adaptive_pruning:
         total_bases = sum(len(r.seq) for reads in reads_by_sample.values()
                           for r in reads)
         denom = region_size if region_size else len(ref_bytes)
@@ -525,7 +650,13 @@ def assemble_region(
                 sizes.append(k + KMER_SIZE_ITERATION_INCREASE * (attempts + 1) + (k % 2 == 0))
                 attempts += 1
             continue
-        graph.prune_low_weight_chains(prune_factor)
+        if use_adaptive_pruning:
+            graph.prune_chains_adaptive(initial_error_rate_for_pruning,
+                                        pruning_log_odds_threshold,
+                                        pruning_seeding_log_odds_threshold,
+                                        max_unpruned_variants)
+        else:
+            graph.prune_low_weight_chains(prune_factor)
         graph.recover_dangling_ends(min_dangling_branch_length)
         if graph.has_cycle():
             continue

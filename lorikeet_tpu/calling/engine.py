@@ -46,6 +46,36 @@ class CallerConfig:
     kmer_sizes: tuple = (21, 33)
     use_pallas: bool | None = None
     max_alt_alleles: int = 6
+    # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
+    prune_factor: int = 1
+    use_adaptive_pruning: bool = False
+    initial_error_rate_for_pruning: float = 0.001
+    pruning_log_odds_threshold: float = 1.0
+    pruning_seeding_log_odds_threshold: float = 4.0
+    max_unpruned_variants: int = 100
+    disable_prune_factor_correction: bool = False
+
+    def apply_profile(self, profile: str):
+        """Assembly presets (haplotype_caller_engine.rs:246-298)."""
+        p = (profile or "").lower()
+        if p == "very-fast":
+            self.prune_factor = 2
+            self.kmer_sizes = (33,)
+        elif p == "fast":
+            self.prune_factor = 2
+            self.kmer_sizes = (21, 33)
+        elif p == "precise":
+            self.prune_factor = 2
+            self.kmer_sizes = (21, 33, 45)
+        elif p == "sensitive":
+            self.prune_factor = 0
+            self.kmer_sizes = (21, 33, 45)
+        elif p == "super-sensitive":
+            self.prune_factor = 0
+            self.kmer_sizes = (21, 33, 45, 57)
+        if p in ("very-fast", "fast", "precise", "sensitive",
+                 "super-sensitive"):
+            self.disable_prune_factor_correction = True
 
 
 class GenotypingEngine:
@@ -154,7 +184,14 @@ class HaplotypeCallerEngine:
         haplotypes = assemble_region(
             ref_window, reads_by_sample,
             kmer_sizes=self.cfg.kmer_sizes,
-            min_base_quality=self.cfg.min_base_quality)
+            min_base_quality=self.cfg.min_base_quality,
+            prune_factor=self.cfg.prune_factor,
+            disable_prune_correction=self.cfg.disable_prune_factor_correction,
+            use_adaptive_pruning=self.cfg.use_adaptive_pruning,
+            initial_error_rate_for_pruning=self.cfg.initial_error_rate_for_pruning,
+            pruning_log_odds_threshold=self.cfg.pruning_log_odds_threshold,
+            pruning_seeding_log_odds_threshold=self.cfg.pruning_seeding_log_odds_threshold,
+            max_unpruned_variants=self.cfg.max_unpruned_variants)
         if len(haplotypes) <= 1:
             return []
 

@@ -40,6 +40,18 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--indel-heterozygosity", type=float, default=0.000125)
         sp.add_argument("--heterozygosity-stdev", type=float, default=0.01)
         sp.add_argument("--kmer-sizes", type=int, nargs="+", default=[21, 33])
+        sp.add_argument("--profile", default=None,
+                        choices=["very-fast", "fast", "precise", "sensitive",
+                                 "super-sensitive"],
+                        help="assembly preset (kmer list + pruning)")
+        sp.add_argument("--use-adaptive-pruning", action="store_true")
+        sp.add_argument("--initial-error-rate-for-pruning", type=float,
+                        default=0.001)
+        sp.add_argument("--pruning-log-odds-threshold", type=float,
+                        default=1.0)
+        sp.add_argument("--max-unpruned-variants", type=int, default=100)
+        sp.add_argument("--min-prune-factor", dest="prune_factor", type=int,
+                        default=1)
         sp.add_argument("--max-mnp-distance", type=int, default=0)
         sp.add_argument("--force-cpu", action="store_true",
                         help="use the host pair-HMM even when a TPU is present")
@@ -64,6 +76,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _caller_config(args):
+    from lorikeet_tpu.calling.engine import CallerConfig
+    cfg = _base_config(args)
+    cfg.prune_factor = args.prune_factor
+    cfg.use_adaptive_pruning = args.use_adaptive_pruning
+    cfg.initial_error_rate_for_pruning = args.initial_error_rate_for_pruning
+    cfg.pruning_log_odds_threshold = args.pruning_log_odds_threshold
+    cfg.max_unpruned_variants = args.max_unpruned_variants
+    if getattr(args, "profile", None):
+        # profile presets override the knobs they cover
+        # (haplotype_caller_engine.rs:246-298)
+        cfg.apply_profile(args.profile)
+    return cfg
+
+
+def _base_config(args):
     from lorikeet_tpu.calling.engine import CallerConfig
     return CallerConfig(
         ploidy=args.ploidy,

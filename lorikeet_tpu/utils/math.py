@@ -132,6 +132,58 @@ def fast_bernoulli_entropy(p: float) -> float:
     return product * ((11.0 + 33.0 * product) / (2.0 + 20.0 * product))
 
 
+def digamma(x: float) -> float:
+    """Psi function via upward recurrence + asymptotic series (x > 0)."""
+    result = 0.0
+    while x < 6.0:
+        result -= 1.0 / x
+        x += 1.0
+    inv = 1.0 / x
+    inv2 = inv * inv
+    return (result + np.log(x) - 0.5 * inv
+            - inv2 * (1.0 / 12.0 - inv2 * (1.0 / 120.0 - inv2 / 252.0)))
+
+
+def log_likelihood_ratio(n_ref: int, alt_quals, repeat_factor: int = 1) -> float:
+    """ln-likelihood ratio of variation vs sequencing error for a pileup
+    (haplotype_caller_engine.rs:1761-1806 log_likelihood_ratio, flat prior
+    branch): exact single-iteration variational approximation."""
+    import math as _m
+    alt_quals = np.asarray(alt_quals, np.float64)
+    n_alt = repeat_factor * len(alt_quals)
+    n = n_ref + n_alt
+
+    f_tilde_ratio = np.exp(digamma(n_ref + 1.0) - digamma(n_alt + 1.0))
+    eps = qual_to_error_prob(alt_quals)
+    z_bar_alt = (1.0 - eps) / (1.0 - eps + eps * f_tilde_ratio)
+    log_eps = np.log(eps)
+    log_one_minus_eps = np.log1p(-eps)
+    read_sum = float(np.sum(
+        z_bar_alt * (log_one_minus_eps - log_eps)
+        + fast_bernoulli_entropy_arr(z_bar_alt)))
+
+    beta_entropy = (_m.lgamma(n_alt + 1) + _m.lgamma(n_ref + 1)
+                    - _m.lgamma(n + 2))
+    return beta_entropy + read_sum * repeat_factor
+
+
+def fast_bernoulli_entropy_arr(p):
+    product = p * (1.0 - p)
+    return product * ((11.0 + 33.0 * product) / (2.0 + 20.0 * product))
+
+
+def error_prob_to_qual(p: float) -> int:
+    return int(round(min(-10.0 * np.log10(max(p, 1e-254)), 254.0)))
+
+
+def log_likelihood_ratio_constant_error(ref_count: int, alt_count: int,
+                                        error_probability: float) -> float:
+    """haplotype_caller_engine.rs:1808 — all alt observations share one
+    error probability."""
+    qual = error_prob_to_qual(error_probability)
+    return log_likelihood_ratio(ref_count, [qual], alt_count)
+
+
 class RunningAverage:
     """Welford running mean/variance (math_utils.rs RunningAverage)."""
 
