@@ -188,12 +188,20 @@ class BamReader:
 
     def __init__(self, path: str):
         self.path = path
-        with gzip.open(path, "rb") as fh:
-            data = fh.read()
-        if data[:4] != b"BAM\x01":
+        self._native = False
+        data = None
+        try:
+            from lorikeet_tpu.native import bam_native
+            self._buf = bam_native.inflate(path)
+            data = self._buf  # numpy uint8; struct reads via buffer protocol
+            self._native = True
+        except Exception:
+            with gzip.open(path, "rb") as fh:
+                data = fh.read()
+        if bytes(data[:4]) != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
         l_text = struct.unpack_from("<i", data, 4)[0]
-        self.header_text = data[8:8 + l_text].rstrip(b"\0").decode()
+        self.header_text = bytes(data[8:8 + l_text]).rstrip(b"\0").decode()
         p = 8 + l_text
         n_ref = struct.unpack_from("<i", data, p)[0]
         p += 4
@@ -201,7 +209,7 @@ class BamReader:
         self.lengths = []
         for _ in range(n_ref):
             l_name = struct.unpack_from("<i", data, p)[0]
-            name = data[p + 4:p + 4 + l_name - 1].decode()
+            name = bytes(data[p + 4:p + 4 + l_name - 1]).decode()
             l_ref = struct.unpack_from("<i", data, p + 4 + l_name)[0]
             self.references.append(name)
             self.lengths.append(l_ref)
@@ -220,6 +228,9 @@ class BamReader:
         if self._by_tid is not None:
             return
         data, p = self._records_raw
+        if self._native:
+            self._decode_native(data, p)
+            return
         by_tid = {}
         n = len(data)
         while p < n:
@@ -233,6 +244,39 @@ class BamReader:
         self._starts = {tid: np.array([r.pos for r in recs], np.int64)
                         for tid, recs in by_tid.items()}
         self._records_raw = None
+
+    def _decode_native(self, data, rec_off: int):
+        """Materialize BamRecords from the C++ columnar parse."""
+        from lorikeet_tpu.native import bam_native
+        cols = bam_native.parse(data, rec_off)
+        n = len(cols["tid"])
+        order = np.lexsort((cols["pos"], cols["tid"]))
+        names = cols["names"]
+        no, co, so, to = (cols["name_off"], cols["cigar_off"],
+                          cols["seq_off"], cols["tag_off"])
+        cigars, seq, qual, tags = (cols["cigars"], cols["seq"],
+                                   cols["qual"], cols["tags"])
+        by_tid = {}
+        for i in map(int, order):
+            cig = [(CIGAR_OPS[int(v) & 0xF], int(v) >> 4)
+                   for v in cigars[co[i]:co[i + 1]]]
+            rec = BamRecord(
+                name=names[no[i]:no[i + 1]].decode(),
+                flag=int(cols["flag"][i]), tid=int(cols["tid"][i]),
+                pos=int(cols["pos"][i]), mapq=int(cols["mapq"][i]),
+                cigar=cig, seq=seq[so[i]:so[i + 1]],
+                qual=qual[so[i]:so[i + 1]].copy(),
+                mate_tid=int(cols["mate_tid"][i]),
+                mate_pos=int(cols["mate_pos"][i]),
+                tlen=int(cols["tlen"][i]),
+                tags=_LazyTags(tags, int(to[i]), int(to[i + 1])))
+            by_tid.setdefault(rec.tid, []).append(rec)
+        self._by_tid = by_tid
+        self._starts = {tid: np.array([r.pos for r in recs], np.int64)
+                        for tid, recs in by_tid.items()}
+        self._records_raw = None
+        self._buf = None
+
 
     def fetch(self, tid: int = None, start: int = None, end: int = None):
         """Yield records overlapping [start, end) on tid (all if None)."""
@@ -266,3 +310,37 @@ class BamReader:
                     if fieldv.startswith("SM:"):
                         samples.append(fieldv[3:])
         return samples
+
+
+class _LazyTags(dict):
+    """Tag dict decoded from raw BAM tag bytes on first access."""
+
+    def __init__(self, buf, lo, hi):
+        super().__init__()
+        self._raw = (buf, lo, hi)
+
+    def _force(self):
+        if self._raw is not None:
+            buf, lo, hi = self._raw
+            self._raw = None
+            self.update(_decode_tags(bytes(buf[lo:hi]), 0, hi - lo))
+
+    def __getitem__(self, k):
+        self._force()
+        return super().__getitem__(k)
+
+    def __contains__(self, k):
+        self._force()
+        return super().__contains__(k)
+
+    def get(self, k, default=None):
+        self._force()
+        return super().get(k, default)
+
+    def keys(self):
+        self._force()
+        return super().keys()
+
+    def items(self):
+        self._force()
+        return super().items()

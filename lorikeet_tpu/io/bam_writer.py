@@ -22,7 +22,8 @@ _BGZF_EOF = bytes.fromhex(
 def _bgzf_block(payload: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     data = comp.compress(payload) + comp.flush()
-    bsize = len(data) + 25 + 1
+    # BSIZE = total block size minus 1 (SAM spec 4.1): 18 header + 8 footer
+    bsize = len(data) + 25
     header = (b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
               + struct.pack("<H", 6)         # XLEN
               + b"BC" + struct.pack("<HH", 2, bsize))

@@ -12,7 +12,7 @@ _LOCK = threading.Lock()
 _LIBS = {}
 
 
-def load(name: str, sources: list[str]) -> ctypes.CDLL:
+def load(name: str, sources: list[str], link: list[str] = ()) -> ctypes.CDLL:
     """Compile (if stale) and load lib<name>.so from the given sources."""
     with _LOCK:
         if name in _LIBS:
@@ -23,7 +23,7 @@ def load(name: str, sources: list[str]) -> ctypes.CDLL:
                  any(os.path.getmtime(s) > os.path.getmtime(so_path) for s in srcs))
         if stale:
             cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                   "-o", so_path] + srcs
+                   "-o", so_path] + srcs + list(link)
             subprocess.run(cmd, check=True, capture_output=True)
         lib = ctypes.CDLL(so_path)
         _LIBS[name] = lib
