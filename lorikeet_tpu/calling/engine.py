@@ -46,6 +46,11 @@ class CallerConfig:
     kmer_sizes: tuple = (21, 33)
     use_pallas: bool | None = None
     max_alt_alleles: int = 6
+    # mixed technologies: per-sample read type ("short" | "long"),
+    # lorikeet_engine.rs ReadType + read_utils.rs:70-77 long-read filters
+    read_types: list = None
+    min_long_read_size: int = 1500
+    min_long_read_average_base_qual: int = 20
     # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
     prune_factor: int = 1
     use_adaptive_pruning: bool = False

@@ -28,6 +28,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-x", "--genome-fasta-extension", default="fna")
         sp.add_argument("-b", "--bam-files", nargs="+", required=True,
                         help="indexed/sorted BAM files, one per sample")
+        sp.add_argument("-l", "--longread-bam-files", nargs="+", default=None,
+                        help="long-read BAM files (listed after short-read "
+                             "samples)")
+        sp.add_argument("--min-long-read-size", type=int, default=1500)
+        sp.add_argument("--min-long-read-average-base-qual", type=int,
+                        default=20)
         sp.add_argument("-o", "--output-directory", default="./lorikeet_out")
         sp.add_argument("--force", action="store_true",
                         help="overwrite cached per-genome outputs")
@@ -132,11 +138,14 @@ def main(argv=None) -> int:
 
     cfg = _caller_config(args)
     from lorikeet_tpu.processing import start_engine
+    cfg.min_long_read_size = args.min_long_read_size
+    cfg.min_long_read_average_base_qual = args.min_long_read_average_base_qual
     results = start_engine(args.command, args.reference or [],
                            args.bam_files, args.output_directory, cfg,
                            genome_dir=args.genome_fasta_directory,
                            extension=args.genome_fasta_extension,
-                           limit=limit, force=args.force)
+                           limit=limit, force=args.force,
+                           long_bam_paths=args.longread_bam_files)
 
     for genome, out in results.items():
         if out.get("cached"):

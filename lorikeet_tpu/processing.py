@@ -34,8 +34,11 @@ MAX_INPUT_DEPTH = 200_000
 DEPTH_PER_SAMPLE_FILTER = 5
 
 
-def _read_passes_filters(rec, mapq_threshold=20):
-    """read_utils.rs:25-100 core filter set (short-read path)."""
+def _read_passes_filters(rec, mapq_threshold=20, read_type="short",
+                         min_long_read_size=1500,
+                         min_long_read_average_base_qual=20):
+    """read_utils.rs:25-90 filter set; long reads additionally require a
+    minimum length and average base quality (:70-77)."""
     from lorikeet_tpu.utils.cigar import read_length, reference_length
     if len(rec.seq) == 0 or len(rec.qual) == 0 or not rec.cigar:
         return False
@@ -49,6 +52,11 @@ def _read_passes_filters(rec, mapq_threshold=20):
         return False
     if len(rec.seq) < 30:
         return False
+    if read_type == "long":
+        if len(rec.seq) < min_long_read_size:
+            return False
+        if float(np.mean(rec.qual)) < min_long_read_average_base_qual:
+            return False
     if reference_length(rec.cigar) == 0:
         return False
     if read_length(rec.cigar) != len(rec.seq):
@@ -108,13 +116,18 @@ def call_contig(
 
     # ---- activity profiling (whole contig; chunking is an optimization the
     # host can afford to skip for small contigs) ----
+    read_types = getattr(cfg, "read_types", None) or ["short"] * n_samples
     profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
     all_reads = [[] for _ in range(n_samples)]
     for s, bam in enumerate(bams):
         if tid_per_bam[s] < 0:
             continue
         for rec in bam.fetch(tid_per_bam[s], lo, hi):
-            if not _read_passes_filters(rec, cfg.mapq_threshold):
+            if not _read_passes_filters(
+                    rec, cfg.mapq_threshold,
+                    read_type=read_types[s] if s < len(read_types) else "short",
+                    min_long_read_size=cfg.min_long_read_size,
+                    min_long_read_average_base_qual=cfg.min_long_read_average_base_qual):
                 continue
             rec.sample_index = s
             all_reads[s].append(rec)
@@ -233,7 +246,8 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
 def start_engine(mode: str, references: list, bam_paths: list,
                  output_dir: str, cfg: CallerConfig = None,
                  genome_dir: str = None, extension: str = "fna",
-                 sample_names=None, limit=None, force: bool = False) -> dict:
+                 sample_names=None, limit=None, force: bool = False,
+                 long_bam_paths: list = None) -> dict:
     """Multi-genome orchestrator (start_lorikeet_engine,
     lorikeet_engine.rs:1075 + apply_per_reference :77): one output directory
     per genome, artifact-presence caching unless `force`
@@ -241,7 +255,14 @@ def start_engine(mode: str, references: list, bam_paths: list,
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
     specs = discover_genomes(references, genome_dir, extension)
-    bams = [BamReader(p) for p in bam_paths]
+    # long-read samples follow the short-read samples, as in the reference
+    # (haplotype_caller_engine.rs:515-524)
+    long_bam_paths = long_bam_paths or []
+    all_paths = list(bam_paths) + list(long_bam_paths)
+    cfg.read_types = (["short"] * len(bam_paths)
+                      + ["long"] * len(long_bam_paths))
+    bams = [BamReader(p) for p in all_paths]
+    bam_paths = all_paths
     if sample_names is None:
         sample_names = []
         for k, b in enumerate(bams):
