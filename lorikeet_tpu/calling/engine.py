@@ -31,6 +31,9 @@ from lorikeet_tpu.utils.math import log10_one_minus_pow10
 ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN = 2
 MAX_QD_BEFORE_FIXING = 45.0
 IDEAL_HIGH_QD = 45.0
+# region trimming paddings (cli.rs:1775-1792 defaults)
+SNP_PADDING = 20
+INDEL_PADDING = 75
 
 
 @dataclass
@@ -51,6 +54,8 @@ class CallerConfig:
     read_types: list = None
     min_long_read_size: int = 1500
     min_long_read_average_base_qual: int = 20
+    # alignment thresholding (filter.rs; None/inactive by default)
+    alignment_thresholds: object = None
     # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
     prune_factor: int = 1
     use_adaptive_pruning: bool = False
@@ -200,12 +205,33 @@ class HaplotypeCallerEngine:
         if len(haplotypes) <= 1:
             return []
 
-        likelihoods = compute_read_likelihoods(
-            haplotypes, reads_by_sample, use_pallas=self.cfg.use_pallas)
-
         hap_events = [build_event_map(h, ref_window, window_start,
                                       self.cfg.max_mnp_distance)
                       for h in haplotypes]
+
+        # trim to the variation span before the pair-HMM
+        # (assembly_region_trimmer.rs:61-130: snp padding 20, indel 75)
+        all_events = [vc for ev in hap_events for vc in ev.values()]
+        in_active = [vc for vc in all_events
+                     if vc.start <= active_end and vc.end >= active_start]
+        if not in_active:
+            return []
+        pad_lo = min(vc.start - (SNP_PADDING if vc.start == vc.end
+                                 else INDEL_PADDING) for vc in in_active)
+        pad_hi = max(vc.end + (SNP_PADDING if vc.start == vc.end
+                               else INDEL_PADDING) for vc in in_active)
+        pad_lo = max(pad_lo, window_start)
+        pad_hi = min(pad_hi, window_start + len(ref_window) - 1)
+        reads_by_sample = {
+            s: [r for r in reads
+                if r.pos <= pad_hi and r.reference_end > pad_lo]
+            for s, reads in reads_by_sample.items()}
+        if not any(reads_by_sample.values()):
+            return []
+
+        likelihoods = compute_read_likelihoods(
+            haplotypes, reads_by_sample, use_pallas=self.cfg.use_pallas)
+
         start_positions = sorted({loc for ev in hap_events for loc in ev})
 
         calls = []

@@ -34,6 +34,14 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--min-long-read-size", type=int, default=1500)
         sp.add_argument("--min-long-read-average-base-qual", type=int,
                         default=20)
+        sp.add_argument("--min-read-aligned-length", type=int, default=0)
+        sp.add_argument("--min-read-percent-identity", type=float, default=0.0)
+        sp.add_argument("--min-read-aligned-percent", type=float, default=0.0)
+        sp.add_argument("--min-read-aligned-length-pair", type=int, default=0)
+        sp.add_argument("--min-read-percent-identity-pair", type=float,
+                        default=0.0)
+        sp.add_argument("--min-read-aligned-percent-pair", type=float,
+                        default=0.0)
         sp.add_argument("-o", "--output-directory", default="./lorikeet_out")
         sp.add_argument("--force", action="store_true",
                         help="overwrite cached per-genome outputs")
@@ -140,6 +148,12 @@ def main(argv=None) -> int:
     from lorikeet_tpu.processing import start_engine
     cfg.min_long_read_size = args.min_long_read_size
     cfg.min_long_read_average_base_qual = args.min_long_read_average_base_qual
+    from lorikeet_tpu.io.filter import AlignmentThresholds
+    cfg.alignment_thresholds = AlignmentThresholds(
+        args.min_read_aligned_length, args.min_read_percent_identity,
+        args.min_read_aligned_percent, args.min_read_aligned_length_pair,
+        args.min_read_percent_identity_pair,
+        args.min_read_aligned_percent_pair)
     results = start_engine(args.command, args.reference or [],
                            args.bam_files, args.output_directory, cfg,
                            genome_dir=args.genome_fasta_directory,

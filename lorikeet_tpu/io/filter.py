@@ -1,0 +1,105 @@
+"""Alignment thresholding filters.
+
+Contract: /root/reference/src/bam_parsing/filter.rs — single reads pass when
+aligned bases (M/I/D/=/X) >= min length, aligned fraction of the read >=
+min percent, and 1 - NM/aligned >= min identity (:236-266); pairs use the
+summed per-mate aligned lengths (M/I/=/X, no D) and combined edit distance
+(:267-330).  FlagFilter (mod.rs:19-33) gates improper pairs / secondary /
+supplementary alignments.  Thresholds default to 0 (inactive), as in the
+CLI (cli.rs:120-170).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass
+class FlagFilter:
+    include_improper_pairs: bool = False
+    include_secondary: bool = False
+    include_supplementary: bool = False
+
+
+@dataclass
+class AlignmentThresholds:
+    min_aligned_length_single: int = 0
+    min_percent_identity_single: float = 0.0
+    min_aligned_percent_single: float = 0.0
+    min_aligned_length_pair: int = 0
+    min_percent_identity_pair: float = 0.0
+    min_aligned_percent_pair: float = 0.0
+
+    @property
+    def filtering_single(self) -> bool:
+        return (self.min_aligned_length_single > 0
+                or self.min_percent_identity_single > 0
+                or self.min_aligned_percent_single > 0)
+
+    @property
+    def filtering_pairs(self) -> bool:
+        return (self.min_aligned_length_pair > 0
+                or self.min_percent_identity_pair > 0
+                or self.min_aligned_percent_pair > 0)
+
+    @property
+    def active(self) -> bool:
+        return self.filtering_single or self.filtering_pairs
+
+
+def _nm(rec) -> int:
+    try:
+        return int(rec.tags.get("NM", 0))
+    except Exception:
+        return 0
+
+
+def _aligned_len(rec, include_del: bool) -> int:
+    ops = "MID=X" if include_del else "MI=X"
+    return sum(n for op, n in rec.cigar if op in ops)
+
+
+def single_read_passes(rec, th: AlignmentThresholds) -> bool:
+    aligned = _aligned_len(rec, include_del=True)
+    if aligned == 0:
+        return False
+    return (aligned >= th.min_aligned_length_single
+            and aligned / max(len(rec.seq), 1) >= th.min_aligned_percent_single
+            and 1.0 - _nm(rec) / aligned >= th.min_percent_identity_single)
+
+
+def read_pair_passes(r1, r2, th: AlignmentThresholds) -> bool:
+    a1 = _aligned_len(r1, include_del=False)
+    a2 = _aligned_len(r2, include_del=False)
+    total = a1 + a2
+    if total == 0:
+        return False
+    edit = _nm(r1) + _nm(r2)
+    seq_total = max(len(r1.seq) + len(r2.seq), 1)
+    return (total >= th.min_aligned_length_pair
+            and total / seq_total >= th.min_aligned_percent_pair
+            and 1.0 - edit / total >= th.min_percent_identity_pair)
+
+
+def apply_alignment_thresholds(reads: list, th: AlignmentThresholds) -> list:
+    """Filter a sample's reads: proper pairs with both mates in hand use the
+    pair predicate (both kept or both dropped), everything else the single
+    predicate.  No-op when all thresholds are 0."""
+    if not th.active:
+        return reads
+    by_name = {}
+    for r in reads:
+        if r.is_paired:
+            by_name.setdefault(r.name, []).append(r)
+    out = []
+    for r in reads:
+        mates = by_name.get(r.name) if r.is_paired else None
+        if mates is not None and len(mates) == 2:
+            if th.filtering_pairs:
+                if read_pair_passes(mates[0], mates[1], th):
+                    out.append(r)
+            elif not th.filtering_single or single_read_passes(r, th):
+                out.append(r)
+        else:
+            if not th.filtering_single or single_read_passes(r, th):
+                out.append(r)
+    return out

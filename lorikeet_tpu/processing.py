@@ -117,11 +117,13 @@ def call_contig(
     # ---- activity profiling (whole contig; chunking is an optimization the
     # host can afford to skip for small contigs) ----
     read_types = getattr(cfg, "read_types", None) or ["short"] * n_samples
+    thresholds = getattr(cfg, "alignment_thresholds", None)
     profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
     all_reads = [[] for _ in range(n_samples)]
     for s, bam in enumerate(bams):
         if tid_per_bam[s] < 0:
             continue
+        candidates = []
         for rec in bam.fetch(tid_per_bam[s], lo, hi):
             if not _read_passes_filters(
                     rec, cfg.mapq_threshold,
@@ -130,6 +132,11 @@ def call_contig(
                     min_long_read_average_base_qual=cfg.min_long_read_average_base_qual):
                 continue
             rec.sample_index = s
+            candidates.append(rec)
+        if thresholds is not None and thresholds.active:
+            from lorikeet_tpu.io.filter import apply_alignment_thresholds
+            candidates = apply_alignment_thresholds(candidates, thresholds)
+        for rec in candidates:
             all_reads[s].append(rec)
             accumulate_read(profiles[s], rec, ref_seq[lo:hi], lo, hi,
                             bq=cfg.min_base_quality, ploidy=cfg.ploidy)
