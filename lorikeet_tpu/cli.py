@@ -26,8 +26,27 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("-d", "--genome-fasta-directory", default=None,
                         help="directory of genome FASTAs")
         sp.add_argument("-x", "--genome-fasta-extension", default="fna")
-        sp.add_argument("-b", "--bam-files", nargs="+", required=True,
-                        help="indexed/sorted BAM files, one per sample")
+        sp.add_argument("-b", "--bam-files", nargs="+", default=None,
+                        help="sorted BAM files, one per sample")
+        sp.add_argument("-1", dest="read1", nargs="+", default=None,
+                        help="forward FASTQ files (with -2)")
+        sp.add_argument("-2", dest="read2", nargs="+", default=None,
+                        help="reverse FASTQ files (with -1)")
+        sp.add_argument("--single", nargs="+", default=None,
+                        help="unpaired FASTQ files")
+        sp.add_argument("--interleaved", nargs="+", default=None,
+                        help="interleaved paired FASTQ files")
+        sp.add_argument("--longreads", nargs="+", default=None,
+                        help="long-read FASTQ files")
+        sp.add_argument("-p", "--mapper", default="minimap2-sr",
+                        help="short-read mapper preset")
+        sp.add_argument("--longread-mapper", default="minimap2-ont")
+        sp.add_argument("--minimap2-params", default="")
+        sp.add_argument("--bwa-params", default="")
+        sp.add_argument("--bam-file-cache-directory", default=None,
+                        help="where mapped BAMs are cached "
+                             "(default {output}/bams)")
+        sp.add_argument("-t", "--threads", type=int, default=8)
         sp.add_argument("-l", "--longread-bam-files", nargs="+", default=None,
                         help="long-read BAM files (listed after short-read "
                              "samples)")
@@ -143,6 +162,43 @@ def main(argv=None) -> int:
     if args.calculate_dnds and not args.gff_file:
         print("--calculate-dnds requires --gff-file", file=sys.stderr)
         return 2
+
+    # raw-read inputs: map to cached BAMs first (bam_generator.rs role)
+    bam_files = list(args.bam_files or [])
+    long_bam_files = list(args.longread_bam_files or [])
+    if args.read1 or args.single or args.interleaved or args.longreads:
+        from lorikeet_tpu.io.mapping import map_reads_to_bam
+        cache = args.bam_file_cache_directory or os.path.join(
+            args.output_directory, "bams")
+        ref = (args.reference or [None])[0]
+        params = (args.minimap2_params if "minimap2" in args.mapper
+                  else args.bwa_params)
+
+        def _map(r1, r2=None, interleaved=False, mapper=None, tag="s"):
+            stem = os.path.splitext(os.path.basename(r1))[0]
+            out = os.path.join(cache, f"{stem}.bam")
+            if not os.path.exists(out) or args.force:
+                map_reads_to_bam(mapper or args.mapper, ref, out, r1, r2,
+                                 interleaved=interleaved,
+                                 threads=args.threads, params=params,
+                                 sample_name=stem)
+            return out
+
+        for i, r1 in enumerate(args.read1 or []):
+            r2 = args.read2[i] if args.read2 and i < len(args.read2) else None
+            bam_files.append(_map(r1, r2))
+        for r1 in args.single or []:
+            bam_files.append(_map(r1))
+        for r1 in args.interleaved or []:
+            bam_files.append(_map(r1, interleaved=True))
+        for r1 in args.longreads or []:
+            long_bam_files.append(_map(r1, mapper=args.longread_mapper))
+    if not bam_files and not long_bam_files:
+        print("supply reads: -b/-l BAMs or -1/-2/--single/--interleaved/"
+              "--longreads FASTQs", file=sys.stderr)
+        return 2
+    args.bam_files = bam_files
+    args.longread_bam_files = long_bam_files or None
 
     cfg = _caller_config(args)
     from lorikeet_tpu.processing import start_engine
