@@ -137,80 +137,131 @@ def accumulate_read(profile: RefVsAnyProfile, rec, ref_seq: np.ndarray,
     ``ref_seq`` must cover the chunk as ref_seq[pos - chunk_start].
     """
     table = _gl_update_table(ploidy)
-    L = chunk_end - chunk_start
     adj = _sc_indel_adjacency(rec.cigar, len(rec.seq))
     seq = rec.seq
-    qual = rec.qual
+    qual = rec.qual.astype(np.int64, copy=False)
     pos = rec.pos
     rc = 0
-    events = []  # (chunkpos, q, is_alt)
-    sc_events = []  # chunk positions where HQ soft clip counting triggers
+    # per-segment numpy slices instead of a per-base Python loop
+    idx_parts, q_parts, alt_parts = [], [], []
+    sc_events = []  # (chunk position, read index) where HQ-SC counting triggers
 
     for op, n in rec.cigar:
         if op == "D":
-            for k in range(n):
-                p = pos + k
-                if p < chunk_start:
-                    continue
-                if p >= chunk_end:
-                    break
-                events.append((p - chunk_start, REF_MODEL_DELETION_QUAL, 1, True))
+            lo = max(chunk_start - pos, 0)
+            hi = min(chunk_end - pos, n)
+            if hi > lo:
+                idx_parts.append(np.arange(pos + lo - chunk_start,
+                                           pos + hi - chunk_start))
+                q_parts.append(np.full(hi - lo, REF_MODEL_DELETION_QUAL,
+                                       np.int64))
+                alt_parts.append(np.ones(hi - lo, np.int64))
             pos += n
         elif op == "I":
-            if pos >= chunk_start and pos < chunk_end:
+            if chunk_start <= pos < chunk_end:
                 q = qual[rc]
                 if q >= bq:
                     base = seq[rc]
                     is_alt = (base != ref_seq[pos - chunk_start]) or adj[rc]
-                    events.append((pos - chunk_start, q, int(is_alt), False))
+                    idx_parts.append(np.array([pos - chunk_start]))
+                    q_parts.append(np.array([q], np.int64))
+                    alt_parts.append(np.array([int(is_alt)], np.int64))
                     if is_alt and adj[rc]:
                         sc_events.append((pos - chunk_start, rc))
             rc += n
         elif op in "M=X":
-            for k in range(n):
-                p = pos + k
-                if p < chunk_start:
-                    continue
-                if p >= chunk_end:
-                    break
-                q = qual[rc + k]
-                if q >= bq:
-                    base = seq[rc + k]
-                    is_alt = (base != ref_seq[p - chunk_start]) or adj[rc + k]
-                    events.append((p - chunk_start, q, int(is_alt), False))
-                    if is_alt and adj[rc + k]:
-                        sc_events.append((p - chunk_start, rc + k))
+            lo = max(chunk_start - pos, 0)
+            hi = min(chunk_end - pos, n)
+            if hi > lo:
+                p_idx = np.arange(pos + lo - chunk_start, pos + hi - chunk_start)
+                q_seg = qual[rc + lo:rc + hi]
+                keep = q_seg >= bq
+                adj_seg = adj[rc + lo:rc + hi]
+                alt_seg = (seq[rc + lo:rc + hi] != ref_seq[p_idx]) | adj_seg
+                if keep.any():
+                    idx_parts.append(p_idx[keep])
+                    q_parts.append(q_seg[keep])
+                    alt_parts.append(alt_seg[keep].astype(np.int64))
+                    for j in np.flatnonzero(keep & alt_seg & adj_seg):
+                        sc_events.append((int(p_idx[j]), rc + lo + int(j)))
             rc += n
             pos += n
         elif op == "S":
             rc += n
         # H and P are ignored
 
-    if not events:
-        return
+    if not idx_parts:
+        return None
 
-    idx = np.array([e[0] for e in events], np.int64)
-    qs = np.array([e[1] for e in events], np.int64)
-    alts = np.array([e[2] for e in events], np.int64)
-    dels = np.array([e[3] for e in events], bool)
+    idx = np.concatenate(idx_parts)
+    qs = np.concatenate(q_parts)
+    alts = np.concatenate(alt_parts)
+
+    if profile is None:
+        return idx, qs, alts, _hq_sc_updates(rec, sc_events)
 
     np.add.at(profile.gl, idx, table[qs, alts])
     np.add.at(profile.read_counts, idx, 1)
     np.add.at(profile.ref_depth, idx, (alts == 0).astype(np.int32))
     np.add.at(profile.nonref_depth, idx, (alts == 1).astype(np.int32))
-    del dels
 
-    if sc_events:
-        # hq soft clips only counted when the base is adjacent to a SOFTCLIP
-        # specifically (next_to_soft_clip without indels)
-        sc_adj = _sc_only_adjacency(rec.cigar, len(rec.seq))
-        n_hq = None
-        for p, qpos in sc_events:
-            if sc_adj[qpos]:
-                if n_hq is None:
-                    n_hq = _count_high_quality_soft_clips(rec)
-                profile.hq_sc_sum[p] += n_hq
-                profile.hq_sc_n[p] += 1
+    for p, n_hq in _hq_sc_updates(rec, sc_events):
+        profile.hq_sc_sum[p] += n_hq
+        profile.hq_sc_n[p] += 1
+    return None
+
+
+def _hq_sc_updates(rec, sc_events) -> list:
+    """(chunk position, hq soft-clip count) pairs for triggering bases.
+    HQ soft clips are only counted when the base is adjacent to a SOFTCLIP
+    specifically (next_to_soft_clip without indels)."""
+    if not sc_events:
+        return []
+    sc_adj = _sc_only_adjacency(rec.cigar, len(rec.seq))
+    out = []
+    n_hq = None
+    for p, qpos in sc_events:
+        if sc_adj[qpos]:
+            if n_hq is None:
+                n_hq = _count_high_quality_soft_clips(rec)
+            out.append((p, n_hq))
+    return out
+
+
+def accumulate_reads(profile: RefVsAnyProfile, recs, ref_seq: np.ndarray,
+                     chunk_start: int, chunk_end: int, bq: int, ploidy: int):
+    """Batched pileup over many reads: build per-read event arrays, flush
+    scatter-adds once (the vectorized form of HOT LOOP 1,
+    haplotype_caller_engine.rs:754-899)."""
+    table = _gl_update_table(ploidy)
+    idx_all, q_all, alt_all = [], [], []
+    for rec in recs:
+        ev = accumulate_read(None, rec, ref_seq, chunk_start, chunk_end,
+                             bq, ploidy)
+        if ev is None:
+            continue
+        idx, qs, alts, hq = ev
+        idx_all.append(idx)
+        q_all.append(qs)
+        alt_all.append(alts)
+        for p, n_hq in hq:
+            profile.hq_sc_sum[p] += n_hq
+            profile.hq_sc_n[p] += 1
+    if not idx_all:
+        return
+    idx = np.concatenate(idx_all)
+    qs = np.concatenate(q_all)
+    alts = np.concatenate(alt_all)
+    L = profile.read_counts.shape[0]
+    updates = table[qs, alts]                       # [N, ploidy+1]
+    for g in range(updates.shape[1]):
+        profile.gl[:, g] += np.bincount(idx, weights=updates[:, g],
+                                        minlength=L)
+    profile.read_counts += np.bincount(idx, minlength=L).astype(np.int32)
+    profile.ref_depth += np.bincount(idx[alts == 0],
+                                     minlength=L).astype(np.int32)
+    profile.nonref_depth += np.bincount(idx[alts == 1],
+                                        minlength=L).astype(np.int32)
 
 
 def _sc_only_adjacency(cigar, read_len: int) -> np.ndarray:

@@ -23,7 +23,7 @@ from lorikeet_tpu.io.bam import BamReader
 from lorikeet_tpu.io.fasta import FastaReader
 from lorikeet_tpu.io.vcf import write_vcf
 from lorikeet_tpu.models.activity import (
-    RefVsAnyProfile, accumulate_read, active_probabilities, band_pass_smooth,
+    RefVsAnyProfile, accumulate_reads, active_probabilities, band_pass_smooth,
     extract_regions,
 )
 
@@ -136,10 +136,9 @@ def call_contig(
         if thresholds is not None and thresholds.active:
             from lorikeet_tpu.io.filter import apply_alignment_thresholds
             candidates = apply_alignment_thresholds(candidates, thresholds)
-        for rec in candidates:
-            all_reads[s].append(rec)
-            accumulate_read(profiles[s], rec, ref_seq[lo:hi], lo, hi,
-                            bq=cfg.min_base_quality, ploidy=cfg.ploidy)
+        all_reads[s].extend(candidates)
+        accumulate_reads(profiles[s], candidates, ref_seq[lo:hi], lo, hi,
+                         bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
     result.depth_pass_rle = [
         _rle_encode(p.dp() >= DEPTH_PER_SAMPLE_FILTER) for p in profiles]
