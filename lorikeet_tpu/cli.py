@@ -95,6 +95,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="gene models for --calculate-dnds (prodigal GFF3;"
                              " prodigal is not shipped, supply the file)")
         sp.add_argument("--calculate-fst", action="store_true")
+        sp.add_argument("-v", "--verbose", action="count", default=0)
+        sp.add_argument("-q", "--quiet", action="store_true")
+        sp.add_argument("--profile-dir", default=None,
+                        help="write a jax profiler trace here (xprof)")
 
     for cmd, desc in (("call", "variant calling"),
                       ("consensus", "consensus genomes per sample"),
@@ -202,6 +206,8 @@ def main(argv=None) -> int:
 
     cfg = _caller_config(args)
     from lorikeet_tpu.processing import start_engine
+    from lorikeet_tpu.utils.progress import maybe_profile, set_log_level
+    set_log_level(args.verbose, args.quiet)
     cfg.min_long_read_size = args.min_long_read_size
     cfg.min_long_read_average_base_qual = args.min_long_read_average_base_qual
     from lorikeet_tpu.io.filter import AlignmentThresholds
@@ -210,12 +216,13 @@ def main(argv=None) -> int:
         args.min_read_aligned_percent, args.min_read_aligned_length_pair,
         args.min_read_percent_identity_pair,
         args.min_read_aligned_percent_pair)
-    results = start_engine(args.command, args.reference or [],
-                           args.bam_files, args.output_directory, cfg,
-                           genome_dir=args.genome_fasta_directory,
-                           extension=args.genome_fasta_extension,
-                           limit=limit, force=args.force,
-                           long_bam_paths=args.longread_bam_files)
+    with maybe_profile(args.profile_dir):
+        results = start_engine(args.command, args.reference or [],
+                               args.bam_files, args.output_directory, cfg,
+                               genome_dir=args.genome_fasta_directory,
+                               extension=args.genome_fasta_extension,
+                               limit=limit, force=args.force,
+                               long_bam_paths=args.longread_bam_files)
 
     for genome, out in results.items():
         if out.get("cached"):

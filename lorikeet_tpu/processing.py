@@ -275,26 +275,47 @@ def start_engine(mode: str, references: list, bam_paths: list,
             names = b.sample_names()
             sample_names.append(names[0] if names else f"sample{k}")
 
+    from lorikeet_tpu.utils.progress import ProgressTree, StageTimer, log
+
+    progress = ProgressTree(len(specs))
     results = {}
     for spec in specs:
+        timer = StageTimer()
         gdir = os.path.join(output_dir, spec.name)
         vcf_path = os.path.join(gdir, f"{spec.name}.vcf")
         if os.path.exists(vcf_path) and not force:
+            progress.update(spec.name, "cached — skipping (use --force)")
             results[spec.name] = {"vcf": vcf_path, "cached": True}
+            progress.done += 1
             continue
-        out = run_genome(spec, bams, gdir, cfg, sample_names, limit=limit)
+        # per-genome isolation: one genome failing does not kill the run
+        # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
+        try:
+            progress.update(spec.name, "calling variants")
+            with timer.stage("call"):
+                out = run_genome(spec, bams, gdir, cfg, sample_names,
+                                 limit=limit)
 
-        if mode == "consensus":
-            from lorikeet_tpu.strain.consensus import generate_consensus
-            out["consensus"] = generate_consensus(
-                spec.fasta, out["vcf"], gdir, contigs=spec.contigs,
-                genome_name=spec.name)
-        elif mode == "genotype":
-            from lorikeet_tpu.strain.genotype_mode import run_genotype
-            out.update(run_genotype(
-                spec.fasta, out["vcf"], gdir, bam_paths=bam_paths,
-                contigs=spec.contigs, genome_name=spec.name))
-        results[spec.name] = out
+            if mode == "consensus":
+                progress.update(spec.name, "writing consensus genomes")
+                from lorikeet_tpu.strain.consensus import generate_consensus
+                with timer.stage("consensus"):
+                    out["consensus"] = generate_consensus(
+                        spec.fasta, out["vcf"], gdir, contigs=spec.contigs,
+                        genome_name=spec.name)
+            elif mode == "genotype":
+                progress.update(spec.name, "resolving strains")
+                from lorikeet_tpu.strain.genotype_mode import run_genotype
+                with timer.stage("genotype"):
+                    out.update(run_genotype(
+                        spec.fasta, out["vcf"], gdir, bam_paths=bam_paths,
+                        contigs=spec.contigs, genome_name=spec.name))
+            out["timings"] = timer.timings()
+            results[spec.name] = out
+        except Exception as exc:  # noqa: BLE001
+            log.exception("genome %s failed", spec.name)
+            results[spec.name] = {"error": f"{type(exc).__name__}: {exc}"}
+        progress.finish_genome(spec.name)
     return results
 
 

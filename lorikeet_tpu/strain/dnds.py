@@ -210,9 +210,13 @@ def calculate_dnds(reference: str, vcf_path: str, gff_path: str,
     genes = read_gff(gff_path)
     genome = os.path.splitext(os.path.basename(reference))[0]
     path = os.path.join(output_dir, f"{genome}_dnds.tsv")
+    # key by contig NAME: vc.tid indexes the VCF's own contig list, which is
+    # a genome-local subset of the FASTA under multi-genome references
+    tid_names = contigs or fasta.names
     by_contig = {}
     for vc in contexts:
-        by_contig.setdefault(vc.tid, []).append(vc)
+        if vc.tid < len(tid_names):
+            by_contig.setdefault(tid_names[vc.tid], []).append(vc)
     with open(path, "w") as out:
         cols = ["gene_id", "contig", "start", "end", "strand"]
         for s in samples:
@@ -220,16 +224,16 @@ def calculate_dnds(reference: str, vcf_path: str, gff_path: str,
         out.write("\t".join(cols) + "\n")
         for gene in genes:
             # contig match: exact name or suffix after the genome~ prefix
-            tid = None
-            for t, name in enumerate(fasta.names):
+            cname = None
+            for name in fasta.names:
                 if name == gene.seqname or name.endswith("~" + gene.seqname):
-                    tid = t
+                    cname = name
                     break
-            if tid is None:
+            if cname is None:
                 continue
-            ref_seq = fasta.fetch(fasta.names[tid])
+            ref_seq = fasta.fetch(cname)
             snps, fs, dnds = find_mutations(
-                gene, by_contig.get(tid, []), ref_seq, len(samples))
+                gene, by_contig.get(cname, []), ref_seq, len(samples))
             row = [gene.gene_id, gene.seqname, str(gene.start), str(gene.end),
                    gene.strand]
             for s_idx in range(len(samples)):

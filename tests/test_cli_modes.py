@@ -91,3 +91,26 @@ def test_cli_genotype_and_summarise(sim_bam):
     assert lines[1].startswith("SampleID")
     # single sample: self-ANI = 1
     assert float(lines[2].split("\t")[1]) == 1.0
+
+
+def test_cli_dnds_and_fst(sim_bam, tmp_path_factory):
+    """--calculate-dnds/--calculate-fst on the per-genome flow
+    (lorikeet_engine.rs:1360 calculate_dnds, model/fst_calculator.rs)."""
+    bam, variants, contig, tmp = sim_bam
+    gff = tmp_path_factory.mktemp("dnds") / "genes.gff"
+    # one CDS spanning the first injected variant (pos 300) on genome2~seq1;
+    # prodigal-style seqname without the genome~ prefix
+    gff.write_text("##gff-version 3\n"
+                   "seq1\tprodigal\tCDS\t250\t450\t.\t+\t0\tID=gene1\n")
+    out = _run_cli(["call", "-r", os.path.join(DATA, "7seqs.fna"),
+                    "-b", bam, "-o", tmp + "/dnds_out", "--force-cpu",
+                    "--calculate-dnds", "--gff-file", str(gff),
+                    "--calculate-fst"])
+    g2 = out["outputs"]["genomes"]["genome2"]
+    assert os.path.exists(g2["dnds"])
+    rows = [l.split("\t") for l in open(g2["dnds"]).read().splitlines()]
+    assert len(rows) >= 2 and rows[1][0] == "gene1"
+    # the CDS covers pos 300 -> at least one SNP counted
+    snp_col = rows[0].index("sample0_snps")
+    assert int(rows[1][snp_col]) >= 1
+    assert os.path.exists(g2["fst"])
