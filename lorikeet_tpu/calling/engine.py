@@ -232,6 +232,12 @@ class HaplotypeCallerEngine:
         likelihoods = compute_read_likelihoods(
             haplotypes, reads_by_sample, use_pallas=self.cfg.use_pallas)
 
+        # realign evidence to best haplotypes so windows/annotations see
+        # haplotype-consistent coordinates
+        # (assembly_based_caller_utils.rs:208, haplotype_caller_engine.rs:1348)
+        from lorikeet_tpu.calling.realign import realign_reads_to_best_haplotype
+        realign_reads_to_best_haplotype(likelihoods, haplotypes, window_start)
+
         start_positions = sorted({loc for ev in hap_events for loc in ev})
 
         calls = []
