@@ -606,6 +606,7 @@ def assemble_region(
     pruning_log_odds_threshold: float = 1.0,
     pruning_seeding_log_odds_threshold: float = 4.0,
     max_unpruned_variants: int = 100,
+    generate_seq_graph: bool = True,
 ) -> list:
     """Assemble haplotypes for one region. Returns [AssembledHaplotype],
     reference haplotype first.
@@ -660,8 +661,19 @@ def assemble_region(
         graph.recover_dangling_ends(min_dangling_branch_length)
         if graph.has_cycle():
             continue
-        for score, path in find_best_haplotypes(graph, max_paths):
-            bases = graph._seq_of(path)
+        if generate_seq_graph:
+            # kmer graph -> sequence graph -> simplify -> k-best
+            # (read_threading_assembler.rs:272-298 seq-graph pipeline)
+            from lorikeet_tpu.assembly.seq_graph import (
+                SeqGraph, find_best_haplotypes_seq,
+            )
+            sg = SeqGraph.from_kmer_graph(graph)
+            sg.simplify()
+            scored = find_best_haplotypes_seq(sg, max_paths)
+        else:
+            scored = [(score, graph._seq_of(path))
+                      for score, path in find_best_haplotypes(graph, max_paths)]
+        for score, bases in scored:
             if bases in haplotypes:
                 continue
             cigar = calculate_cigar(np.frombuffer(ref_bytes, np.uint8),
