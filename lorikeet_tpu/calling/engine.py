@@ -56,6 +56,8 @@ class CallerConfig:
     min_long_read_average_base_qual: int = 20
     # alignment thresholding (filter.rs; None/inactive by default)
     alignment_thresholds: object = None
+    # svim structural-variant QUAL filter (cli.rs min-sv-qual)
+    min_sv_qual: int = 3
     # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
     prune_factor: int = 1
     use_adaptive_pruning: bool = False

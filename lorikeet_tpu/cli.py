@@ -61,6 +61,8 @@ def build_parser() -> argparse.ArgumentParser:
                         default=0.0)
         sp.add_argument("--min-read-aligned-percent-pair", type=float,
                         default=0.0)
+        sp.add_argument("--min-sv-qual", type=int, default=3,
+                        help="QUAL filter for svim structural variants")
         sp.add_argument("-o", "--output-directory", default="./lorikeet_out")
         sp.add_argument("--force", action="store_true",
                         help="overwrite cached per-genome outputs")
@@ -109,7 +111,33 @@ def build_parser() -> argparse.ArgumentParser:
     ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)")
     ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
     ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
+
+    scomp = sub.add_parser("shell-completion",
+                           help="emit a shell completion script "
+                                "(cli.rs:1153-1184 parity)")
+    scomp.add_argument("--shell", default="bash", choices=["bash", "zsh"])
+    scomp.add_argument("-o", "--output-file", default=None)
     return p
+
+
+def _completion_script(parser: argparse.ArgumentParser, shell: str) -> str:
+    subs = ["call", "consensus", "genotype", "summarise", "shell-completion"]
+    opts = sorted({o for sp in parser._subparsers._group_actions[0]
+                   .choices.values()
+                   for a in sp._actions for o in a.option_strings})
+    if shell == "zsh":
+        return ("#compdef lorikeet-tpu\n"
+                f"_arguments '1: :({' '.join(subs)})' '*: :({' '.join(opts)})'\n")
+    return (
+        "_lorikeet_tpu() {\n"
+        "  local cur=${COMP_WORDS[COMP_CWORD]}\n"
+        "  if [ $COMP_CWORD -eq 1 ]; then\n"
+        f"    COMPREPLY=( $(compgen -W '{' '.join(subs)}' -- $cur) )\n"
+        "  else\n"
+        f"    COMPREPLY=( $(compgen -W '{' '.join(opts)}' -f -- $cur) )\n"
+        "  fi\n"
+        "}\n"
+        "complete -F _lorikeet_tpu lorikeet-tpu\n")
 
 
 def _caller_config(args):
@@ -147,7 +175,17 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/lorikeet_tpu_jax"))
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+
+    if args.command == "shell-completion":
+        script = _completion_script(parser, args.shell)
+        if args.output_file:
+            with open(args.output_file, "w") as fh:
+                fh.write(script)
+        else:
+            print(script)
+        return 0
 
     if args.command == "summarise":
         from lorikeet_tpu.strain.ani import run_summarise
@@ -210,6 +248,7 @@ def main(argv=None) -> int:
     set_log_level(args.verbose, args.quiet)
     cfg.min_long_read_size = args.min_long_read_size
     cfg.min_long_read_average_base_qual = args.min_long_read_average_base_qual
+    cfg.min_sv_qual = args.min_sv_qual
     from lorikeet_tpu.io.filter import AlignmentThresholds
     cfg.alignment_thresholds = AlignmentThresholds(
         args.min_read_aligned_length, args.min_read_percent_identity,

@@ -100,13 +100,11 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
             base_match = (rp == hapd) | rp_is_n | (hapd == _NBASE)
             prior = jnp.where(base_match, pm, px)
 
+            # shift() zeroes lane 0, so m_new/i_new are already 0 on the
+            # boundary row — no explicit select needed there
             m_new = prior * (shift(m2) * tmm + shift(sid2) * tim)
             i_new = shift(m1) * tmi + shift(i1) * tii
-            d_new = m1 * tmd + d1 * tdd
-
-            m_new = jnp.where(boundary, 0.0, m_new)
-            i_new = jnp.where(boundary, 0.0, i_new)
-            d_new = jnp.where(boundary, bval, d_new)
+            d_new = jnp.where(boundary, bval, m1 * tmd + d1 * tdd)
 
             j_here = d - read_len                              # [TB,Rpad]
             valid = (j_here >= 1) & (j_here <= hap_len) & is_end_row

@@ -291,10 +291,23 @@ def start_engine(mode: str, references: list, bam_paths: list,
         # per-genome isolation: one genome failing does not kill the run
         # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
         try:
+            if long_bam_paths and mode != "summarise":
+                # SV calling on long-read samples (lorikeet_engine.rs:370-383)
+                progress.update(spec.name, "calling structural variants")
+                from lorikeet_tpu.strain.sv import call_structural_variants
+                with timer.stage("sv"):
+                    sv = call_structural_variants(
+                        long_bam_paths, gdir, spec.fasta,
+                        min_mapq=cfg.mapq_threshold,
+                        min_sv_qual=getattr(cfg, "min_sv_qual", 3))
+                sv_out = {"structural_variants": sv} if sv else {}
+            else:
+                sv_out = {}
             progress.update(spec.name, "calling variants")
             with timer.stage("call"):
                 out = run_genome(spec, bams, gdir, cfg, sample_names,
                                  limit=limit)
+            out.update(sv_out)
 
             if mode == "consensus":
                 progress.update(spec.name, "writing consensus genomes")
