@@ -252,9 +252,6 @@ class HaplotypeCallerEngine:
                 continue
             merged.tid = tid
             mapper = create_allele_mapper(merged, loc, haplotypes, hap_events)
-            # cap alt alleles (remove_alt_alleles_if_too_many_genotypes, simple)
-            if len(merged.alleles) - 1 > self.cfg.max_alt_alleles:
-                continue
             allele_lks = likelihoods.marginalize(mapper)
             window_lo = merged.start - ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
             window_hi = merged.end + ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
@@ -263,6 +260,13 @@ class HaplotypeCallerEngine:
 
             genotypes = self._genotypes_for_event(allele_lks, merged)
             merged.genotypes = genotypes
+            # subset to the most-likely alts when over the cap
+            # (remove_alt_alleles_if_too_many_genotypes,
+            #  allele_subsetting_utils.rs:30-160)
+            if merged.n_alleles - 1 > self.cfg.max_alt_alleles:
+                from lorikeet_tpu.models.allele_subsetting import subset_vc_alleles
+                subset_vc_alleles(merged, self.cfg.ploidy,
+                                  self.cfg.max_alt_alleles)
             call = self.genotyping.calculate_genotypes(merged)
             if call is None:
                 continue
