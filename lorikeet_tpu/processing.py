@@ -103,8 +103,55 @@ def call_contig(
     engine: HaplotypeCallerEngine = None,
     limit=None,                 # optional (start, end) restriction
 ) -> ContigResult:
+    """Chunked contig driver: large contigs are processed in outer chunks
+    of ~250kb/samples with a halo (haplotype_caller_engine.rs:417,443-470
+    sizing); per-chunk results (calls, depth RLE) concatenate exactly."""
     cfg = cfg or CallerConfig()
     engine = engine or HaplotypeCallerEngine(cfg)
+    length = fasta.length(contig_name)
+    n_samples = len(bams)
+    lo, hi = (0, length) if limit is None else (max(0, limit[0]),
+                                                min(length, limit[1]))
+    chunk_size = max(250_000 // max(n_samples, 1),
+                     5 * MAX_ASSEMBLY_REGION_SIZE)
+    if hi - lo <= chunk_size:
+        return _call_span(fasta, bams, contig_name, cfg, engine, lo, hi)
+    # halo: regions can reach MAX size + padding past a boundary, and the
+    # band-pass filter needs +/-50bp of context (SURVEY §5 haloing)
+    halo = MAX_ASSEMBLY_REGION_SIZE + ASSEMBLY_REGION_PADDING + 50
+    result = None
+    for core_lo in range(lo, hi, chunk_size):
+        core_hi = min(core_lo + chunk_size, hi)
+        part = _call_span(fasta, bams, contig_name, cfg, engine,
+                          max(lo, core_lo - halo), min(hi, core_hi + halo),
+                          core_lo, core_hi)
+        if result is None:
+            result = part
+        else:
+            result.calls.extend(part.calls)
+            result.n_regions += part.n_regions
+            result.n_active += part.n_active
+            for s in range(n_samples):
+                _rle_concat(result.depth_pass_rle[s],
+                            part.depth_pass_rle[s])
+    return result
+
+
+def _rle_concat(dst: list, src: list):
+    """Append signed-run RLE, merging the boundary run when signs match."""
+    if dst and src and (dst[-1] > 0) == (src[0] > 0):
+        dst[-1] += src[0]
+        dst.extend(src[1:])
+    else:
+        dst.extend(src)
+
+
+def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
+               core_lo=None, core_hi=None) -> ContigResult:
+    """Profile + call [lo, hi); emit only regions starting inside the core
+    span and depth RLE for exactly [core_lo, core_hi)."""
+    core_lo = lo if core_lo is None else core_lo
+    core_hi = hi if core_hi is None else core_hi
     length = fasta.length(contig_name)
     ref_seq = fasta.fetch(contig_name)
     n_samples = len(bams)
@@ -112,10 +159,7 @@ def call_contig(
                    for b in bams]
     result = ContigResult(tid=tid_per_bam[0] if tid_per_bam else 0)
 
-    lo, hi = (0, length) if limit is None else (max(0, limit[0]), min(length, limit[1]))
-
-    # ---- activity profiling (whole contig; chunking is an optimization the
-    # host can afford to skip for small contigs) ----
+    # ---- activity profiling over [lo, hi) ----
     read_types = getattr(cfg, "read_types", None) or ["short"] * n_samples
     thresholds = getattr(cfg, "alignment_thresholds", None)
     profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
@@ -141,7 +185,8 @@ def call_contig(
                          bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
     result.depth_pass_rle = [
-        _rle_encode(p.dp() >= DEPTH_PER_SAMPLE_FILTER) for p in profiles]
+        _rle_encode((p.dp() >= DEPTH_PER_SAMPLE_FILTER)
+                    [core_lo - lo:core_hi - lo]) for p in profiles]
     gls = np.stack([p.finalize_gls(cfg.ploidy) for p in profiles])
     raw_probs = active_probabilities(gls, cfg.ploidy,
                                      cfg.snp_heterozygosity,
@@ -154,15 +199,19 @@ def call_contig(
     regions = extract_regions(smoothed,
                               min_region_size=MIN_ASSEMBLY_REGION_SIZE,
                               max_region_size=MAX_ASSEMBLY_REGION_SIZE)
-    result.n_regions = len(regions)
+    result.n_regions = sum(1 for r in regions
+                           if core_lo <= lo + r.start < core_hi)
 
-    # ---- call each active region ----
+    # ---- call each active region (regions are owned by the chunk their
+    # active span STARTS in, so halo overlaps never double-call) ----
     for region in regions:
         if not region.is_active:
             continue
-        result.n_active += 1
         active_start = lo + region.start
         active_end = lo + region.end
+        if not (core_lo <= active_start < core_hi):
+            continue
+        result.n_active += 1
         pad_start = max(0, active_start - ASSEMBLY_REGION_PADDING)
         pad_end = min(length - 1, active_end + ASSEMBLY_REGION_PADDING)
         window = ref_seq[pad_start:pad_end + 1]
