@@ -90,6 +90,42 @@ class CallerConfig:
             self.disable_prune_factor_correction = True
 
 
+@dataclass
+class RegionWork:
+    """A prepared active region awaiting its pair-HMM likelihoods —
+    the unit of cross-region device batching (SURVEY §2.4: region-level
+    task parallelism -> bucketed batching across chips)."""
+    window_start: int
+    active_start: int
+    active_end: int
+    tid: int
+    haplotypes: list
+    hap_events: list
+    reads_by_sample: dict
+    pairs: list
+    index: list
+
+
+def call_regions_batched(engine: "HaplotypeCallerEngine",
+                         works: list) -> list:
+    """Compute ALL regions' pair-HMM likelihoods in one device dispatch,
+    then genotype each region; returns per-region call lists."""
+    from lorikeet_tpu.calling.likelihoods import (
+        assemble_likelihoods, compute_pair_likelihoods,
+    )
+    all_pairs = [p for w in works for p in w.pairs]
+    lks = compute_pair_likelihoods(all_pairs, engine.cfg.use_pallas)
+    out = []
+    off = 0
+    for w in works:
+        n = len(w.pairs)
+        likelihoods = assemble_likelihoods(
+            w.haplotypes, w.reads_by_sample, lks[off:off + n], w.index)
+        off += n
+        out.append(engine.genotype_region(w, likelihoods))
+    return out
+
+
 class GenotypingEngine:
     """calculate_genotypes (genotyping_engine.rs:80-250, core path)."""
 
@@ -180,9 +216,24 @@ class HaplotypeCallerEngine:
         reads_by_sample: dict,        # sample -> [BamRecord] overlapping window
         tid: int = 0,
     ) -> list:
-        """Returns [VariantContext] called within the active span."""
-        if not any(reads_by_sample.values()):
+        """Returns [VariantContext] called within the active span.
+        Single-region wrapper over prepare/compute/genotype; the chunk
+        driver batches many regions through one device dispatch
+        (call_regions_batched)."""
+        work = self.prepare_region(ref_window, window_start, active_start,
+                                   active_end, reads_by_sample, tid)
+        if work is None:
             return []
+        return call_regions_batched(self, [work])[0]
+
+    def prepare_region(
+        self, ref_window, window_start, active_start, active_end,
+        reads_by_sample, tid=0,
+    ):
+        """Host phases up to the pair-HMM: finalize reads, assemble, event
+        maps, trim.  Returns a RegionWork or None when nothing to call."""
+        if not any(reads_by_sample.values()):
+            return None
         # finalize reads: soft-clip handling, tail/adaptor/region clipping,
         # overlapping mate-pair qual correction (finalize_regions,
         # assembly_based_caller_utils.rs:97)
@@ -192,7 +243,7 @@ class HaplotypeCallerEngine:
             window_start + len(ref_window) - 1,
             min_base_quality=self.cfg.min_base_quality)
         if not any(reads_by_sample.values()):
-            return []
+            return None
         haplotypes = assemble_region(
             ref_window, reads_by_sample,
             kmer_sizes=self.cfg.kmer_sizes,
@@ -205,7 +256,7 @@ class HaplotypeCallerEngine:
             pruning_seeding_log_odds_threshold=self.cfg.pruning_seeding_log_odds_threshold,
             max_unpruned_variants=self.cfg.max_unpruned_variants)
         if len(haplotypes) <= 1:
-            return []
+            return None
 
         hap_events = [build_event_map(h, ref_window, window_start,
                                       self.cfg.max_mnp_distance)
@@ -217,7 +268,7 @@ class HaplotypeCallerEngine:
         in_active = [vc for vc in all_events
                      if vc.start <= active_end and vc.end >= active_start]
         if not in_active:
-            return []
+            return None
         pad_lo = min(vc.start - (SNP_PADDING if vc.start == vc.end
                                  else INDEL_PADDING) for vc in in_active)
         pad_hi = max(vc.end + (SNP_PADDING if vc.start == vc.end
@@ -229,10 +280,23 @@ class HaplotypeCallerEngine:
                 if r.pos <= pad_hi and r.reference_end > pad_lo]
             for s, reads in reads_by_sample.items()}
         if not any(reads_by_sample.values()):
-            return []
+            return None
 
-        likelihoods = compute_read_likelihoods(
-            haplotypes, reads_by_sample, use_pallas=self.cfg.use_pallas)
+        from lorikeet_tpu.calling.likelihoods import build_pairs
+        pairs, index = build_pairs(haplotypes, reads_by_sample)
+        if not pairs:
+            return None
+        return RegionWork(window_start, active_start, active_end, tid,
+                          haplotypes, hap_events, reads_by_sample, pairs,
+                          index)
+
+    def genotype_region(self, work, likelihoods) -> list:
+        """Device results -> genotyped, annotated, phased calls."""
+        haplotypes = work.haplotypes
+        hap_events = work.hap_events
+        window_start = work.window_start
+        active_start, active_end = work.active_start, work.active_end
+        tid = work.tid
 
         # realign evidence to best haplotypes so windows/annotations see
         # haplotype-consistent coordinates

@@ -279,12 +279,9 @@ class AlleleLikelihoods:
         return mat.argmax(axis=0)
 
 
-def compute_read_likelihoods(haplotypes: list, reads_by_sample: dict,
-                             use_pallas: bool = None) -> AlleleLikelihoods:
-    """Pair-HMM likelihoods for every (read, haplotype) pair, batched on
-    device, with engine-level quality preparation, normalization (cap
-    -45/10) and static read disqualification."""
-    result = AlleleLikelihoods(haplotypes, reads_by_sample)
+def build_pairs(haplotypes: list, reads_by_sample: dict):
+    """Prepared (hap, read...) operand tuples + (sample, allele, read)
+    index for every pair."""
     hap_arrays = [np.frombuffer(h.bases, np.uint8) for h in haplotypes]
     pairs = []
     index = []  # (sample, allele_idx, read_idx)
@@ -294,8 +291,14 @@ def compute_read_likelihoods(haplotypes: list, reads_by_sample: dict,
             for a_idx, hap in enumerate(hap_arrays):
                 pairs.append((hap, bases, q, iq, dq, gcp))
                 index.append((s, a_idx, r_idx))
+    return pairs, index
+
+
+def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray:
+    """log10 likelihood per packed pair — ONE device dispatch for the whole
+    batch (cross-region batching rides this)."""
     if not pairs:
-        return result
+        return np.zeros(0)
     if use_pallas is None:
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
@@ -319,8 +322,28 @@ def compute_read_likelihoods(haplotypes: list, reads_by_sample: dict,
         # CPU: the exact f64 host kernel beats XLA-scan compile amortization
         from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
         lks = np.array([pairhmm_forward_np(*p) for p in pairs])
+    return lks
+
+
+def assemble_likelihoods(haplotypes: list, reads_by_sample: dict,
+                         lks: np.ndarray, index: list) -> AlleleLikelihoods:
+    """Scatter computed pair likelihoods into the per-sample matrices and
+    apply normalization (cap -4.5) + read disqualification."""
+    result = AlleleLikelihoods(haplotypes, reads_by_sample)
     for (s, a_idx, r_idx), lk in zip(index, lks):
         result.values[s][a_idx, r_idx] = lk
     result.normalize_likelihoods(-4.5)
     result.filter_poorly_modeled_evidence()
     return result
+
+
+def compute_read_likelihoods(haplotypes: list, reads_by_sample: dict,
+                             use_pallas: bool = None) -> AlleleLikelihoods:
+    """Pair-HMM likelihoods for every (read, haplotype) pair, batched on
+    device, with engine-level quality preparation, normalization (cap
+    -45/10) and static read disqualification."""
+    pairs, index = build_pairs(haplotypes, reads_by_sample)
+    if not pairs:
+        return AlleleLikelihoods(haplotypes, reads_by_sample)
+    lks = compute_pair_likelihoods(pairs, use_pallas)
+    return assemble_likelihoods(haplotypes, reads_by_sample, lks, index)

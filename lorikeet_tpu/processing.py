@@ -202,8 +202,11 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     result.n_regions = sum(1 for r in regions
                            if core_lo <= lo + r.start < core_hi)
 
-    # ---- call each active region (regions are owned by the chunk their
+    # ---- prepare each active region (host), then run ONE batched pair-HMM
+    # dispatch for the whole span (regions are owned by the chunk their
     # active span STARTS in, so halo overlaps never double-call) ----
+    from lorikeet_tpu.calling.engine import call_regions_batched
+    works = []
     for region in regions:
         if not region.is_active:
             continue
@@ -220,8 +223,12 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
             sel = [r for r in all_reads[s]
                    if r.pos <= pad_end and r.reference_end > pad_start]
             reads_by_sample[s] = sel[:MAX_INPUT_DEPTH]
-        calls = engine.call_region(window, pad_start, active_start, active_end,
-                                   reads_by_sample, tid=result.tid)
+        work = engine.prepare_region(window, pad_start, active_start,
+                                     active_end, reads_by_sample,
+                                     tid=result.tid)
+        if work is not None:
+            works.append(work)
+    for calls in call_regions_batched(engine, works) if works else []:
         result.calls.extend(calls)
     return result
 
