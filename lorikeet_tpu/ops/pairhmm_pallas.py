@@ -80,7 +80,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         rolled = pltpu.roll(x, 1, 1)
         return jnp.where(boundary, 0.0, rolled)
 
-    _GROUP = 4  # diagonals per renormalisation (4 steps decay at most ~1e-22)
+    _GROUP = 8  # diagonals per renormalisation (8 steps decay at most ~1e-44, above f32 denormal floor)
 
     def body(g, chunk_carry):
         # A group of _GROUP diagonals d = c*128 + g*_GROUP + s + 1, then one
