@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="where mapped BAMs are cached "
                              "(default {output}/bams)")
         sp.add_argument("-t", "--threads", type=int, default=8)
+        sp.add_argument("--parallel-genomes", type=int, default=1,
+                        help="genomes analysed concurrently "
+                             "(lorikeet_engine.rs scoped threadpool role)")
         sp.add_argument("-l", "--longread-bam-files", nargs="+", default=None,
                         help="long-read BAM files (listed after short-read "
                              "samples)")
@@ -261,7 +264,8 @@ def main(argv=None) -> int:
                                genome_dir=args.genome_fasta_directory,
                                extension=args.genome_fasta_extension,
                                limit=limit, force=args.force,
-                               long_bam_paths=args.longread_bam_files)
+                               long_bam_paths=args.longread_bam_files,
+                               parallel_genomes=args.parallel_genomes)
 
     for genome, out in results.items():
         if out.get("cached"):

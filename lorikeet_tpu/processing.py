@@ -309,7 +309,8 @@ def start_engine(mode: str, references: list, bam_paths: list,
                  output_dir: str, cfg: CallerConfig = None,
                  genome_dir: str = None, extension: str = "fna",
                  sample_names=None, limit=None, force: bool = False,
-                 long_bam_paths: list = None) -> dict:
+                 long_bam_paths: list = None,
+                 parallel_genomes: int = 1) -> dict:
     """Multi-genome orchestrator (start_lorikeet_engine,
     lorikeet_engine.rs:1075 + apply_per_reference :77): one output directory
     per genome, artifact-presence caching unless `force`
@@ -335,17 +336,38 @@ def start_engine(mode: str, references: list, bam_paths: list,
 
     progress = ProgressTree(len(specs))
     results = {}
-    for spec in specs:
-        timer = StageTimer()
-        gdir = os.path.join(output_dir, spec.name)
-        vcf_path = os.path.join(gdir, f"{spec.name}.vcf")
-        if os.path.exists(vcf_path) and not force:
-            progress.update(spec.name, "cached — skipping (use --force)")
-            results[spec.name] = {"vcf": vcf_path, "cached": True}
-            progress.done += 1
-            continue
-        # per-genome isolation: one genome failing does not kill the run
-        # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
+
+    def run_one(spec):
+        """Per-genome task (lorikeet_engine.rs:82,100 scoped threadpool
+        role; host-bound stages overlap, device dispatches serialize)."""
+        _process_genome(spec, mode, bams, bam_paths, long_bam_paths,
+                        output_dir, cfg, sample_names, limit, force,
+                        progress, results, log, StageTimer)
+
+    if parallel_genomes > 1 and len(specs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=parallel_genomes) as pool:
+            list(pool.map(run_one, specs))
+    else:
+        for spec in specs:
+            run_one(spec)
+    return results
+
+
+def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
+                    cfg, sample_names, limit, force, progress, results, log,
+                    StageTimer):
+    timer = StageTimer()
+    gdir = os.path.join(output_dir, spec.name)
+    vcf_path = os.path.join(gdir, f"{spec.name}.vcf")
+    if os.path.exists(vcf_path) and not force:
+        progress.update(spec.name, "cached — skipping (use --force)")
+        results[spec.name] = {"vcf": vcf_path, "cached": True}
+        progress.done += 1
+        return
+    # per-genome isolation: one genome failing does not kill the run
+    # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
+    if True:
         try:
             if long_bam_paths and mode != "summarise":
                 # SV calling on long-read samples (lorikeet_engine.rs:370-383)
@@ -385,7 +407,6 @@ def start_engine(mode: str, references: list, bam_paths: list,
             log.exception("genome %s failed", spec.name)
             results[spec.name] = {"error": f"{type(exc).__name__}: {exc}"}
         progress.finish_genome(spec.name)
-    return results
 
 
 def run_call(reference: str, bam_paths: list, output_dir: str,

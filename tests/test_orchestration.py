@@ -72,3 +72,14 @@ def sim_bam_7seqs(tmp_path_factory):
     bam = str(tmp / "s1.bam")
     write_bam(bam, fr.names, [fr.length(n) for n in fr.names], recs)
     return bam
+
+
+def test_start_engine_parallel_genomes(tmp_path, sim_bam_7seqs):
+    bam = sim_bam_7seqs
+    out = str(tmp_path / "par_out")
+    cfg = CallerConfig(use_pallas=False)
+    r = start_engine("call", [os.path.join(DATA, "7seqs.fna")], [bam],
+                     out, cfg, parallel_genomes=3)
+    assert len(r) == 6
+    assert all("error" not in v for v in r.values())
+    assert r["genome2"]["n_calls"] == 1
