@@ -348,12 +348,20 @@ class HaplotypeCallerEngine:
         for s in allele_lks.samples:
             mat = allele_lks.values[s]            # [A, R]
             gl = genotype_likelihoods_from_read_matrix(mat.T, self.cfg.ploidy)
-            # AD: count reads best-supporting each allele
+            # AD: count INFORMATIVE reads best-supporting each allele — the
+            # best likelihood must beat the runner-up by 0.2 log10
+            # (allele_likelihoods.rs:17 LOG_10_INFORMATIVE_THRESHOLD)
             ad = np.zeros(n_alleles, np.int64)
             if mat.shape[1]:
                 best = mat.argmax(axis=0)
-                for b in best:
-                    ad[b] += 1
+                if mat.shape[0] > 1:
+                    srt = np.sort(mat, axis=0)
+                    informative = (srt[-1] - srt[-2]) > 0.2
+                else:
+                    informative = np.ones(mat.shape[1], bool)
+                for b, ok in zip(best, informative):
+                    if ok:
+                        ad[b] += 1
             genotypes.append(Genotype(s, self.cfg.ploidy, gl,
                                       dp=int(mat.shape[1]), ad=ad))
         return genotypes
@@ -369,8 +377,13 @@ class HaplotypeCallerEngine:
         call.attributes["AC"] = acs
         call.attributes["AN"] = an
         call.attributes["AF"] = [round(c / an, 4) if an else 0.0 for c in acs]
-        if depth > 0:
-            qd = call.phred_scaled_qual / depth
+        # QD denominator = depth of samples with alt-supporting reads when
+        # any exist (variant_annotation.rs:360-405 get_depth AD restriction)
+        ad_restrict = sum(int(np.sum(g.ad)) for g in call.genotypes
+                          if g.ad is not None and np.sum(g.ad) > g.ad[0])
+        qd_depth = ad_restrict if ad_restrict > 0 else depth
+        if qd_depth > 0:
+            qd = call.phred_scaled_qual / qd_depth
             if qd >= MAX_QD_BEFORE_FIXING:
                 qd = IDEAL_HIGH_QD          # deterministic (no jitter)
             call.attributes["QD"] = round(qd, 2)

@@ -303,18 +303,9 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
-        # bucket the batch shape so TPU compiles are shared across regions
+        # bucket read/hap lengths so TPU compiles are shared across regions
+        # (the batch axis is slab-fixed inside the kernel wrapper)
         batch = pack_pairhmm_batch(pairs, r_pad_to=32, h_pad_to=128)
-        B = batch["reads"].shape[0]
-        Bpad = 1 << (B - 1).bit_length()
-        if Bpad != B:
-            pad = Bpad - B
-            for key in batch:
-                arr = batch[key]
-                widths = [(0, pad)] + [(0, 0)] * (arr.ndim - 1)
-                batch[key] = np.pad(arr, widths)
-            batch["read_lens"][B:] = 1
-            batch["hap_lens"][B:] = 1
         from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_pallas
         raw = np.asarray(pairhmm_forward_pallas(**batch))
         lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)

@@ -185,7 +185,9 @@ def pack_pallas_inputs(
     B, Rmax = reads.shape
     Hmax = haps.shape[1]
     Rpad = _round_up(Rmax + 1, _LANES)
-    Bpad = _round_up(max(B, 1), block_b)
+    # batch always pads to whole B_SLAB slabs: exactly one compiled shape
+    # per (Rpad, nchunks) bucket regardless of batch size
+    Bpad = _round_up(max(B, 1), B_SLAB)
     # diagonals d = 1 .. Rmax+Hmax, padded to whole 128-step chunks (overrun
     # steps are masked out of the accumulator)
     nchunks = max(1, -(-(Rmax + Hmax) // _LANES))
@@ -226,10 +228,37 @@ def pack_pallas_inputs(
     return operands, nchunks, B
 
 
+B_SLAB = 1024  # fixed batch slab: kills per-batch-size Mosaic recompiles
+
+
 def pairhmm_forward_packed(operands, nchunks, B, block_b: int = 128,
                            interpret: bool = False) -> jnp.ndarray:
-    """Run the kernel on prepacked operands (see pack_pallas_inputs)."""
-    out = _pairhmm_pallas_jit(*operands, nchunks, block_b, interpret)
+    """Run the kernel on prepacked operands (see pack_pallas_inputs).
+
+    Execution is slabbed to a FIXED batch of B_SLAB rows: compile shapes
+    depend only on (Rpad, nchunks) buckets, never on the batch size —
+    each fresh Mosaic compile costs minutes, so batch-size shape diversity
+    is the thing to kill.  All slabs are enqueued before the single
+    readback (the axon tunnel costs ~27 ms per D2H round trip).
+    """
+    Bpad = operands[0].shape[0]
+    if Bpad <= B_SLAB:
+        out = _pairhmm_pallas_jit(*operands, nchunks, block_b, interpret)
+        return out[:B, 0]
+    outs = []
+    for lo in range(0, Bpad, B_SLAB):
+        hi = min(lo + B_SLAB, Bpad)
+        slab = []
+        for op in operands:
+            part = op[lo:hi]
+            if hi - lo < B_SLAB:
+                pad = B_SLAB - (hi - lo)
+                part = jnp.pad(part, [(0, pad)] + [(0, 0)] * (part.ndim - 1))
+                if part.ndim == 2 and op is operands[-1]:   # lens
+                    part = part.at[hi - lo:, 0:2].set(1)
+            slab.append(part)
+        outs.append(_pairhmm_pallas_jit(*slab, nchunks, block_b, interpret))
+    out = jnp.concatenate(outs, axis=0)
     return out[:B, 0]
 
 

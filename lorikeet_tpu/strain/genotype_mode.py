@@ -77,8 +77,14 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
         return np.zeros(0, np.int64), np.zeros((0, 0))
     X = depth_matrix(contexts)
     n = len(contexts)
-    if n < max(min_cluster_size, 2):
+    if n < 4:
+        # too few points for density clustering: one group per distinct
+        # depth profile (rounded to 0.1 fraction bins)
+        keys = {}
         labels = np.zeros(n, np.int64)
+        for i in range(n):
+            key = tuple(np.round(X[i], 1))
+            labels[i] = keys.setdefault(key, len(keys))
     else:
         from sklearn.decomposition import PCA
         from sklearn.cluster import HDBSCAN
