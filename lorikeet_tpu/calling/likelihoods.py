@@ -294,6 +294,24 @@ def build_pairs(haplotypes: list, reads_by_sample: dict):
     return pairs, index
 
 
+#: Pallas kernel shape buckets already compiled in this process.  A cold
+#: Mosaic compile on the TPU backend costs minutes and is NOT covered by the
+#: persistent compilation cache (it happens server-side at first execution),
+#: so a cold bucket is only worth compiling for batches big enough that the
+#: kernel's ~1000x throughput advantage repays the compile.
+_PALLAS_WARM_BUCKETS: set = set()
+_PALLAS_MIN_COLD_CELLS = 1e9
+
+
+def _pallas_bucket(pairs) -> tuple:
+    """(Rpad, nchunks) compile-shape bucket the kernel wrapper would use."""
+    Rmax = -(-max(len(p[1]) for p in pairs) // 32) * 32
+    Hmax = -(-max(len(p[0]) for p in pairs) // 128) * 128
+    Rpad = -(-(Rmax + 1) // 128) * 128
+    nchunks = max(1, -(-(Rmax + Hmax) // 128))
+    return Rpad, nchunks
+
+
 def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray:
     """log10 likelihood per packed pair — ONE device dispatch for the whole
     batch (cross-region batching rides this)."""
@@ -303,6 +321,14 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
+        bucket = _pallas_bucket(pairs)
+        if bucket not in _PALLAS_WARM_BUCKETS:
+            cells = sum(len(h) * len(r) for h, r, *_ in pairs)
+            if cells < _PALLAS_MIN_COLD_CELLS:
+                use_pallas = False       # cold compile cannot pay off
+            else:
+                _PALLAS_WARM_BUCKETS.add(bucket)
+    if use_pallas:
         # bucket read/hap lengths so TPU compiles are shared across regions
         # (the batch axis is slab-fixed inside the kernel wrapper)
         batch = pack_pairhmm_batch(pairs, r_pad_to=32, h_pad_to=128)
@@ -310,7 +336,8 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         raw = np.asarray(pairhmm_forward_pallas(**batch))
         lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)
     else:
-        # CPU: the exact f64 host kernel beats XLA-scan compile amortization
+        # exact f64 host kernel: beats device compile amortization for small
+        # batches (and is the CPU-backend path outright)
         from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
         lks = np.array([pairhmm_forward_np(*p) for p in pairs])
     return lks
