@@ -114,6 +114,7 @@ def build_parser() -> argparse.ArgumentParser:
     ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)")
     ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
     ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
+    ssum.add_argument("--calculate-fst", action="store_true")
 
     scomp = sub.add_parser("shell-completion",
                            help="emit a shell completion script "
@@ -192,7 +193,8 @@ def main(argv=None) -> int:
 
     if args.command == "summarise":
         from lorikeet_tpu.strain.ani import run_summarise
-        out = run_summarise(args.vcfs, args.output_directory)
+        out = run_summarise(args.vcfs, args.output_directory,
+                            calculate_fst=args.calculate_fst)
         print(json.dumps({"mode": "summarise", "outputs": out}))
         return 0
 

@@ -133,9 +133,10 @@ def run_ani(contexts, output_prefix, sample_names, reference_name,
     return calc.write_tables(output_prefix, sample_names, reference_name, cb)
 
 
-def run_summarise(vcf_paths: list, output_dir: str) -> dict:
-    """`summarise` mode: ANI tables from existing VCFs
-    (lorikeet_engine.rs:1224-1305)."""
+def run_summarise(vcf_paths: list, output_dir: str,
+                  calculate_fst: bool = False) -> dict:
+    """`summarise` mode: ANI tables (and optionally Hudson Fst) from
+    existing VCFs (lorikeet_engine.rs:1224-1305)."""
     from lorikeet_tpu.io.vcf import read_vcf
     os.makedirs(output_dir, exist_ok=True)
     outputs = {}
@@ -155,4 +156,8 @@ def run_summarise(vcf_paths: list, output_dir: str) -> dict:
         prefix = os.path.join(output_dir, name)
         outputs[name] = run_ani(contexts, prefix, samples, name,
                                 max(genome_size, 1))
+        if calculate_fst:
+            from lorikeet_tpu.strain.fst import write_fst
+            outputs[name]["fst"] = write_fst(contexts, len(samples), samples,
+                                             output_dir, name)
     return outputs

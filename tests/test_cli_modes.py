@@ -83,9 +83,13 @@ def test_cli_genotype_and_summarise(sim_bam):
     g2 = out["outputs"]["genomes"]["genome2"]
     assert os.path.exists(g2["strain_coverages"])
     vcf = g2["vcf"]
-    out2 = _run_cli(["summarise", "-i", vcf, "-o", tmp + "/sum_out"])
+    out2 = _run_cli(["summarise", "-i", vcf, "-o", tmp + "/sum_out",
+                     "--calculate-fst"])
     tables = list(out2["outputs"].values())[0]
     assert os.path.exists(tables["consensus_ani"])
+    # summarise computes Hudson Fst from the VCF alone
+    # (lorikeet_engine.rs:1294-1301)
+    assert os.path.exists(tables["fst"])
     with open(tables["consensus_ani"]) as fh:
         lines = fh.read().splitlines()
     assert lines[1].startswith("SampleID")
