@@ -35,6 +35,12 @@ from lorikeet_tpu.ops.pairhmm import TRISTATE_CORRECTION, _NBASE
 
 _LANES = 128
 
+# Diagonals per renormalisation group (unrolled in the kernel body).  8 steps
+# decay at most ~1e-44, above the f32 denormal floor; must divide 128.  Module
+# constant (not a jit arg): changing it mid-process does not invalidate the
+# jit cache, so set it before the first kernel call.
+GROUP = 8
+
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
@@ -80,7 +86,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         rolled = pltpu.roll(x, 1, 1)
         return jnp.where(boundary, 0.0, rolled)
 
-    _GROUP = 8  # diagonals per renormalisation (8 steps decay at most ~1e-44, above f32 denormal floor)
+    _GROUP = GROUP  # diagonals per renormalisation
 
     def body(g, chunk_carry):
         # A group of _GROUP diagonals d = c*128 + g*_GROUP + s + 1, then one
