@@ -66,6 +66,13 @@ class CallerConfig:
     pruning_seeding_log_odds_threshold: float = 4.0
     max_unpruned_variants: int = 100
     disable_prune_factor_correction: bool = False
+    # active-region extraction (cli.rs min/max-assembly-region-size,
+    # assembly-region-padding, active-probability-threshold, max-input-depth)
+    min_assembly_region_size: int = 50
+    max_assembly_region_size: int = 300
+    assembly_region_padding: int = 100
+    active_prob_threshold: float = 0.002
+    max_input_depth: int = 200_000
 
     def apply_profile(self, profile: str):
         """Assembly presets (haplotype_caller_engine.rs:246-298)."""

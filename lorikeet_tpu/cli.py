@@ -91,6 +91,13 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--min-prune-factor", dest="prune_factor", type=int,
                         default=1)
         sp.add_argument("--max-mnp-distance", type=int, default=0)
+        sp.add_argument("--min-assembly-region-size", type=int, default=50)
+        sp.add_argument("--max-assembly-region-size", type=int, default=300)
+        sp.add_argument("--assembly-region-padding", type=int, default=100)
+        sp.add_argument("--active-probability-threshold", type=float,
+                        default=0.002)
+        sp.add_argument("--max-input-depth", type=int, default=200_000,
+                        help="per-sample read cap per assembly region")
         sp.add_argument("--force-cpu", action="store_true",
                         help="use the host pair-HMM even when a TPU is present")
         sp.add_argument("--limiting-interval", default=None,
@@ -152,6 +159,11 @@ def _caller_config(args):
     cfg.initial_error_rate_for_pruning = args.initial_error_rate_for_pruning
     cfg.pruning_log_odds_threshold = args.pruning_log_odds_threshold
     cfg.max_unpruned_variants = args.max_unpruned_variants
+    cfg.min_assembly_region_size = args.min_assembly_region_size
+    cfg.max_assembly_region_size = args.max_assembly_region_size
+    cfg.assembly_region_padding = args.assembly_region_padding
+    cfg.active_prob_threshold = args.active_probability_threshold
+    cfg.max_input_depth = args.max_input_depth
     if getattr(args, "profile", None):
         # profile presets override the knobs they cover
         # (haplotype_caller_engine.rs:246-298)

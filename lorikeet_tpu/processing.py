@@ -27,6 +27,8 @@ from lorikeet_tpu.models.activity import (
     extract_regions,
 )
 
+# Region-extraction defaults live on CallerConfig (cli.rs knob parity);
+# these aliases remain for external callers/tests.
 ASSEMBLY_REGION_PADDING = 100
 MIN_ASSEMBLY_REGION_SIZE = 50
 MAX_ASSEMBLY_REGION_SIZE = 300
@@ -113,12 +115,12 @@ def call_contig(
     lo, hi = (0, length) if limit is None else (max(0, limit[0]),
                                                 min(length, limit[1]))
     chunk_size = max(250_000 // max(n_samples, 1),
-                     5 * MAX_ASSEMBLY_REGION_SIZE)
+                     5 * cfg.max_assembly_region_size)
     if hi - lo <= chunk_size:
         return _call_span(fasta, bams, contig_name, cfg, engine, lo, hi)
     # halo: regions can reach MAX size + padding past a boundary, and the
     # band-pass filter needs +/-50bp of context (SURVEY §5 haloing)
-    halo = MAX_ASSEMBLY_REGION_SIZE + ASSEMBLY_REGION_PADDING + 50
+    halo = cfg.max_assembly_region_size + cfg.assembly_region_padding + 50
     result = None
     for core_lo in range(lo, hi, chunk_size):
         core_hi = min(core_lo + chunk_size, hi)
@@ -197,8 +199,9 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     hq_mean = np.where(hq_n > 0, hq_sum / np.maximum(hq_n, 1), 0.0)
     smoothed = band_pass_smooth(raw_probs, hq_mean)
     regions = extract_regions(smoothed,
-                              min_region_size=MIN_ASSEMBLY_REGION_SIZE,
-                              max_region_size=MAX_ASSEMBLY_REGION_SIZE)
+                              active_prob_threshold=cfg.active_prob_threshold,
+                              min_region_size=cfg.min_assembly_region_size,
+                              max_region_size=cfg.max_assembly_region_size)
     result.n_regions = sum(1 for r in regions
                            if core_lo <= lo + r.start < core_hi)
 
@@ -215,14 +218,14 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
         if not (core_lo <= active_start < core_hi):
             continue
         result.n_active += 1
-        pad_start = max(0, active_start - ASSEMBLY_REGION_PADDING)
-        pad_end = min(length - 1, active_end + ASSEMBLY_REGION_PADDING)
+        pad_start = max(0, active_start - cfg.assembly_region_padding)
+        pad_end = min(length - 1, active_end + cfg.assembly_region_padding)
         window = ref_seq[pad_start:pad_end + 1]
         reads_by_sample = {}
         for s in range(n_samples):
             sel = [r for r in all_reads[s]
                    if r.pos <= pad_end and r.reference_end > pad_start]
-            reads_by_sample[s] = sel[:MAX_INPUT_DEPTH]
+            reads_by_sample[s] = sel[:cfg.max_input_depth]
         work = engine.prepare_region(window, pad_start, active_start,
                                      active_end, reads_by_sample,
                                      tid=result.tid)
