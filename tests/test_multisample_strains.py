@@ -95,3 +95,25 @@ def test_two_strains_resolved(two_sample_run):
     for row in vals:
         assert row.max() > 0 and row.min() <= row.max() / 2
     assert len(out["strain_fastas"]) == 2
+
+
+def test_strain_fastas_carry_their_variants(two_sample_run):
+    """Each strain genome has ITS variants spliced in and the other
+    strain's sites left at reference (reference_writer.rs:31
+    generate_strains splice semantics)."""
+    out, strain_a, strain_b = two_sample_run
+    contig = "genome1~random_sequence_length_11000"
+    # map strain index -> dominant sample via the coverage table
+    lines = open(out["strain_coverages"]).read().splitlines()
+    vals = np.array([[float(x) for x in l.split("\t")[1:]]
+                     for l in lines[1:]])
+    strain_of_sample_a = int(np.argmax(vals[:, 0]))
+    expected = {strain_of_sample_a: (strain_a, strain_b),
+                1 - strain_of_sample_a: (strain_b, strain_a)}
+    for s_idx, (own, other) in expected.items():
+        fr = FastaReader(out["strain_fastas"][s_idx])
+        seq = fr.fetch(contig)
+        for v in own:
+            assert seq[v.pos] == v.alt[0], f"strain {s_idx} missing {v.pos}"
+        for v in other:
+            assert seq[v.pos] == v.ref[0], f"strain {s_idx} has foreign {v.pos}"
