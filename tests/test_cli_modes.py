@@ -97,6 +97,20 @@ def test_cli_genotype_and_summarise(sim_bam):
     assert float(lines[2].split("\t")[1]) == 1.0
 
 
+def test_cli_limiting_interval(sim_bam):
+    """--limiting-interval restricts calling to [start, end)
+    (interval_utils.rs:58 parse_limiting_interval)."""
+    bam, variants, contig, tmp = sim_bam
+    out = _run_cli(["call", "-r", os.path.join(DATA, "7seqs.fna"),
+                    "-b", bam, "-o", tmp + "/lim_out", "--force-cpu",
+                    "--limiting-interval", "0-500"])
+    vcf = out["outputs"]["genomes"]["genome2"]["vcf"]
+    positions = {int(l.split("\t")[1]) - 1
+                 for l in open(vcf) if not l.startswith("#")}
+    assert variants[0].pos in positions       # 300: inside the interval
+    assert variants[1].pos not in positions   # 700: outside
+
+
 def test_cli_dnds_and_fst(sim_bam, tmp_path_factory):
     """--calculate-dnds/--calculate-fst on the per-genome flow
     (lorikeet_engine.rs:1360 calculate_dnds, model/fst_calculator.rs)."""
