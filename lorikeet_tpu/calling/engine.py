@@ -73,6 +73,9 @@ class CallerConfig:
     assembly_region_padding: int = 100
     active_prob_threshold: float = 0.002
     max_input_depth: int = 200_000
+    # host worker threads for per-contig parallelism (cli.rs --threads;
+    # the rayon-pool analogue — device batches stay whole-chunk)
+    threads: int = 1
 
     def apply_profile(self, profile: str):
         """Assembly presets (haplotype_caller_engine.rs:246-298)."""

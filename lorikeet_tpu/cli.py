@@ -164,6 +164,7 @@ def _caller_config(args):
     cfg.assembly_region_padding = args.assembly_region_padding
     cfg.active_prob_threshold = args.active_probability_threshold
     cfg.max_input_depth = args.max_input_depth
+    cfg.threads = args.threads
     if getattr(args, "profile", None):
         # profile presets override the knobs they cover
         # (haplotype_caller_engine.rs:246-298)

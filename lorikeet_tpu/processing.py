@@ -273,6 +273,32 @@ def discover_genomes(references: list, genome_dir: str = None,
     return specs
 
 
+def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
+    """Per-contig results, threaded over contigs when cfg.threads allows
+    (the reference's rayon contig parallelism,
+    haplotype_caller_engine.rs:443-465).  Contigs touch disjoint BAM record
+    sets, so after an eager decode the readers are shared read-only; each
+    worker opens its own FastaReader (the handle seeks)."""
+    n_workers = min(getattr(cfg, "threads", 1) or 1, len(spec.contigs))
+    if n_workers <= 1 or len(spec.contigs) <= 1:
+        return [call_contig(fasta, bams, c, cfg, engine, limit=limit)
+                for c in spec.contigs]
+    for b in bams:
+        b._ensure_decoded()
+
+    def work(contig):
+        local_fasta = FastaReader(spec.fasta)
+        try:
+            return call_contig(local_fasta, bams, contig, cfg, engine,
+                               limit=limit)
+        finally:
+            local_fasta.close()
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(n_workers) as ex:
+        return list(ex.map(work, spec.contigs))
+
+
 def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
                cfg: CallerConfig, sample_names: list, limit=None) -> dict:
     """Call one genome's contigs; write `{genome}.vcf` + ANI tables.
@@ -288,8 +314,9 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
     n_samples = len(bams)
     passing_rle = [[] for _ in range(n_samples)]
     genome_size = 0
+    results = _call_contigs(spec, fasta, bams, cfg, engine, limit)
     for local_tid, contig in enumerate(spec.contigs):
-        res = call_contig(fasta, bams, contig, cfg, engine, limit=limit)
+        res = results[local_tid]
         for vc in res.calls:
             vc.tid = local_tid
         all_calls.extend(res.calls)
