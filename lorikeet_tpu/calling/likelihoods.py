@@ -295,12 +295,16 @@ def build_pairs(haplotypes: list, reads_by_sample: dict):
 
 
 #: Pallas kernel shape buckets already compiled in this process.  A cold
-#: Mosaic compile on the TPU backend costs minutes and is NOT covered by the
-#: persistent compilation cache (it happens server-side at first execution),
-#: so a cold bucket is only worth compiling for batches big enough that the
-#: kernel's ~1000x throughput advantage repays the compile.
+#: Mosaic compile on the TPU backend is NOT covered by the persistent
+#: compilation cache (it happens server-side at first execution) and costs
+#: ~10-100 s per bucket at block_b=64 (minutes at 128+; compile time scales
+#: hard with the sublane tile count).  Routing policy: stay on the exact f64
+#: host kernel until this process has seen enough total DP cells that the
+#: one-time compile is a good investment (long runs warm up, test-scale runs
+#: never pay it).
 _PALLAS_WARM_BUCKETS: set = set()
-_PALLAS_MIN_COLD_CELLS = 1e9
+_PALLAS_MIN_COLD_CELLS = 2e9
+_cells_seen = 0.0
 
 
 def _pallas_bucket(pairs) -> tuple:
@@ -321,11 +325,12 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
     if use_pallas:
+        global _cells_seen
         bucket = _pallas_bucket(pairs)
+        _cells_seen += sum(len(h) * len(r) for h, r, *_ in pairs)
         if bucket not in _PALLAS_WARM_BUCKETS:
-            cells = sum(len(h) * len(r) for h, r, *_ in pairs)
-            if cells < _PALLAS_MIN_COLD_CELLS:
-                use_pallas = False       # cold compile cannot pay off
+            if _cells_seen < _PALLAS_MIN_COLD_CELLS:
+                use_pallas = False       # cold compile not yet worth paying
             else:
                 _PALLAS_WARM_BUCKETS.add(bucket)
     if use_pallas:

@@ -179,7 +179,7 @@ def _pairhmm_pallas_jit(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
 
 def pack_pallas_inputs(
     haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
-    block_b: int = 128,
+    block_b: int = 64,
 ):
     """Host-side numpy precompute of the kernel operands (transition probs,
     priors, hap stream).  Returns (operand_tuple, nchunks, B).  Pack once,
@@ -239,7 +239,7 @@ def pack_pallas_inputs(
 B_SLAB = 1024  # fixed batch slab: kills per-batch-size Mosaic recompiles
 
 
-def pairhmm_forward_packed(slabs, nchunks, B, block_b: int = 128,
+def pairhmm_forward_packed(slabs, nchunks, B, block_b: int = 64,
                            interpret: bool = False) -> jnp.ndarray:
     """Run the kernel on prepacked slab operands (see pack_pallas_inputs).
 
@@ -257,7 +257,7 @@ def pairhmm_forward_packed(slabs, nchunks, B, block_b: int = 128,
 
 def pairhmm_forward_pallas(
     haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
-    block_b: int = 128, interpret: bool = False,
+    block_b: int = 64, interpret: bool = False,
 ) -> jnp.ndarray:
     """Batched forward log10-likelihoods via the Pallas kernel; API matches
     ops.pairhmm.pairhmm_forward_batch.  B is padded to a multiple of
