@@ -402,3 +402,43 @@ class HaplotypeCallerEngine:
         if mapqs:
             call.attributes["MQ"] = round(
                 float(np.sqrt(np.mean(np.square(mapqs)))), 2)
+        # BQ (Number=R): median phred base quality at the site per allele,
+        # over informative mapq>0 reads (variant_annotation.rs:347
+        # BaseQuality via get_read_base_quality_at_reference_coordinate)
+        from lorikeet_tpu.utils.cigar import read_offset_at
+        quals_by_allele = {}
+        for s in allele_lks.samples:
+            mat = allele_lks.values[s]
+            reads = allele_lks.reads_by_sample[s]
+            if not mat.shape[1] or not reads:
+                continue
+            best = mat.argmax(axis=0)
+            if mat.shape[0] > 1:
+                srt = np.sort(mat, axis=0)
+                ok = (srt[-1] - srt[-2]) > 0.2
+            else:
+                ok = np.ones(mat.shape[1], bool)
+            for r_idx, rec in enumerate(reads):
+                if r_idx >= len(ok) or not ok[r_idx] or rec.mapq == 0:
+                    continue
+                off = read_offset_at(call.start, rec.pos, rec.cigar)
+                if off is not None and off < len(rec.qual):
+                    quals_by_allele.setdefault(
+                        int(best[r_idx]), []).append(int(rec.qual[off]))
+        if quals_by_allele:
+            lk_alleles = list(allele_lks.alleles)
+            bq = []
+            for a in call.alleles:
+                try:
+                    q = quals_by_allele.get(lk_alleles.index(a), [])
+                except ValueError:
+                    q = []
+                bq.append(int(round(float(np.median(q)))) if q else 0)
+            call.attributes["BQ"] = bq
+        # QF: variant qualifies for ANI analyses
+        # (variant_context_utils.rs:99-148 check_thresholds: QD >= filter
+        #  and QUAL >= 150, i.e. log10_p_error <= -15)
+        qd_val = call.attributes.get("QD")
+        qualified = (qd_val is not None and float(qd_val) >= 25.0
+                     and call.log10_p_error <= -15.0)
+        call.attributes["QF"] = "true" if qualified else "false"

@@ -19,7 +19,9 @@ INFO_HEADER = [
     ('MLEAC', 'A', 'Integer', 'Maximum likelihood expectation (MLE) for the allele counts'),
     ('MLEAF', 'A', 'Float', 'Maximum likelihood expectation (MLE) for the allele frequency'),
     ('MQ', '1', 'Float', 'RMS Mapping Quality'),
+    ('BQ', 'R', 'Integer', 'Median PHRED-scaled Base Quality of the variant'),
     ('QD', '1', 'Float', 'Variant Confidence/Quality by Depth'),
+    ('QF', '1', 'String', 'Whether the variant passed quality checks to be included in ANI analyses'),
     ('VG', '1', 'Integer', 'Variant group or cluster the variant belongs to'),
     ('ST', '.', 'Integer', 'Strain IDs the variant group occurs in'),
 ]

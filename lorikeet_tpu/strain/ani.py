@@ -51,6 +51,11 @@ def compared_bases_from_rle(passing_sites: list | None, genome_size: int,
 
 
 def site_passes(vc, qual_by_depth_filter=QUAL_BY_DEPTH_FILTER) -> bool:
+    """variant_context_utils.rs:81-97 passes_thresholds: honour a cached
+    QF annotation, else fall back to the QD threshold."""
+    qf = vc.attributes.get("QF")
+    if qf in ("true", "false"):
+        return qf == "true"
     qd = vc.attributes.get("QD")
     if isinstance(qd, list):
         qd = qd[0]

@@ -22,6 +22,28 @@ def reference_length(cigar) -> int:
     return sum(n for op, n in cigar if op in CONSUMES_REF)
 
 
+def read_offset_at(pos: int, read_pos: int, cigar) -> int | None:
+    """Read-base index aligned at genomic `pos`, or None if the position
+    falls in a deletion/skip or outside the alignment
+    (read_utils.rs get_read_base_quality_at_reference_coordinate role)."""
+    ref = read_pos
+    off = 0
+    for op, n in cigar:
+        if op in ("M", "=", "X"):
+            if ref <= pos < ref + n:
+                return off + (pos - ref)
+            ref += n
+            off += n
+        elif op in ("I", "S"):
+            off += n
+        elif op in ("D", "N"):
+            if ref <= pos < ref + n:
+                return None
+            ref += n
+        # H/P consume nothing
+    return None
+
+
 def merge_adjacent(cigar):
     out = []
     for op, n in cigar:
