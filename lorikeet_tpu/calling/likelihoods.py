@@ -304,7 +304,32 @@ def build_pairs(haplotypes: list, reads_by_sample: dict):
 #: never pay it).
 _PALLAS_WARM_BUCKETS: set = set()
 _PALLAS_MIN_COLD_CELLS = 2e9
+_PALLAS_PREWARM_CELLS = 1e8
 _cells_seen = 0.0
+_prewarm_threads: dict = {}
+
+
+def _prewarm_bucket(bucket: tuple) -> None:
+    """Compile the kernel for `bucket` on a dummy slab (runs in a background
+    thread): batches keep flowing through the host path until the compile
+    lands, so the cold-compile latency is hidden behind host work."""
+    Rpad, nchunks = bucket
+    try:
+        from lorikeet_tpu.ops.pairhmm_pallas import (
+            pack_pallas_inputs, pairhmm_forward_packed)
+        R = Rpad - 2
+        H = max(1, nchunks * 128 - R)
+        z = np.zeros((1, R), np.uint8)
+        slabs, nck, B = pack_pallas_inputs(
+            haps=np.zeros((1, H), np.uint8), hap_lens=np.array([H], np.int32),
+            reads=z, read_lens=np.array([R], np.int32),
+            quals=z, ins_quals=z, del_quals=z, gcps=z)
+        np.asarray(pairhmm_forward_packed(slabs, nck, B))
+        _PALLAS_WARM_BUCKETS.add(bucket)
+    except Exception:               # noqa: BLE001 — prewarm is best-effort
+        pass
+    finally:
+        _prewarm_threads.pop(bucket, None)
 
 
 def _pallas_bucket(pairs) -> tuple:
@@ -331,6 +356,13 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         if bucket not in _PALLAS_WARM_BUCKETS:
             if _cells_seen < _PALLAS_MIN_COLD_CELLS:
                 use_pallas = False       # cold compile not yet worth paying
+                if (_cells_seen >= _PALLAS_PREWARM_CELLS
+                        and bucket not in _prewarm_threads):
+                    import threading
+                    t = threading.Thread(target=_prewarm_bucket,
+                                         args=(bucket,), daemon=True)
+                    _prewarm_threads[bucket] = t
+                    t.start()
             else:
                 _PALLAS_WARM_BUCKETS.add(bucket)
     if use_pallas:

@@ -54,3 +54,39 @@ def test_prepare_read_quality_caps():
     # base at the default 45)
     assert iq[:-1].max() <= 40 and iq.min() >= 6
     assert iq[-1] == 45
+
+
+def test_cold_compile_routing_and_prewarm(monkeypatch):
+    """Cold pallas buckets route to the exact host kernel; once cumulative
+    demand crosses the prewarm bar a background compile is kicked off, and a
+    warm bucket is used directly (compile-cost-aware dispatch)."""
+    import lorikeet_tpu.calling.likelihoods as L
+
+    rng = np.random.default_rng(3)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 40)]
+    read = hap[5:25].copy()
+    q = np.full(20, 30, np.uint8)
+    pairs = [(hap, read, q, q, q, np.full(20, 10, np.uint8))] * 3
+
+    monkeypatch.setattr(L, "_cells_seen", 0.0)
+    monkeypatch.setattr(L, "_PALLAS_WARM_BUCKETS", set())
+    monkeypatch.setattr(L, "_prewarm_threads", {})
+    prewarmed = []
+    monkeypatch.setattr(L, "_prewarm_bucket", prewarmed.append)
+
+    # below the prewarm bar: host path, no compile thread
+    monkeypatch.setattr(L, "_PALLAS_PREWARM_CELLS", 1e18)
+    out_cold = L.compute_pair_likelihoods(pairs, use_pallas=True)
+    assert not prewarmed
+    # host path must equal the explicit host computation
+    out_host = L.compute_pair_likelihoods(pairs, use_pallas=False)
+    np.testing.assert_allclose(out_cold, out_host)
+
+    # above the prewarm bar: still host, but the background compile starts
+    monkeypatch.setattr(L, "_PALLAS_PREWARM_CELLS", 0.0)
+    out2 = L.compute_pair_likelihoods(pairs, use_pallas=True)
+    np.testing.assert_allclose(out2, out_host)
+    for t in list(L._prewarm_threads.values()):
+        t.join(5)
+    assert prewarmed == [L._pallas_bucket(pairs)]
