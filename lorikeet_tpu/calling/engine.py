@@ -58,6 +58,9 @@ class CallerConfig:
     alignment_thresholds: object = None
     # svim structural-variant QUAL filter (cli.rs min-sv-qual)
     min_sv_qual: int = 3
+    # forced-calling feature VCF (cli.rs features-vcf,
+    # assembly_region_walker.rs:133-195)
+    features_vcf: str = None
     # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
     prune_factor: int = 1
     use_adaptive_pruning: bool = False
@@ -238,10 +241,13 @@ class HaplotypeCallerEngine:
 
     def prepare_region(
         self, ref_window, window_start, active_start, active_end,
-        reads_by_sample, tid=0,
+        reads_by_sample, tid=0, given_alleles=None,
     ):
         """Host phases up to the pair-HMM: finalize reads, assemble, event
-        maps, trim.  Returns a RegionWork or None when nothing to call."""
+        maps, trim.  Returns a RegionWork or None when nothing to call.
+        ``given_alleles`` are feature-VCF contexts overlapping the window;
+        their alleles are force-injected as haplotypes
+        (assembly_based_caller_utils.rs:376-556)."""
         if not any(reads_by_sample.values()):
             return None
         # finalize reads: soft-clip handling, tail/adaptor/region clipping,
@@ -265,12 +271,19 @@ class HaplotypeCallerEngine:
             pruning_log_odds_threshold=self.cfg.pruning_log_odds_threshold,
             pruning_seeding_log_odds_threshold=self.cfg.pruning_seeding_log_odds_threshold,
             max_unpruned_variants=self.cfg.max_unpruned_variants)
-        if len(haplotypes) <= 1:
+        if len(haplotypes) <= 1 and not given_alleles:
             return None
 
         hap_events = [build_event_map(h, ref_window, window_start,
                                       self.cfg.max_mnp_distance)
                       for h in haplotypes]
+        if given_alleles:
+            from lorikeet_tpu.calling.given_alleles import add_given_haplotypes
+            add_given_haplotypes(haplotypes, hap_events, ref_window,
+                                 window_start, given_alleles,
+                                 self.cfg.max_mnp_distance)
+            if len(haplotypes) <= 1:
+                return None
 
         # trim to the variation span before the pair-HMM
         # (assembly_region_trimmer.rs:61-130: snp padding 20, indel 75)

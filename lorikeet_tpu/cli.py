@@ -96,6 +96,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--assembly-region-padding", type=int, default=100)
         sp.add_argument("--active-probability-threshold", type=float,
                         default=0.002)
+        sp.add_argument("--features-vcf", default=None,
+                        help="VCF of alleles to force-call "
+                             "(assembly_region_walker.rs features-vcf)")
         sp.add_argument("--max-input-depth", type=int, default=200_000,
                         help="per-sample read cap per assembly region")
         sp.add_argument("--force-cpu", action="store_true",
@@ -164,6 +167,7 @@ def _caller_config(args):
     cfg.assembly_region_padding = args.assembly_region_padding
     cfg.active_prob_threshold = args.active_probability_threshold
     cfg.max_input_depth = args.max_input_depth
+    cfg.features_vcf = args.features_vcf
     cfg.threads = args.threads
     if getattr(args, "profile", None):
         # profile presets override the knobs they cover

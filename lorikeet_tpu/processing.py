@@ -198,6 +198,19 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     hq_sum = sum(p.hq_sc_sum for p in profiles)
     hq_mean = np.where(hq_n > 0, hq_sum / np.maximum(hq_n, 1), 0.0)
     smoothed = band_pass_smooth(raw_probs, hq_mean)
+    # forced-calling feature VCF: regions carrying given alleles are called
+    # even when inactive (haplotype_caller_engine.rs:1166-1177) — realised
+    # here by forcing the activity probability at given starts
+    given_span = []
+    if getattr(cfg, "features_vcf", None):
+        from lorikeet_tpu.calling.given_alleles import load_feature_vcf
+        by_contig = load_feature_vcf(cfg.features_vcf)
+        given_span = [vc for vc in by_contig.get(contig_name, [])
+                      if lo <= vc.start < hi]
+        if given_span:
+            smoothed = np.asarray(smoothed).copy()
+            for vc in given_span:
+                smoothed[vc.start - lo] = 1.0
     regions = extract_regions(smoothed,
                               active_prob_threshold=cfg.active_prob_threshold,
                               min_region_size=cfg.min_assembly_region_size,
@@ -226,9 +239,12 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
             sel = [r for r in all_reads[s]
                    if r.pos <= pad_end and r.reference_end > pad_start]
             reads_by_sample[s] = sel[:cfg.max_input_depth]
+        given_here = [vc for vc in given_span
+                      if vc.start <= pad_end and vc.end >= pad_start]
         work = engine.prepare_region(window, pad_start, active_start,
                                      active_end, reads_by_sample,
-                                     tid=result.tid)
+                                     tid=result.tid,
+                                     given_alleles=given_here)
         if work is not None:
             works.append(work)
     for calls in call_regions_batched(engine, works) if works else []:
