@@ -24,6 +24,7 @@ implemented for tails and heads in the common merge cases.
 from __future__ import annotations
 
 import heapq
+import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -35,6 +36,7 @@ from lorikeet_tpu.utils.cigar import calculate_cigar
 
 PRUNE_FACTOR_COVERAGE_THRESHOLD = 10.0
 MAX_KMER_ITERATIONS_TO_ATTEMPT = 6
+_DOT_LOCK = threading.Lock()
 KMER_SIZE_ITERATION_INCREASE = 2
 
 
@@ -607,6 +609,8 @@ def assemble_region(
     pruning_seeding_log_odds_threshold: float = 4.0,
     max_unpruned_variants: int = 100,
     generate_seq_graph: bool = True,
+    dot_path: str = None,
+    dot_prefix: str = "",
 ) -> list:
     """Assemble haplotypes for one region. Returns [AssembledHaplotype],
     reference haplotype first.
@@ -669,6 +673,11 @@ def assemble_region(
             )
             sg = SeqGraph.from_kmer_graph(graph)
             sg.simplify()
+            if dot_path:
+                # --graph-output DOT dump (base_graph.rs:505); append is
+                # atomic enough under the contig thread pool for debugging
+                with _DOT_LOCK, open(dot_path, "a") as fh:
+                    fh.write(sg.to_dot(f"{dot_prefix}k{k}"))
             scored = find_best_haplotypes_seq(sg, max_paths)
         else:
             scored = [(score, graph._seq_of(path))

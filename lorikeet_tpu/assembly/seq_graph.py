@@ -115,6 +115,24 @@ class SeqGraph:
                 return v
         return None
 
+    def to_dot(self, name: str = "seqGraph") -> str:
+        """DOT dump of the simplified graph (base_graph.rs:505
+        print_graph role: vertex = sequence, edge label = multiplicity,
+        reference edges red)."""
+        lines = [f'digraph "{name}" {{']
+        for v, seq in sorted(self.seqs.items()):
+            label = seq.decode("ascii", "replace")
+            if len(label) > 25:
+                label = label[:11] + "..." + label[-11:]
+            lines.append(f'  v{v} [label="{label}"];')
+        for u in sorted(self.out_edges):
+            for v, e in sorted(self.out_edges[u].items()):
+                color = ' color=red' if e.is_ref else ""
+                lines.append(
+                    f'  v{u} -> v{v} [label="{e.multiplicity}"{color}];')
+        lines.append("}")
+        return "\n".join(lines) + "\n"
+
     def all_path_seqs(self, limit: int = 10000) -> set:
         """All source->sink path sequences (testing the invariant)."""
         out = set()

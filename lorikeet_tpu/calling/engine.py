@@ -61,6 +61,13 @@ class CallerConfig:
     # forced-calling feature VCF (cli.rs features-vcf,
     # assembly_region_walker.rs:133-195)
     features_vcf: str = None
+    # site/ANI qualification thresholds (cli.rs qual-by-depth-filter,
+    # depth-per-sample-filter; variant_context_utils.rs:99-148)
+    qual_by_depth_filter: float = 25.0
+    depth_per_sample_filter: int = 5
+    # DOT dump of per-region assembly graphs (cli.rs graph-output,
+    # base_graph.rs:505)
+    graph_output: str = None
     # assembly pruning (read_threading_assembler.rs:70-105 + cli.rs defaults)
     prune_factor: int = 1
     use_adaptive_pruning: bool = False
@@ -270,7 +277,9 @@ class HaplotypeCallerEngine:
             initial_error_rate_for_pruning=self.cfg.initial_error_rate_for_pruning,
             pruning_log_odds_threshold=self.cfg.pruning_log_odds_threshold,
             pruning_seeding_log_odds_threshold=self.cfg.pruning_seeding_log_odds_threshold,
-            max_unpruned_variants=self.cfg.max_unpruned_variants)
+            max_unpruned_variants=self.cfg.max_unpruned_variants,
+            dot_path=self.cfg.graph_output,
+            dot_prefix=f"tid{tid}_pos{window_start}_")
         if len(haplotypes) <= 1 and not given_alleles:
             return None
 
@@ -452,6 +461,7 @@ class HaplotypeCallerEngine:
         # (variant_context_utils.rs:99-148 check_thresholds: QD >= filter
         #  and QUAL >= 150, i.e. log10_p_error <= -15)
         qd_val = call.attributes.get("QD")
-        qualified = (qd_val is not None and float(qd_val) >= 25.0
+        qualified = (qd_val is not None
+                     and float(qd_val) >= self.cfg.qual_by_depth_filter
                      and call.log10_p_error <= -15.0)
         call.attributes["QF"] = "true" if qualified else "false"

@@ -87,7 +87,16 @@ def build_parser() -> argparse.ArgumentParser:
                         default=0.001)
         sp.add_argument("--pruning-log-odds-threshold", type=float,
                         default=1.0)
+        sp.add_argument("--pruning-seeding-log-odds-threshold", type=float,
+                        default=4.0)
         sp.add_argument("--max-unpruned-variants", type=int, default=100)
+        sp.add_argument("--qual-by-depth-filter", type=float, default=25.0,
+                        help="QD threshold for ANI/strain site qualification")
+        sp.add_argument("--depth-per-sample-filter", type=int, default=5,
+                        help="min per-sample depth for comparable bases")
+        sp.add_argument("--graph-output", default=None,
+                        help="append per-region assembly-graph DOT dumps "
+                             "to this file (base_graph.rs:505)")
         sp.add_argument("--min-prune-factor", dest="prune_factor", type=int,
                         default=1)
         sp.add_argument("--max-mnp-distance", type=int, default=0)
@@ -168,6 +177,11 @@ def _caller_config(args):
     cfg.active_prob_threshold = args.active_probability_threshold
     cfg.max_input_depth = args.max_input_depth
     cfg.features_vcf = args.features_vcf
+    cfg.pruning_seeding_log_odds_threshold = \
+        args.pruning_seeding_log_odds_threshold
+    cfg.qual_by_depth_filter = args.qual_by_depth_filter
+    cfg.depth_per_sample_filter = args.depth_per_sample_filter
+    cfg.graph_output = args.graph_output
     cfg.threads = args.threads
     if getattr(args, "profile", None):
         # profile presets override the knobs they cover

@@ -187,7 +187,8 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                          bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
     result.depth_pass_rle = [
-        _rle_encode((p.dp() >= DEPTH_PER_SAMPLE_FILTER)
+        _rle_encode((p.dp() >= getattr(cfg, "depth_per_sample_filter",
+                                       DEPTH_PER_SAMPLE_FILTER))
                     [core_lo - lo:core_hi - lo]) for p in profiles]
     gls = np.stack([p.finalize_gls(cfg.ploidy) for p in profiles])
     raw_probs = active_probabilities(gls, cfg.ploidy,
@@ -446,7 +447,9 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
                 with timer.stage("genotype"):
                     out.update(run_genotype(
                         spec.fasta, out["vcf"], gdir, bam_paths=bam_paths,
-                        contigs=spec.contigs, genome_name=spec.name))
+                        contigs=spec.contigs, genome_name=spec.name,
+                        qual_by_depth_filter=getattr(
+                            cfg, "qual_by_depth_filter", 25.0)))
             out["timings"] = timer.timings()
             results[spec.name] = out
         except Exception as exc:  # noqa: BLE001

@@ -158,7 +158,8 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
 
 def run_genotype(reference: str, vcf_path: str, output_dir: str,
                  bam_paths: list = None, contigs: list = None,
-                 genome_name: str = None) -> dict:
+                 genome_name: str = None,
+                 qual_by_depth_filter: float = 25.0) -> dict:
     """Cluster variants into variant groups, link groups into strains via
     read linkage (linkage_engine.rs:73), estimate abundances, write strain
     FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
@@ -175,7 +176,7 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     contig_names = contigs if contigs is not None else (vcf_contigs
                                                        or fasta.names)
 
-    split = split_contexts(contexts)
+    split = split_contexts(contexts, qual_by_depth_filter)
     labels, separations = cluster_variants(split)
     groups = sorted(set(labels.tolist()) - {-1})
     for vc, lab in zip(split, labels):
