@@ -127,10 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
     for cmd, desc in (("call", "variant calling"),
                       ("consensus", "consensus genomes per sample"),
                       ("genotype", "strain-resolved genotyping")):
-        sp = sub.add_parser(cmd, help=desc)
+        sp = sub.add_parser(cmd, help=desc, description=desc)
         add_common(sp)
 
-    ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)")
+    ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)",
+                          description="re-analyse existing VCFs (ANI)")
     ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
     ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
     ssum.add_argument("--calculate-fst", action="store_true")
@@ -140,7 +141,60 @@ def build_parser() -> argparse.ArgumentParser:
                                 "(cli.rs:1153-1184 parity)")
     scomp.add_argument("--shell", default="bash", choices=["bash", "zsh"])
     scomp.add_argument("-o", "--output-file", default=None)
+
+    sman = sub.add_parser("man", help="emit roff man pages "
+                                      "(cli.rs:702-1016 full-help parity)")
+    sman.add_argument("subcommand", nargs="?", default=None,
+                      choices=["call", "consensus", "genotype", "summarise"])
+    sman.add_argument("-o", "--output-directory", default=None,
+                      help="write lorikeet-tpu-<cmd>.1 files here "
+                           "(default: print to stdout)")
     return p
+
+
+def _roff_escape(text: str) -> str:
+    return text.replace("\\", "\\\\").replace("-", "\\-")
+
+
+def _man_page(parser: argparse.ArgumentParser, cmd: str) -> str:
+    """roff man page for one subcommand, generated from the argparse
+    definition (the role of the bird_tool_utils-man roff output at
+    cli.rs:702-1016 + build_manuals.sh)."""
+    sp = parser._subparsers._group_actions[0].choices[cmd]
+    import datetime
+    lines = [
+        f'.TH "LORIKEET\\-TPU\\-{cmd.upper()}" "1" '
+        f'"{datetime.date.today():%B %Y}" "lorikeet-tpu" "User Commands"',
+        ".SH NAME",
+        f"lorikeet\\-tpu\\-{cmd} \\- {_roff_escape(sp.description or sp.format_usage().strip())}",
+        ".SH SYNOPSIS",
+        ".B lorikeet\\-tpu",
+        f".I {cmd}",
+        "[\\fIOPTIONS\\fR]",
+        ".SH OPTIONS",
+    ]
+    for a in sp._actions:
+        if not a.option_strings and a.dest in ("==SUPPRESS==",):
+            continue
+        flags = ", ".join(f"\\fB{_roff_escape(f)}\\fR"
+                          for f in a.option_strings) or f"\\fI{a.dest}\\fR"
+        metavar = ""
+        if a.option_strings and a.nargs != 0 and not isinstance(
+                a, (argparse._StoreTrueAction, argparse._CountAction)):
+            metavar = f" \\fI{(a.metavar or a.dest).upper()}\\fR"
+        lines.append(".TP")
+        lines.append(flags + metavar)
+        help_text = a.help or ""
+        if a.default not in (None, False, 0, argparse.SUPPRESS, "==SUPPRESS=="):
+            help_text += f" [default: {a.default}]"
+        lines.append(_roff_escape(help_text) if help_text else "\\ ")
+    lines += [
+        ".SH SEE ALSO",
+        "\\fBlorikeet\\-tpu\\fR(1)",
+        ".SH AUTHORS",
+        "lorikeet\\-tpu contributors",
+    ]
+    return "\n".join(lines) + "\n"
 
 
 def _completion_script(parser: argparse.ArgumentParser, shell: str) -> str:
@@ -212,6 +266,22 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     parser = build_parser()
     args = parser.parse_args(argv)
+
+    if args.command == "man":
+        cmds = ([args.subcommand] if args.subcommand
+                else ["call", "consensus", "genotype", "summarise"])
+        for cmd in cmds:
+            page = _man_page(parser, cmd)
+            if args.output_directory:
+                os.makedirs(args.output_directory, exist_ok=True)
+                path = os.path.join(args.output_directory,
+                                    f"lorikeet-tpu-{cmd}.1")
+                with open(path, "w") as fh:
+                    fh.write(page)
+                print(path)
+            else:
+                print(page)
+        return 0
 
     if args.command == "shell-completion":
         script = _completion_script(parser, args.shell)

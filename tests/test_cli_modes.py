@@ -132,3 +132,18 @@ def test_cli_dnds_and_fst(sim_bam, tmp_path_factory):
     snp_col = rows[0].index("sample0_snps")
     assert int(rows[1][snp_col]) >= 1
     assert os.path.exists(g2["fst"])
+
+
+def test_man_pages(tmp_path, capsys):
+    """`man` subcommand emits valid roff for every analysis subcommand
+    (cli.rs:702-1016 full-help/man-page parity)."""
+    from lorikeet_tpu.cli import main
+    assert main(["man", "-o", str(tmp_path)]) == 0
+    for cmd in ("call", "consensus", "genotype", "summarise"):
+        page = (tmp_path / f"lorikeet-tpu-{cmd}.1").read_text()
+        assert page.startswith(f'.TH "LORIKEET\\-TPU\\-{cmd.upper()}"')
+        assert ".SH OPTIONS" in page and ".SH NAME" in page
+    # stdout mode
+    assert main(["man", "call"]) == 0
+    out = capsys.readouterr().out
+    assert "variant calling" in out
