@@ -6,9 +6,9 @@ Contracts:
 - haplotype_clustering_engine.rs:63-270: cluster variant depth profiles into
   variant groups, tag VariantGroup, then derive strains.  The reference
   shells out to the external Python tool `flight` (UMAP + HDBSCAN); here
-  clustering runs in-process on standardized per-sample depth fractions —
-  HDBSCAN via scikit-learn, with a PCA embedding playing UMAP's role (a
-  TPU-accelerated UMAP is future work, noted in SURVEY §7);
+  clustering runs fully in-process: a seeded UMAP embedding
+  (lorikeet_tpu.strain.umap, no subprocess/file IPC) followed by HDBSCAN
+  via scikit-learn;
 - linkage_engine.rs:73-1202 groups variant groups into strains via
   co-occurrence; round-1 strains = variant groups plus the reference strain
   heuristic (abundance_calculator_engine.rs:485);
@@ -86,11 +86,9 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
             key = tuple(np.round(X[i], 1))
             labels[i] = keys.setdefault(key, len(keys))
     else:
-        from sklearn.decomposition import PCA
         from sklearn.cluster import HDBSCAN
-        k = min(X.shape[1], 10)
-        emb = X if X.shape[1] <= 2 else PCA(
-            n_components=k, random_state=random_state).fit_transform(X)
+        from lorikeet_tpu.strain.umap import umap_embed
+        emb = umap_embed(X, n_components=2, seed=random_state)
         labels = HDBSCAN(
             min_cluster_size=min(min_cluster_size, max(2, n // 2)),
             allow_single_cluster=True).fit_predict(emb).astype(np.int64)
