@@ -365,6 +365,10 @@ def start_engine(mode: str, references: list, bam_paths: list,
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
     specs = discover_genomes(references, genome_dir, extension)
+    # multi-host pod slice: each host takes its genome subset
+    # (SURVEY §2.4 row 1; outputs are per-genome disjoint directories)
+    from lorikeet_tpu.parallel.hosts import host_shard
+    specs = host_shard(specs)
     # long-read samples follow the short-read samples, as in the reference
     # (haplotype_caller_engine.rs:515-524)
     long_bam_paths = long_bam_paths or []

@@ -61,3 +61,38 @@ def test_region_batch_step_depth_psum(mesh):
     for sid, row in zip(sample_ids, depths):
         expect[sid] += row
     assert np.allclose(np.asarray(depth_total), expect, rtol=1e-5)
+
+
+def test_host_shard_round_robin_partition():
+    """Genome-level multi-host sharding (SURVEY §2.4 row 1): shards are a
+    disjoint round-robin cover; single-process is the identity."""
+    from lorikeet_tpu.parallel.hosts import host_shard
+    items = [f"g{i}" for i in range(7)]
+    shards = [host_shard(items, i, 3) for i in range(3)]
+    assert sorted(x for s in shards for x in s) == sorted(items)
+    assert all(not set(a) & set(b)
+               for i, a in enumerate(shards) for b in shards[i + 1:])
+    assert shards[0] == ["g0", "g3", "g6"]
+    assert host_shard(items) == items            # single-host identity
+
+
+def test_start_engine_honours_host_shard(tmp_path, monkeypatch):
+    """Under a 2-process context, each process only writes its own genome
+    subset (disjoint output directories)."""
+    import os as _os
+    from lorikeet_tpu.processing import discover_genomes, start_engine
+
+    specs = discover_genomes(["/root/reference/tests/data/7seqs.fna"])
+    names = [s.name for s in specs]
+    assert len(names) >= 2
+    monkeypatch.setenv("LORIKEET_PROCESS_COUNT", "2")
+    outs = []
+    for idx in range(2):
+        monkeypatch.setenv("LORIKEET_PROCESS_INDEX", str(idx))
+        out_dir = str(tmp_path / f"host{idx}")
+        start_engine("call", ["/root/reference/tests/data/7seqs.fna"], [],
+                     out_dir)
+        outs.append({d for d in _os.listdir(out_dir)
+                     if _os.path.isdir(_os.path.join(out_dir, d))})
+    assert outs[0] | outs[1] == set(names)
+    assert not outs[0] & outs[1]
