@@ -374,9 +374,13 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)
     else:
         # exact f64 host kernel: beats device compile amortization for small
-        # batches (and is the CPU-backend path outright)
-        from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
-        lks = np.array([pairhmm_forward_np(*p) for p in pairs])
+        # batches (and is the CPU-backend path outright).  Native C++
+        # (threaded) when the toolchain is present, numpy otherwise.
+        from lorikeet_tpu.ops.pairhmm_native import pairhmm_forward_native_batch
+        lks = pairhmm_forward_native_batch(pairs)
+        if lks is None:
+            from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
+            lks = np.array([pairhmm_forward_np(*p) for p in pairs])
     return lks
 
 

@@ -97,3 +97,42 @@ def test_forward_batch_matches_np_random():
     for k, p in enumerate(pairs):
         want = pairhmm_forward_np(*p)
         assert abs(got[k] - want) < 2e-3, (k, want, got[k])
+
+
+def test_native_forward_conformance():
+    from lorikeet_tpu.ops.pairhmm_native import (
+        native_available,
+        pairhmm_forward_native_batch,
+    )
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    cases = load_golden()
+    got = pairhmm_forward_native_batch([c[:6] for c in cases])
+    expect = np.array([c[6] for c in cases])
+    assert np.abs(got - expect).max() < 1e-5
+
+
+def test_native_forward_matches_np_random():
+    from lorikeet_tpu.ops.pairhmm_native import (
+        native_available,
+        pairhmm_forward_native_batch,
+    )
+
+    if not native_available():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGTN", np.uint8)
+    pairs = []
+    for _ in range(24):
+        H = int(rng.integers(15, 200))
+        R = int(rng.integers(10, 120))
+        pairs.append((bases[rng.integers(0, 5, H)], bases[rng.integers(0, 5, R)],
+                      rng.integers(6, 45, R).astype(np.uint8),
+                      rng.integers(10, 50, R).astype(np.uint8),
+                      rng.integers(10, 50, R).astype(np.uint8),
+                      np.full(R, 10, np.uint8)))
+    got = pairhmm_forward_native_batch(pairs)
+    want = np.array([pairhmm_forward_np(*p) for p in pairs])
+    # same recurrence in f64: agreement to rounding
+    assert np.abs(got - want).max() < 1e-9
