@@ -58,6 +58,15 @@ def _run_end(m: np.ndarray) -> np.ndarray:
 
 
 def repeat_lengths_vector(bases: np.ndarray) -> np.ndarray:
+    """Tandem-repeat length at every offset (native C++ when available)."""
+    from lorikeet_tpu.ops.repeats_native import repeat_lengths_native
+    out = repeat_lengths_native(bases, MAX_STR_UNIT_LENGTH, MAX_REPEAT_LENGTH)
+    if out is None:
+        out = _repeat_lengths_vector_np(bases)
+    return out
+
+
+def _repeat_lengths_vector_np(bases: np.ndarray) -> np.ndarray:
     """Tandem-repeat length at every offset, vectorized over positions.
 
     Exact semantics of find_tandem_repeat_units

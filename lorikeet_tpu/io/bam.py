@@ -26,6 +26,8 @@ CONSUMES_QUERY = (True, True, False, False, True, False, False, True, True)
 CONSUMES_REF = (True, False, True, True, False, False, False, True, True)
 
 _SEQ_NT = np.frombuffer(b"=ACMGRSVTWYHKDBN", np.uint8)
+_REF_OPS = frozenset("MDN=X")
+_QUERY_OPS = frozenset("MIS=X")
 
 # SAM flags
 FLAG_PAIRED = 0x1
@@ -107,8 +109,17 @@ class BamRecord:
 
     @property
     def reference_end(self) -> int:
-        """0-based exclusive end on the reference."""
-        return self.pos + sum(n for op, n in self.cigar if CONSUMES_REF[CIGAR_OPS.index(op)])
+        """0-based exclusive end on the reference.
+
+        Memoized: records are never mutated in place (clipping/realignment go
+        through dataclasses.replace, which builds a fresh record and so a
+        fresh cache slot).
+        """
+        end = self.__dict__.get("_reference_end")
+        if end is None:
+            end = self.pos + sum(n for op, n in self.cigar if op in _REF_OPS)
+            self.__dict__["_reference_end"] = end
+        return end
 
     @property
     def query_alignment_length(self) -> int:

@@ -90,3 +90,32 @@ def test_cold_compile_routing_and_prewarm(monkeypatch):
     for t in list(L._prewarm_threads.values()):
         t.join(5)
     assert prewarmed == [L._pallas_bucket(pairs)]
+
+
+def test_repeat_lengths_native_matches_numpy():
+    import numpy as np
+
+    from lorikeet_tpu.calling.likelihoods import (
+        MAX_REPEAT_LENGTH,
+        MAX_STR_UNIT_LENGTH,
+        _repeat_lengths_vector_np,
+    )
+    from lorikeet_tpu.ops.repeats_native import (
+        native_available,
+        repeat_lengths_native,
+    )
+
+    if not native_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(5)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    for trial in range(60):
+        n = int(rng.integers(0, 160))
+        if trial % 2:
+            seq = B[rng.integers(0, 2, n)]     # repeat-rich
+        else:
+            unit = B[rng.integers(0, 4, int(rng.integers(1, 7)))]
+            seq = np.tile(unit, 40)[:n]
+        got = repeat_lengths_native(seq, MAX_STR_UNIT_LENGTH, MAX_REPEAT_LENGTH)
+        assert np.array_equal(got, _repeat_lengths_vector_np(seq))
