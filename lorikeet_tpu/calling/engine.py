@@ -45,6 +45,9 @@ class CallerConfig:
     stand_min_conf: float = 25.0
     max_mnp_distance: int = 0
     min_base_quality: int = 10
+    # PCR indel error model: none|hostile|aggressive|conservative
+    # (cli.rs pcr-indel-model, pair_hmm_likelihood_calculation_engine.rs:61-90)
+    pcr_indel_model: str = "conservative"
     mapq_threshold: int = 20
     kmer_sizes: tuple = (21, 33)
     use_pallas: bool | None = None
@@ -314,8 +317,11 @@ class HaplotypeCallerEngine:
         if not any(reads_by_sample.values()):
             return None
 
-        from lorikeet_tpu.calling.likelihoods import build_pairs
-        pairs, index = build_pairs(haplotypes, reads_by_sample)
+        from lorikeet_tpu.calling.likelihoods import (PCR_INDEL_MODELS,
+                                                      build_pairs)
+        pairs, index = build_pairs(
+            haplotypes, reads_by_sample,
+            pcr_rate_factor=PCR_INDEL_MODELS[self.cfg.pcr_indel_model])
         if not pairs:
             return None
         return RegionWork(window_start, active_start, active_end, tid,

@@ -36,6 +36,12 @@ MAX_STR_UNIT_LENGTH = 20
 MAX_REPEAT_LENGTH = 100
 INITIAL_QSCORE = 40.0
 
+#: --pcr-indel-model -> repeat-cap rate factor (PCRErrorModel, pair_hmm_
+#: likelihood_calculation_engine.rs:61-90; the enum discriminant IS the
+#: rate factor; None disables the repeat scan entirely, :173-175)
+PCR_INDEL_MODELS = {"none": None, "hostile": 1.0, "aggressive": 2.0,
+                    "conservative": 3.0}
+
 
 @functools.lru_cache(maxsize=None)
 def _pcr_error_cache(rate_factor: float = 3.0) -> np.ndarray:
@@ -196,7 +202,8 @@ def _count_reps_backward(seq: np.ndarray, unit: np.ndarray) -> int:
     return reps
 
 
-def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False):
+def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False,
+                         pcr_rate_factor: float = 3.0):
     """(bases, quals, ins_quals, del_quals, gcps) after engine preparation."""
     bases = rec.seq
     quals = rec.qual.astype(np.int64)
@@ -206,10 +213,11 @@ def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False):
     n = len(bases)
     iq = np.full(n, DEFAULT_INS_QUAL, np.int64)
     dq = np.full(n, DEFAULT_DEL_QUAL, np.int64)
-    cache = _pcr_error_cache()
-    # conservative PCR model: cap indel quals by repeat content (vectorized;
+    cache = _pcr_error_cache(pcr_rate_factor) \
+        if pcr_rate_factor is not None else None
+    # PCR error model: cap indel quals by repeat content (vectorized;
     # apply_pcr_error_model caps position i-1 by the repeat length at i-1)
-    if n > 1:
+    if cache is not None and n > 1:
         rls = repeat_lengths_vector(bases)[:n - 1]
         caps = cache[rls].astype(np.int64)
         iq[:n - 1] = np.minimum(iq[:n - 1], caps)
@@ -288,7 +296,8 @@ class AlleleLikelihoods:
         return mat.argmax(axis=0)
 
 
-def build_pairs(haplotypes: list, reads_by_sample: dict):
+def build_pairs(haplotypes: list, reads_by_sample: dict,
+                pcr_rate_factor: float = 3.0):
     """Prepared (hap, read...) operand tuples + (sample, allele, read)
     index for every pair."""
     hap_arrays = [np.frombuffer(h.bases, np.uint8) for h in haplotypes]
@@ -296,7 +305,8 @@ def build_pairs(haplotypes: list, reads_by_sample: dict):
     index = []  # (sample, allele_idx, read_idx)
     for s in sorted(reads_by_sample):
         for r_idx, rec in enumerate(reads_by_sample[s]):
-            bases, q, iq, dq, gcp = prepare_read_for_hmm(rec)
+            bases, q, iq, dq, gcp = prepare_read_for_hmm(
+                rec, pcr_rate_factor=pcr_rate_factor)
             for a_idx, hap in enumerate(hap_arrays):
                 pairs.append((hap, bases, q, iq, dq, gcp))
                 index.append((s, a_idx, r_idx))

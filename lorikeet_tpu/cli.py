@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--min-prune-factor", dest="prune_factor", type=int,
                         default=1)
         sp.add_argument("--max-mnp-distance", type=int, default=0)
+        sp.add_argument("--pcr-indel-model", default="conservative",
+                        choices=["none", "hostile", "aggressive",
+                                 "conservative"],
+                        help="PCR indel error model aggressiveness "
+                             "(pcr-indel-model)")
         sp.add_argument("--min-assembly-region-size", type=int, default=50)
         sp.add_argument("--max-assembly-region-size", type=int, default=300)
         sp.add_argument("--assembly-region-padding", type=int, default=100)
@@ -253,6 +258,7 @@ def _base_config(args):
         heterozygosity_stdev=args.heterozygosity_stdev,
         stand_min_conf=args.stand_min_conf,
         max_mnp_distance=args.max_mnp_distance,
+        pcr_indel_model=args.pcr_indel_model,
         min_base_quality=args.min_base_quality,
         mapq_threshold=args.min_mapq,
         kmer_sizes=tuple(args.kmer_sizes),

@@ -119,3 +119,29 @@ def test_repeat_lengths_native_matches_numpy():
             seq = np.tile(unit, 40)[:n]
         got = repeat_lengths_native(seq, MAX_STR_UNIT_LENGTH, MAX_REPEAT_LENGTH)
         assert np.array_equal(got, _repeat_lengths_vector_np(seq))
+
+
+def test_pcr_indel_model_knob():
+    import numpy as np
+
+    from lorikeet_tpu.calling.likelihoods import (
+        PCR_INDEL_MODELS,
+        prepare_read_for_hmm,
+    )
+    from lorikeet_tpu.io.bam import BamRecord
+
+    # homopolymer run: repeat caps must bite, harder for lower rate factors
+    seq = np.frombuffer(b"ACGT" + b"A" * 12 + b"CGTC", np.uint8)
+    rec = BamRecord(name="r", flag=0, tid=0, pos=100, mapq=60,
+                    cigar=[("M", len(seq))], seq=seq,
+                    qual=np.full(len(seq), 30, np.uint8))
+    by_model = {}
+    for name, rate in PCR_INDEL_MODELS.items():
+        _, _, iq, dq, _ = prepare_read_for_hmm(rec, pcr_rate_factor=rate)
+        by_model[name] = (iq.copy(), dq.copy())
+    assert np.all(by_model["none"][0] == 45)       # no adjustment at all
+    assert by_model["conservative"][0].min() < 45  # repeat cap applied
+    # hostile <= aggressive <= conservative, pointwise
+    assert np.all(by_model["hostile"][0] <= by_model["aggressive"][0])
+    assert np.all(by_model["aggressive"][0] <= by_model["conservative"][0])
+    assert np.all(by_model["hostile"][1] <= by_model["conservative"][1])
