@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--parallel-genomes", type=int, default=1,
                         help="genomes analysed concurrently "
                              "(lorikeet_engine.rs scoped threadpool role)")
+        sp.add_argument("--split-bams", action="store_true",
+                        help="pre-split input BAMs into per-genome BAMs "
+                             "in the cache directory (index_bams.rs:84)")
         sp.add_argument("-l", "--longread-bam-files", nargs="+", default=None,
                         help="long-read BAM files (listed after short-read "
                              "samples)")
@@ -374,7 +377,9 @@ def main(argv=None) -> int:
                                extension=args.genome_fasta_extension,
                                limit=limit, force=args.force,
                                long_bam_paths=args.longread_bam_files,
-                               parallel_genomes=args.parallel_genomes)
+                               parallel_genomes=args.parallel_genomes,
+                               split_bams=args.split_bams,
+                               bam_cache_dir=args.bam_file_cache_directory)
 
     for genome, out in results.items():
         if out.get("cached"):

@@ -352,12 +352,42 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
     return {"vcf": vcf_path, "ani": ani_paths, "n_calls": len(all_calls)}
 
 
+def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
+                          cache_dir: str) -> dict:
+    """One BAM per (input BAM, genome) holding only that genome's contigs
+    (split_bams_to_references, index_bams.rs:84-160).  Returns
+    {(bam_path, genome_name): split_path}; split files keep the full
+    sequence dictionary and header (tids stay stable) and are reused when
+    already present."""
+    from lorikeet_tpu.io.bam_writer import write_bam
+    os.makedirs(cache_dir, exist_ok=True)
+    out = {}
+    for p, rdr in zip(bam_paths, bams):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        for spec in specs:
+            dest = os.path.join(cache_dir, f"{stem}_{spec.name}.bam")
+            out[(p, spec.name)] = dest
+            if os.path.exists(dest):
+                continue
+            tids = sorted(rdr.tid(c) for c in spec.contigs
+                          if c in rdr.references)
+            recs = [r for t in tids for r in rdr.fetch(t)]
+            write_bam(dest, rdr.references, rdr.lengths, recs,
+                      header_text=(rdr.header_text + "\n"
+                                   if rdr.header_text
+                                   and not rdr.header_text.endswith("\n")
+                                   else rdr.header_text) or None)
+    return out
+
+
 def start_engine(mode: str, references: list, bam_paths: list,
                  output_dir: str, cfg: CallerConfig = None,
                  genome_dir: str = None, extension: str = "fna",
                  sample_names=None, limit=None, force: bool = False,
                  long_bam_paths: list = None,
-                 parallel_genomes: int = 1) -> dict:
+                 parallel_genomes: int = 1,
+                 split_bams: bool = False,
+                 bam_cache_dir: str = None) -> dict:
     """Multi-genome orchestrator (start_lorikeet_engine,
     lorikeet_engine.rs:1075 + apply_per_reference :77): one output directory
     per genome, artifact-presence caching unless `force`
@@ -385,13 +415,27 @@ def start_engine(mode: str, references: list, bam_paths: list,
 
     from lorikeet_tpu.utils.progress import ProgressTree, StageTimer, log
 
+    split_map = None
+    if split_bams and len(specs) > 1:
+        # per-genome BAM split: each genome task decodes only its own
+        # (much smaller) BAM — the reference does this to avoid file-lock
+        # contention across genome threads (index_bams.rs:84)
+        split_map = split_bams_to_genomes(
+            bam_paths, bams, specs,
+            bam_cache_dir or os.path.join(output_dir, "split_bams"))
+
     progress = ProgressTree(len(specs))
     results = {}
 
     def run_one(spec):
         """Per-genome task (lorikeet_engine.rs:82,100 scoped threadpool
         role; host-bound stages overlap, device dispatches serialize)."""
-        _process_genome(spec, mode, bams, bam_paths, long_bam_paths,
+        if split_map is not None:
+            genome_bams = [BamReader(split_map[(p, spec.name)])
+                           for p in bam_paths]
+        else:
+            genome_bams = bams
+        _process_genome(spec, mode, genome_bams, bam_paths, long_bam_paths,
                         output_dir, cfg, sample_names, limit, force,
                         progress, results, log, StageTimer)
 

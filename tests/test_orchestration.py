@@ -83,3 +83,22 @@ def test_start_engine_parallel_genomes(tmp_path, sim_bam_7seqs):
     assert len(r) == 6
     assert all("error" not in v for v in r.values())
     assert r["genome2"]["n_calls"] == 1
+
+
+def test_start_engine_split_bams_equivalent(tmp_path, sim_bam_7seqs):
+    bam = sim_bam_7seqs
+    cfg = CallerConfig(use_pallas=False)
+    ref = [os.path.join(DATA, "7seqs.fna")]
+    out_a = str(tmp_path / "whole")
+    out_b = str(tmp_path / "split")
+    ra = start_engine("call", ref, [bam], out_a, cfg)
+    rb = start_engine("call", ref, [bam], out_b, cfg, split_bams=True)
+    assert all("error" not in v for v in rb.values())
+    # split BAMs were materialized, one per (bam, genome)
+    splits = os.listdir(os.path.join(out_b, "split_bams"))
+    assert len(splits) == 6
+    for g in ra:
+        with open(ra[g]["vcf"]) as fa, open(rb[g]["vcf"]) as fb:
+            body_a = [l for l in fa if not l.startswith("##")]
+            body_b = [l for l in fb if not l.startswith("##")]
+        assert body_a == body_b, g
