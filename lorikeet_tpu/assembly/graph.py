@@ -54,9 +54,11 @@ class Edge:
         self.current_sample += n
 
     def flush_sample(self, cap=1):
-        self.samples.append(self.current_sample)
-        self.samples.sort(reverse=True)
-        del self.samples[cap:]
+        s = self.samples
+        s.append(self.current_sample)
+        if len(s) > 1:
+            s.sort(reverse=True)
+            del s[cap:]
         self.current_sample = 0
 
     def pruning_multiplicity(self, cap=1):
@@ -132,6 +134,34 @@ class ReadThreadingGraph:
     def build(self):
         assert not self.built
         k = self.kmer_size
+        # native C++ builder when the toolchain is present (same thread
+        # order, reference first)
+        self.pending.sort(key=lambda t: not t[3])
+        from lorikeet_tpu.native.graph_native import build_graph_native
+        native = build_graph_native(self.pending, k)
+        if native is not None:
+            vertices, (e_u, e_v, e_mult, e_ref), ref_path = native
+            self.vertices = vertices
+            self.out_edges = [{} for _ in vertices]
+            self.in_edges = [{} for _ in vertices]
+            out, inn = self.out_edges, self.in_edges
+            enew = Edge.__new__
+            for u, v, m, r in zip(e_u.tolist(), e_v.tolist(),
+                                  e_mult.tolist(), e_ref.tolist()):
+                e = enew(Edge)
+                e.multiplicity = m
+                e.current_sample = m
+                e.is_ref = bool(r)
+                e.samples = []
+                out[u][v] = e
+                inn[v][u] = e
+            self.ref_path = ref_path.tolist()
+            if self.ref_path:
+                self.ref_source = self.ref_path[0]
+                self.ref_sink = self.ref_path[-1]
+            self.pending = []
+            self.built = True
+            return
         # per-sequence non-unique kmers, unioned (determine_non_unique_kmers)
         for _, seq, _, _ in self.pending:
             seen = set()

@@ -232,8 +232,13 @@ def accumulate_reads(profile: RefVsAnyProfile, recs, ref_seq: np.ndarray,
                      chunk_start: int, chunk_end: int, bq: int, ploidy: int):
     """Batched pileup over many reads: build per-read event arrays, flush
     scatter-adds once (the vectorized form of HOT LOOP 1,
-    haplotype_caller_engine.rs:754-899)."""
+    haplotype_caller_engine.rs:754-899).  Native C++ when the toolchain is
+    present, vectorized numpy otherwise."""
     table = _gl_update_table(ploidy)
+    from lorikeet_tpu.native.pileup_native import accumulate_reads_native
+    if accumulate_reads_native(profile, recs, ref_seq, chunk_start,
+                               chunk_end, bq, table):
+        return
     idx_all, q_all, alt_all = [], [], []
     for rec in recs:
         ev = accumulate_read(None, rec, ref_seq, chunk_start, chunk_end,

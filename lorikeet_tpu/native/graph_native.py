@@ -1,0 +1,85 @@
+"""ctypes wrapper for the native read-threading graph builder.
+
+Conformance spec: assembly/graph.py::ReadThreadingGraph.build
+(read_threading_graph.rs:111-140,484-660).  The native call returns vertex/
+edge/ref-path arrays from which the Python graph object is reconstructed.
+"""
+from __future__ import annotations
+
+import ctypes
+
+import numpy as np
+
+_lib = None
+_failed = False
+
+_u8p = ctypes.POINTER(ctypes.c_uint8)
+_i32p = ctypes.POINTER(ctypes.c_int32)
+_i64p = ctypes.POINTER(ctypes.c_int64)
+
+
+def _load():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    try:
+        from lorikeet_tpu.native import load
+        lib = load("graphbuild", ["graph_build.cpp"])
+        lib.graph_build.argtypes = [
+            _u8p, _i64p, _i32p, _u8p, ctypes.c_int64, ctypes.c_int,
+            _i64p, _i32p, _i32p, _i32p, _u8p, _i32p,
+            ctypes.c_int64, _i64p]
+        lib.graph_build.restype = ctypes.c_int
+        _lib = lib
+    except Exception:  # noqa: BLE001 — no toolchain: fall back to Python
+        _failed = True
+    return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def build_graph_native(pending: list, k: int):
+    """(vertices, edges, ref_path) from threading `pending` sequences —
+    [(name, seq bytes, count, is_ref)] in thread order (reference first) —
+    or None when the native builder is unavailable.
+
+    vertices: list[bytes kmers]; edges: (u, v, mult, is_ref) int arrays;
+    ref_path: int array.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(pending)
+    seq_buf = b"".join(p[1] for p in pending)
+    seq_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p[1]) for p in pending], out=seq_off[1:])
+    counts = np.fromiter((p[2] for p in pending), np.int32, n)
+    is_ref = np.fromiter((1 if p[3] else 0 for p in pending), np.uint8, n)
+    cap = int(sum(max(len(p[1]) - k + 1, 0) for p in pending)) + 1
+    buf = np.frombuffer(seq_buf, np.uint8)
+
+    v_off = np.empty(cap, np.int64)
+    e_u = np.empty(cap, np.int32)
+    e_v = np.empty(cap, np.int32)
+    e_mult = np.empty(cap, np.int32)
+    e_ref = np.empty(cap, np.uint8)
+    ref_path = np.empty(cap, np.int32)
+    out_counts = np.zeros(3, np.int64)
+
+    rc = lib.graph_build(
+        buf.ctypes.data_as(_u8p), seq_off.ctypes.data_as(_i64p),
+        counts.ctypes.data_as(_i32p), is_ref.ctypes.data_as(_u8p),
+        n, k,
+        v_off.ctypes.data_as(_i64p), e_u.ctypes.data_as(_i32p),
+        e_v.ctypes.data_as(_i32p), e_mult.ctypes.data_as(_i32p),
+        e_ref.ctypes.data_as(_u8p), ref_path.ctypes.data_as(_i32p),
+        cap, out_counts.ctypes.data_as(_i64p))
+    if rc != 0:
+        return None
+    nv, ne, nr = (int(x) for x in out_counts)
+    vertices = [seq_buf[int(o):int(o) + k] for o in v_off[:nv]]
+    return (vertices,
+            (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne]),
+            ref_path[:nr])

@@ -104,3 +104,58 @@ def test_region_cut_at_max_size():
     assert all(r.is_active for r in regions)
     assert all((r.end - r.start + 1) <= 300 for r in regions)
     assert sum(r.end - r.start + 1 for r in regions) == 1000
+
+
+def test_native_pileup_matches_per_read():
+    import numpy as np
+
+    from lorikeet_tpu.io.bam import BamRecord
+    from lorikeet_tpu.models.activity import (
+        RefVsAnyProfile,
+        accumulate_read,
+        accumulate_reads,
+    )
+    from lorikeet_tpu.native.pileup_native import native_available
+
+    if not native_available():
+        import pytest
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(9)
+    B = np.frombuffer(b"ACGT", np.uint8)
+    L = 1200
+    ref = B[rng.integers(0, 4, L)]
+    recs = []
+    for i in range(400):
+        rl = int(rng.integers(30, 120))
+        p = int(rng.integers(0, L - 30))
+        seq = B[rng.integers(0, 4, rl)]
+        qual = rng.integers(2, 45, rl).astype(np.uint8)
+        style = i % 5
+        if style == 0:
+            cigar = [("M", rl)]
+        elif style == 1:
+            s = max(1, rl // 4)
+            cigar = [("S", s), ("M", rl - s)]
+        elif style == 2:
+            a = rl // 3
+            cigar = [("M", a), ("I", a), ("M", rl - 2 * a)]
+        elif style == 3:
+            a = rl // 2
+            cigar = [("M", a), ("D", 5), ("M", rl - a)]
+        else:
+            s = max(1, rl // 5)
+            cigar = [("S", s), ("M", rl - 2 * s), ("S", s)]
+        recs.append(BamRecord(name=f"r{i}", flag=0, tid=0, pos=p, mapq=60,
+                              cigar=cigar, seq=seq, qual=qual))
+    for ploidy in (1, 2):
+        pa = RefVsAnyProfile.zeros(L, ploidy)
+        pb = RefVsAnyProfile.zeros(L, ploidy)
+        for r in recs:
+            accumulate_read(pa, r, ref, 0, L, bq=10, ploidy=ploidy)
+        accumulate_reads(pb, recs, ref, 0, L, bq=10, ploidy=ploidy)
+        assert np.array_equal(pa.read_counts, pb.read_counts)
+        assert np.array_equal(pa.ref_depth, pb.ref_depth)
+        assert np.array_equal(pa.nonref_depth, pb.nonref_depth)
+        assert np.array_equal(pa.hq_sc_n, pb.hq_sc_n)
+        assert np.allclose(pa.hq_sc_sum, pb.hq_sc_sum)
+        assert np.abs(pa.gl - pb.gl).max() < 1e-9
