@@ -49,6 +49,17 @@ class CallerConfig:
     # (cli.rs pcr-indel-model, pair_hmm_likelihood_calculation_engine.rs:61-90)
     pcr_indel_model: str = "conservative"
     mapq_threshold: int = 20
+    # pair-HMM likelihood-engine knobs
+    # (assembly_based_caller_utils.rs:926-966 create_likelihood_calculation_
+    # engine; cli.rs defaults)
+    pair_hmm_gcp: int = 10
+    base_quality_score_threshold: int = 18
+    disable_cap_base_qualities_to_map_quality: bool = False
+    phred_global_read_mismapping_rate: int = 45
+    disable_symmetric_hmm_normalizing: bool = False
+    disable_dynamic_read_disqualification: bool = False
+    dynamic_read_disqualification_threshold: float = 1.0
+    expected_mismatch_rate_for_read_disqualification: float = 0.02
     kmer_sizes: tuple = (21, 33)
     use_pallas: bool | None = None
     max_alt_alleles: int = 6
@@ -136,14 +147,25 @@ def call_regions_batched(engine: "HaplotypeCallerEngine",
     from lorikeet_tpu.calling.likelihoods import (
         assemble_likelihoods, compute_pair_likelihoods,
     )
+    cfg = engine.cfg
     all_pairs = [p for w in works for p in w.pairs]
-    lks = compute_pair_likelihoods(all_pairs, engine.cfg.use_pallas)
+    lks = compute_pair_likelihoods(all_pairs, cfg.use_pallas)
     out = []
     off = 0
     for w in works:
         n = len(w.pairs)
         likelihoods = assemble_likelihoods(
-            w.haplotypes, w.reads_by_sample, lks[off:off + n], w.index)
+            w.haplotypes, w.reads_by_sample, lks[off:off + n], w.index,
+            mismapping_cap=(cfg.phred_global_read_mismapping_rate / -10.0
+                            if cfg.phred_global_read_mismapping_rate >= 0
+                            else -np.inf),
+            symmetric=not cfg.disable_symmetric_hmm_normalizing,
+            dynamic_disqualification=
+            not cfg.disable_dynamic_read_disqualification,
+            dynamic_read_qual_constant=
+            cfg.dynamic_read_disqualification_threshold,
+            expected_error_rate=
+            cfg.expected_mismatch_rate_for_read_disqualification)
         off += n
         out.append(engine.genotype_region(w, likelihoods))
     return out
@@ -321,7 +343,12 @@ class HaplotypeCallerEngine:
                                                       build_pairs)
         pairs, index = build_pairs(
             haplotypes, reads_by_sample,
-            pcr_rate_factor=PCR_INDEL_MODELS[self.cfg.pcr_indel_model])
+            pcr_rate_factor=PCR_INDEL_MODELS[self.cfg.pcr_indel_model],
+            gcp_value=self.cfg.pair_hmm_gcp,
+            base_quality_score_threshold=
+            self.cfg.base_quality_score_threshold,
+            disable_cap_to_mapq=
+            self.cfg.disable_cap_base_qualities_to_map_quality)
         if not pairs:
             return None
         return RegionWork(window_start, active_start, active_end, tid,

@@ -30,8 +30,43 @@ DEFAULT_DEL_QUAL = 45
 DEFAULT_GCP = 10
 MIN_USABLE_Q = 6
 BASE_QUALITY_SCORE_THRESHOLD = 18
-EXPECTED_ERROR_RATE_PER_BASE = 0.001
+#: cli.rs expected-mismatch-rate-for-read-disqualification default
+EXPECTED_ERROR_RATE_PER_BASE = 0.02
 LOG10_QUAL_PER_BASE = -4.0
+
+#: (mean, variance) of the per-base log-qual contribution, indexed by
+#: baseQ 1..40 — the dynamic read-disqualification lookup table
+#: (pair_hmm_likelihood_calculation_engine.rs:23-41).  Threshold over a
+#: read = -(sum(means) + K * sqrt(sum(variances))) / 10.
+_DYN_QUAL_MEAN = np.array([
+    5.996842844, 5.870018422, 5.401558531, 4.818940919, 4.218758304,
+    3.646319832, 3.122346753, 2.654731979, 2.244479156, 1.88893867,
+    1.583645342, 1.3233807, 1.102785365, 0.916703025, 0.760361881,
+    0.629457387, 0.520175654, 0.42918208, 0.353590663, 0.290923699,
+    0.23906788, 0.196230431, 0.160897421, 0.131795374, 0.1078567,
+    0.088189063, 0.072048567, 0.058816518, 0.047979438, 0.039111985,
+    0.031862437, 0.025940415, 0.021106532, 0.017163711, 0.013949904,
+    0.011332027, 0.009200898, 0.007467036, 0.006057179, 0.004911394])
+_DYN_QUAL_VAR = np.array([
+    0.196616587, 1.388545569, 5.641990128, 10.33176216, 14.25799688,
+    17.02880749, 18.64537883, 19.27521677, 19.13584613, 18.43922003,
+    17.36842261, 16.07088712, 14.65952563, 13.21718577, 11.80207947,
+    10.45304833, 9.194183767, 8.038657241, 6.991779595, 6.053379213,
+    5.219610436, 4.484302033, 3.839943445, 3.27839108, 2.791361596,
+    2.370765375, 2.008921719, 1.698687797, 1.433525748, 1.207526336,
+    1.015402928, 0.852465956, 0.714585285, 0.598145851, 0.500000349,
+    0.41742159, 0.348056286, 0.289881373, 0.241163527, 0.200422214])
+
+
+def dynamic_read_qual_threshold(quals: np.ndarray,
+                                dynamic_read_qual_constant: float) -> float:
+    """log10 disqualification threshold for one read's (prepared) base quals
+    (calculate_log10_dynamic_read_qual_threshold,
+    pair_hmm_likelihood_calculation_engine.rs:261-290)."""
+    idx = np.clip(quals.astype(np.int64), 1, 40) - 1
+    s_mean = float(_DYN_QUAL_MEAN[idx].sum())
+    s_var = float(_DYN_QUAL_VAR[idx].sum())
+    return (s_mean + dynamic_read_qual_constant * np.sqrt(s_var)) * -0.1
 MAX_STR_UNIT_LENGTH = 20
 MAX_REPEAT_LENGTH = 100
 INITIAL_QSCORE = 40.0
@@ -203,13 +238,20 @@ def _count_reps_backward(seq: np.ndarray, unit: np.ndarray) -> int:
 
 
 def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False,
-                         pcr_rate_factor: float = 3.0):
-    """(bases, quals, ins_quals, del_quals, gcps) after engine preparation."""
+                         pcr_rate_factor: float = 3.0,
+                         gcp_value: int = DEFAULT_GCP,
+                         base_quality_score_threshold: int =
+                         BASE_QUALITY_SCORE_THRESHOLD):
+    """(bases, quals, ins_quals, del_quals, gcps) after engine preparation.
+
+    Also stashes the prepared base quals on the record as ``hmm_quals``
+    (the HMMQuals transient attribute the reference keeps for dynamic read
+    disqualification, pair_hmm_likelihood_calculation_engine.rs:268-272)."""
     bases = rec.seq
     quals = rec.qual.astype(np.int64)
     if not disable_cap_to_mapq:
         quals = np.minimum(quals, rec.mapq)
-    quals = np.where(quals < BASE_QUALITY_SCORE_THRESHOLD, MIN_USABLE_Q, quals)
+    quals = np.where(quals < base_quality_score_threshold, MIN_USABLE_Q, quals)
     n = len(bases)
     iq = np.full(n, DEFAULT_INS_QUAL, np.int64)
     dq = np.full(n, DEFAULT_DEL_QUAL, np.int64)
@@ -224,9 +266,10 @@ def prepare_read_for_hmm(rec, disable_cap_to_mapq: bool = False,
         dq[:n - 1] = np.minimum(dq[:n - 1], caps)
     iq = np.where(iq < MIN_USABLE_Q, MIN_USABLE_Q, iq)
     dq = np.where(dq < MIN_USABLE_Q, MIN_USABLE_Q, dq)
-    gcp = np.full(n, DEFAULT_GCP, np.uint8)
-    return (bases, quals.astype(np.uint8), iq.astype(np.uint8),
-            dq.astype(np.uint8), gcp)
+    gcp = np.full(n, gcp_value, np.uint8)
+    quals = quals.astype(np.uint8)
+    rec.hmm_quals = quals
+    return (bases, quals, iq.astype(np.uint8), dq.astype(np.uint8), gcp)
 
 
 class AlleleLikelihoods:
@@ -244,23 +287,52 @@ class AlleleLikelihoods:
         return sorted(self.reads_by_sample)
 
     def normalize_likelihoods(self, cap: float, symmetric: bool = True):
+        """Cap each read's worst likelihood at best + cap
+        (allele_likelihoods.rs:378-447).  ``cap = -inf`` disables.  With
+        ``symmetric`` the best may be the reference allele; otherwise only
+        alt alleles compete (disable-symmetric-hmm-normalizing)."""
+        if cap == -np.inf:
+            return
         for s, mat in self.values.items():
             if mat.shape[0] <= 1 or mat.shape[1] == 0:
                 continue
-            best = mat.max(axis=0)
+            if symmetric:
+                best = mat.max(axis=0)
+            else:
+                non_ref = [i for i, a in enumerate(self.alleles)
+                           if not getattr(a, "is_ref", False)]
+                best = mat[non_ref].max(axis=0) if non_ref else mat.max(axis=0)
             floor = best + cap
             np.maximum(mat, floor[None, :], out=mat)
 
-    def filter_poorly_modeled_evidence(self):
-        """Static threshold: best lk < min(2, ceil(len*0.001))*-4 -> drop."""
+    def filter_poorly_modeled_evidence(
+            self, dynamic: bool = True,
+            dynamic_read_qual_constant: float = 1.0,
+            expected_error_rate: float = EXPECTED_ERROR_RATE_PER_BASE):
+        """Drop reads whose best likelihood falls below the disqualification
+        threshold (allele_likelihoods.rs:925 +
+        pair_hmm_likelihood_calculation_engine.rs:226-320).
+
+        Static (``dynamic=False``): min(2, ceil(len*rate)) * -4.
+        Dynamic (reference default): min(lookup-table threshold over the
+        prepared HMM quals, ceil(len*rate) * -4) — uncapped static arm.
+        """
         for s in list(self.reads_by_sample):
             reads = self.reads_by_sample[s]
             mat = self.values[s]
             if not reads:
                 continue
-            thresholds = np.array([
-                min(2.0, np.ceil(len(r) * EXPECTED_ERROR_RATE_PER_BASE))
-                * LOG10_QUAL_PER_BASE for r in reads])
+            if dynamic:
+                static = np.array([np.ceil(len(r) * expected_error_rate)
+                                   * LOG10_QUAL_PER_BASE for r in reads])
+                dyn = np.array([dynamic_read_qual_threshold(
+                    getattr(r, "hmm_quals", r.qual),
+                    dynamic_read_qual_constant) for r in reads])
+                thresholds = np.minimum(static, dyn)
+            else:
+                thresholds = np.array([
+                    min(2.0, np.ceil(len(r) * expected_error_rate))
+                    * LOG10_QUAL_PER_BASE for r in reads])
             keep = mat.max(axis=0) >= thresholds
             self.filtered_reads[s] = [r for r, k in zip(reads, keep) if not k]
             self.reads_by_sample[s] = [r for r, k in zip(reads, keep) if k]
@@ -297,7 +369,11 @@ class AlleleLikelihoods:
 
 
 def build_pairs(haplotypes: list, reads_by_sample: dict,
-                pcr_rate_factor: float = 3.0):
+                pcr_rate_factor: float = 3.0,
+                gcp_value: int = DEFAULT_GCP,
+                base_quality_score_threshold: int =
+                BASE_QUALITY_SCORE_THRESHOLD,
+                disable_cap_to_mapq: bool = False):
     """Prepared (hap, read...) operand tuples + (sample, allele, read)
     index for every pair."""
     hap_arrays = [np.frombuffer(h.bases, np.uint8) for h in haplotypes]
@@ -306,7 +382,9 @@ def build_pairs(haplotypes: list, reads_by_sample: dict,
     for s in sorted(reads_by_sample):
         for r_idx, rec in enumerate(reads_by_sample[s]):
             bases, q, iq, dq, gcp = prepare_read_for_hmm(
-                rec, pcr_rate_factor=pcr_rate_factor)
+                rec, pcr_rate_factor=pcr_rate_factor, gcp_value=gcp_value,
+                base_quality_score_threshold=base_quality_score_threshold,
+                disable_cap_to_mapq=disable_cap_to_mapq)
             for a_idx, hap in enumerate(hap_arrays):
                 pairs.append((hap, bases, q, iq, dq, gcp))
                 index.append((s, a_idx, r_idx))
@@ -404,14 +482,23 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
 
 
 def assemble_likelihoods(haplotypes: list, reads_by_sample: dict,
-                         lks: np.ndarray, index: list) -> AlleleLikelihoods:
+                         lks: np.ndarray, index: list,
+                         mismapping_cap: float = -4.5,
+                         symmetric: bool = True,
+                         dynamic_disqualification: bool = True,
+                         dynamic_read_qual_constant: float = 1.0,
+                         expected_error_rate: float =
+                         EXPECTED_ERROR_RATE_PER_BASE) -> AlleleLikelihoods:
     """Scatter computed pair likelihoods into the per-sample matrices and
-    apply normalization (cap -4.5) + read disqualification."""
+    apply normalization (cap = log10 error prob of the phred global read
+    mismapping rate, default 45 -> -4.5) + read disqualification."""
     result = AlleleLikelihoods(haplotypes, reads_by_sample)
     for (s, a_idx, r_idx), lk in zip(index, lks):
         result.values[s][a_idx, r_idx] = lk
-    result.normalize_likelihoods(-4.5)
-    result.filter_poorly_modeled_evidence()
+    result.normalize_likelihoods(mismapping_cap, symmetric)
+    result.filter_poorly_modeled_evidence(
+        dynamic_disqualification, dynamic_read_qual_constant,
+        expected_error_rate)
     return result
 
 

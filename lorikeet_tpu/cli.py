@@ -108,6 +108,40 @@ def build_parser() -> argparse.ArgumentParser:
                                  "conservative"],
                         help="PCR indel error model aggressiveness "
                              "(pcr-indel-model)")
+        sp.add_argument("--pair-hmm-gap-continuation-penalty", type=int,
+                        default=10,
+                        help="phred gap-continuation penalty for the "
+                             "pair-HMM")
+        sp.add_argument("--base-quality-score-threshold", type=int,
+                        default=18,
+                        help="base quals below this are reduced to the "
+                             "minimum usable quality (6)")
+        sp.add_argument("--disable-cap-base-qualities-to-map-quality",
+                        action="store_true",
+                        help="do not cap base qualities at the read's MAPQ "
+                             "in the pair-HMM")
+        sp.add_argument("--phred-scaled-global-read-mismapping-rate",
+                        type=int, default=45,
+                        help="cap per-read likelihood spread at this phred "
+                             "rate (normalize_likelihoods); negative "
+                             "disables")
+        sp.add_argument("--disable-symmetric-hmm-normalizing",
+                        action="store_true",
+                        help="normalize against the best ALT likelihood "
+                             "instead of the overall best")
+        sp.add_argument("--disable-dynamic-read-disqualification-for-"
+                        "genotyping", dest="disable_dynamic_disq",
+                        action="store_true",
+                        help="use only the static threshold when dropping "
+                             "poorly modeled reads")
+        sp.add_argument("--dynamic-read-disqualification-threshold",
+                        type=float, default=1.0,
+                        help="constant K in the dynamic read "
+                             "disqualification threshold")
+        sp.add_argument("--expected-mismatch-rate-for-read-disqualification",
+                        type=float, default=0.02,
+                        help="expected per-base error rate for read "
+                             "disqualification")
         sp.add_argument("--min-assembly-region-size", type=int, default=50)
         sp.add_argument("--max-assembly-region-size", type=int, default=300)
         sp.add_argument("--assembly-region-padding", type=int, default=100)
@@ -262,6 +296,19 @@ def _base_config(args):
         stand_min_conf=args.stand_min_conf,
         max_mnp_distance=args.max_mnp_distance,
         pcr_indel_model=args.pcr_indel_model,
+        pair_hmm_gcp=args.pair_hmm_gap_continuation_penalty,
+        base_quality_score_threshold=args.base_quality_score_threshold,
+        disable_cap_base_qualities_to_map_quality=
+        args.disable_cap_base_qualities_to_map_quality,
+        phred_global_read_mismapping_rate=
+        args.phred_scaled_global_read_mismapping_rate,
+        disable_symmetric_hmm_normalizing=
+        args.disable_symmetric_hmm_normalizing,
+        disable_dynamic_read_disqualification=args.disable_dynamic_disq,
+        dynamic_read_disqualification_threshold=
+        args.dynamic_read_disqualification_threshold,
+        expected_mismatch_rate_for_read_disqualification=
+        args.expected_mismatch_rate_for_read_disqualification,
         min_base_quality=args.min_base_quality,
         mapq_threshold=args.min_mapq,
         kmer_sizes=tuple(args.kmer_sizes),
