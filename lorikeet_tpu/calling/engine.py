@@ -60,6 +60,27 @@ class CallerConfig:
     disable_dynamic_read_disqualification: bool = False
     dynamic_read_disqualification_threshold: float = 1.0
     expected_mismatch_rate_for_read_disqualification: float = 0.02
+    # genotyping knobs (haplotype_caller_genotyping_engine.rs:101-330,
+    # genotyping_engine.rs:51-250, cli.rs defaults)
+    allele_informative_reads_overlap_margin: int = 2
+    disable_spanning_event_genotyping: bool = False
+    do_not_run_physical_phasing: bool = False
+    genotype_assignment_method: str = "UsePLsToAssign"
+    use_posteriors_to_calculate_qual: bool = False
+    annotate_with_num_discovered_alleles: bool = False
+    # QUAL component of ANI/strain site qualification
+    # (cli.rs qual-threshold; lorikeet_engine.rs:447 qual_filter = q/-10)
+    qual_threshold: float = 150.0
+    # second mapq gate applied to reads entering per-region calling
+    # (cli.rs mapping-quality-threshold-for-genotyping,
+    #  haplotype_caller_engine.rs:241,1272)
+    mapping_quality_threshold_for_genotyping: int = 20
+    # keep processing regions with no assembled variation
+    # (haplotype_caller_engine.rs:1227 disable-optimizations)
+    disable_optimizations: bool = False
+    # genotype-mode split filter (cli.rs min-variant-depth-for-genotyping,
+    # variant_context_utils.rs:607-690)
+    min_variant_depth_for_genotyping: int = 10
     kmer_sizes: tuple = (21, 33)
     use_pallas: bool | None = None
     max_alt_alleles: int = 6
@@ -206,15 +227,46 @@ class GenotypingEngine:
         genotypes = self._subset_and_assign(vc, out_alleles)
         call = VariantContext(vc.tid, vc.start, vc.end, out_alleles, genotypes)
         call.log10_p_error = log10_confidence
+        # QUAL from genotype posteriors when present and requested
+        # (genotyping_engine.rs:216-236 use-posteriors-to-calculate-qual)
+        if self.cfg.use_posteriors_to_calculate_qual:
+            log10_no_var = self._phred_no_variant_posterior(genotypes)
+            if log10_no_var is not None and not np.isnan(log10_no_var):
+                call.log10_p_error = (
+                    log10_no_var if not site_is_monomorphic
+                    else log10_one_minus_pow10(log10_no_var))
         an = sum(g.ploidy for g in genotypes if g.alleles)
         call.attributes["MLEAC"] = mle_counts
         call.attributes["MLEAF"] = [min(1.0, c / an) if an else 0.0
                                     for c in mle_counts]
+        if self.cfg.annotate_with_num_discovered_alleles:
+            # NDA = alt alleles discovered before output subsetting
+            # (genotyping_engine.rs:520-526)
+            call.attributes["NDA"] = vc.n_alleles - 1
         return call
 
+    @staticmethod
+    def _phred_no_variant_posterior(genotypes) -> float | None:
+        """Sum over samples of log10 P(hom-ref) from GP attributes
+        (genotyping_engine.rs:252-296, non-spanning-deletion arm)."""
+        total = None
+        for g in genotypes:
+            gp = g.attributes.get("GP")
+            if gp is None:
+                continue
+            gp = np.asarray(gp, float)
+            from lorikeet_tpu.utils.math import log10_sum_log10
+            reducer = max(0.0, log10_sum_log10(gp))
+            val = gp[0] - reducer
+            total = val if total is None else total + val
+        return total
+
     def _subset_and_assign(self, vc: VariantContext, out_alleles):
-        """Subset GLs to the output alleles and assign GT by best likelihood
-        (AlleleSubsettingUtils::subset_alleles + UsePLsToAssign)."""
+        """Subset GLs to the output alleles and assign GT per the configured
+        genotype-assignment-method (AlleleSubsettingUtils::subset_alleles,
+        genotype_builder.rs:13-31: UsePLsToAssign default; SetToNoCall /
+        DoNotAssignGenotypes leave the call empty; BestMatchToOriginal keeps
+        prior calls where the allele survived subsetting)."""
         old_idx = [vc.alleles.index(a) for a in out_alleles]
         counts_new = genotype_count_matrix(self.cfg.ploidy, len(out_alleles))
         counts_old = genotype_count_matrix(self.cfg.ploidy, vc.n_alleles)
@@ -227,17 +279,28 @@ class GenotypingEngine:
             gmap.append(int(np.nonzero((counts_old == old_row).all(axis=1))[0][0]))
         gmap = np.array(gmap)
 
+        method = self.cfg.genotype_assignment_method
         out = []
         for g in vc.genotypes:
             gl = g.log10_likelihoods[gmap]
             gl = gl - gl.max()
-            best = int(np.argmax(gl))
-            alleles = [out_alleles[a]
-                       for a in np.repeat(np.arange(len(out_alleles)),
-                                          counts_new[best])]
-            pls = np.rint(-10.0 * (gl - gl.max())).astype(np.int64)
-            sorted_pls = np.sort(pls)
-            gq = int(min(99, sorted_pls[1] - sorted_pls[0])) if len(pls) > 1 else -1
+            if method in ("SetToNoCall", "SetToNoCallNoAnnotations",
+                          "DoNotAssignGenotypes"):
+                alleles = []
+                gq = -1
+            elif method == "BestMatchToOriginal":
+                alleles = [a if a in out_alleles else out_alleles[0]
+                           for a in g.alleles]
+                gq = -1
+            else:                      # UsePLsToAssign (default)
+                best = int(np.argmax(gl))
+                alleles = [out_alleles[a]
+                           for a in np.repeat(np.arange(len(out_alleles)),
+                                              counts_new[best])]
+                pls = np.rint(-10.0 * (gl - gl.max())).astype(np.int64)
+                sorted_pls = np.sort(pls)
+                gq = int(min(99, sorted_pls[1] - sorted_pls[0])) \
+                    if len(pls) > 1 else -1
             ng = Genotype(g.sample, g.ploidy, gl, alleles, gq=gq,
                           dp=g.dp, ad=g.ad.copy() if g.ad is not None else None)
             # subset AD to output alleles
@@ -290,6 +353,13 @@ class HaplotypeCallerEngine:
             reads_by_sample, window_start,
             window_start + len(ref_window) - 1,
             min_base_quality=self.cfg.min_base_quality)
+        # second mapq gate before assembly/genotyping
+        # (haplotype_caller_engine.rs:1272 filter_non_passing_reads)
+        mq_gate = self.cfg.mapping_quality_threshold_for_genotyping
+        if mq_gate > 0:
+            reads_by_sample = {
+                s: [r for r in reads if r.mapq >= mq_gate]
+                for s, reads in reads_by_sample.items()}
         if not any(reads_by_sample.values()):
             return None
         haplotypes = assemble_region(
@@ -325,7 +395,12 @@ class HaplotypeCallerEngine:
         in_active = [vc for vc in all_events
                      if vc.start <= active_end and vc.end >= active_start]
         if not in_active:
-            return None
+            if not self.cfg.disable_optimizations:
+                return None
+            # keep the whole window live (haplotype_caller_engine.rs:1227)
+            in_active = all_events
+            if not in_active:
+                return None
         pad_lo = min(vc.start - (SNP_PADDING if vc.start == vc.end
                                  else INDEL_PADDING) for vc in in_active)
         pad_hi = max(vc.end + (SNP_PADDING if vc.start == vc.end
@@ -371,19 +446,23 @@ class HaplotypeCallerEngine:
 
         start_positions = sorted({loc for ev in hap_events for loc in ev})
 
+        emit_span = not self.cfg.disable_spanning_event_genotyping
+        margin = self.cfg.allele_informative_reads_overlap_margin
         calls = []
         for loc in start_positions:
             if loc < active_start or loc > active_end:
                 continue
-            events = events_at_locus(loc, hap_events)
+            events = events_at_locus(loc, hap_events,
+                                     include_spanning=emit_span)
             merged = merge_events(events, loc)
             if merged is None:
                 continue
             merged.tid = tid
-            mapper = create_allele_mapper(merged, loc, haplotypes, hap_events)
+            mapper = create_allele_mapper(merged, loc, haplotypes, hap_events,
+                                          emit_spanning_dels=emit_span)
             allele_lks = likelihoods.marginalize(mapper)
-            window_lo = merged.start - ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
-            window_hi = merged.end + ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN
+            window_lo = merged.start - margin
+            window_hi = merged.end + margin
             allele_lks.retain_evidence(
                 lambda r: r.pos <= window_hi and r.reference_end > window_lo)
 
@@ -402,7 +481,10 @@ class HaplotypeCallerEngine:
             self._annotate(call, allele_lks)
             calls.append(call)
         # physical phasing over the region's calls
-        # (assembly_based_caller_utils.rs:975 phase_calls)
+        # (assembly_based_caller_utils.rs:975 phase_calls;
+        #  cli.rs do-not-run-physical-phasing)
+        if self.cfg.do_not_run_physical_phasing:
+            return calls
         from lorikeet_tpu.calling.phasing import phase_calls
         return phase_calls(calls, hap_events)
 
@@ -492,9 +574,10 @@ class HaplotypeCallerEngine:
             call.attributes["BQ"] = bq
         # QF: variant qualifies for ANI analyses
         # (variant_context_utils.rs:99-148 check_thresholds: QD >= filter
-        #  and QUAL >= 150, i.e. log10_p_error <= -15)
+        #  and QUAL >= qual-threshold, default 150 -> log10_p_error <= -15;
+        #  lorikeet_engine.rs:447 qual_filter = qual-threshold / -10)
         qd_val = call.attributes.get("QD")
         qualified = (qd_val is not None
                      and float(qd_val) >= self.cfg.qual_by_depth_filter
-                     and call.log10_p_error <= -15.0)
+                     and call.log10_p_error <= self.cfg.qual_threshold / -10.0)
         call.attributes["QF"] = "true" if qualified else "false"

@@ -131,9 +131,16 @@ def merge_events(events: list, loc: int) -> VariantContext | None:
 
 
 def create_allele_mapper(merged: VariantContext, loc: int, haplotypes: list,
-                         hap_events: list) -> dict:
+                         hap_events: list,
+                         emit_spanning_dels: bool = True) -> dict:
     """allele -> list of haplotype indices supporting it
-    (assembly_based_caller_utils.rs:720-758)."""
+    (assembly_based_caller_utils.rs:720-840).
+
+    With ``emit_spanning_dels`` haplotypes carrying a deletion spanning loc
+    map to the '*' allele when present (reference otherwise); without it
+    (disable-spanning-event-genotyping) they map to reference.  A haplotype
+    whose event alt is absent from the merged alleles (e.g. after GGA-mode
+    subsetting) is left unassigned, as in the reference (:776-798)."""
     mapper = {a: [] for a in merged.alleles}
     ref = merged.reference
     for h, events in enumerate(hap_events):
@@ -145,8 +152,10 @@ def create_allele_mapper(merged: VariantContext, loc: int, haplotypes: list,
                     spanning = ev
                     break
             if spanning is not None:
-                if SPAN_DEL_ALLELE in mapper:
+                if emit_spanning_dels and SPAN_DEL_ALLELE in mapper:
                     mapper[SPAN_DEL_ALLELE].append(h)
+                else:
+                    mapper[ref].append(h)
                 continue
             mapper[ref].append(h)
         else:
@@ -154,6 +163,5 @@ def create_allele_mapper(merged: VariantContext, loc: int, haplotypes: list,
             alt = Allele(vc.alternate_alleles[0].bases + pad, False)
             if alt in mapper:
                 mapper[alt].append(h)
-            else:
-                mapper[ref].append(h)
+            # else: unassigned (reference passes, :776-798)
     return mapper

@@ -142,6 +142,46 @@ def build_parser() -> argparse.ArgumentParser:
                         type=float, default=0.02,
                         help="expected per-base error rate for read "
                              "disqualification")
+        sp.add_argument("--allele-informative-reads-overlap-margin",
+                        type=int, default=2,
+                        help="likelihood window margin around each variant "
+                             "for informative reads")
+        sp.add_argument("--disable-spanning-event-genotyping",
+                        action="store_true",
+                        help="do not genotype deletions spanning a locus "
+                             "as '*' alleles")
+        sp.add_argument("--do-not-run-physical-phasing",
+                        action="store_true",
+                        help="skip physical phasing (PGT/PID/PS)")
+        sp.add_argument("--genotype-assignment-method",
+                        default="UsePLsToAssign",
+                        choices=["UsePLsToAssign",
+                                 "UsePosteriorProbabilities",
+                                 "BestMatchToOriginal", "SetToNoCall",
+                                 "DoNotAssignGenotypes"],
+                        help="how GT is assigned after allele subsetting")
+        sp.add_argument("--use-posteriors-to-calculate-qual",
+                        action="store_true",
+                        help="derive QUAL from genotype posteriors (GP) "
+                             "when present")
+        sp.add_argument("--annotate-with-num-discovered-alleles",
+                        action="store_true",
+                        help="add NDA (number of discovered alt alleles) "
+                             "to INFO")
+        sp.add_argument("--qual-threshold", type=float, default=150.0,
+                        help="minimum QUAL for ANI/strain site "
+                             "qualification")
+        sp.add_argument("--min-variant-depth-for-genotyping", type=int,
+                        default=10,
+                        help="minimum summed alt depth for an allele to "
+                             "enter strain genotyping")
+        sp.add_argument("--mapping-quality-threshold-for-genotyping",
+                        type=int, default=20,
+                        help="mapq gate on reads entering per-region "
+                             "calling")
+        sp.add_argument("--disable-optimizations", action="store_true",
+                        help="keep processing regions with no assembled "
+                             "variation")
         sp.add_argument("--min-assembly-region-size", type=int, default=50)
         sp.add_argument("--max-assembly-region-size", type=int, default=300)
         sp.add_argument("--assembly-region-padding", type=int, default=100)
@@ -309,6 +349,22 @@ def _base_config(args):
         args.dynamic_read_disqualification_threshold,
         expected_mismatch_rate_for_read_disqualification=
         args.expected_mismatch_rate_for_read_disqualification,
+        allele_informative_reads_overlap_margin=
+        args.allele_informative_reads_overlap_margin,
+        disable_spanning_event_genotyping=
+        args.disable_spanning_event_genotyping,
+        do_not_run_physical_phasing=args.do_not_run_physical_phasing,
+        genotype_assignment_method=args.genotype_assignment_method,
+        use_posteriors_to_calculate_qual=
+        args.use_posteriors_to_calculate_qual,
+        annotate_with_num_discovered_alleles=
+        args.annotate_with_num_discovered_alleles,
+        qual_threshold=args.qual_threshold,
+        min_variant_depth_for_genotyping=
+        args.min_variant_depth_for_genotyping,
+        mapping_quality_threshold_for_genotyping=
+        args.mapping_quality_threshold_for_genotyping,
+        disable_optimizations=args.disable_optimizations,
         min_base_quality=args.min_base_quality,
         mapq_threshold=args.min_mapq,
         kmer_sizes=tuple(args.kmer_sizes),

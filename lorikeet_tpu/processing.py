@@ -497,7 +497,9 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
                         spec.fasta, out["vcf"], gdir, bam_paths=bam_paths,
                         contigs=spec.contigs, genome_name=spec.name,
                         qual_by_depth_filter=getattr(
-                            cfg, "qual_by_depth_filter", 25.0)))
+                            cfg, "qual_by_depth_filter", 25.0),
+                        min_variant_depth=getattr(
+                            cfg, "min_variant_depth_for_genotyping", 10)))
             out["timings"] = timer.timings()
             results[spec.name] = out
         except Exception as exc:  # noqa: BLE001

@@ -30,14 +30,21 @@ from lorikeet_tpu.strain.ani import site_passes
 from lorikeet_tpu.strain.consensus import _write_fasta
 
 
-def split_contexts(contexts, qual_by_depth_filter=25.0):
-    """One context per alt allele for qualifying sites
-    (variant_context_utils.rs:607)."""
+def split_contexts(contexts, qual_by_depth_filter=25.0,
+                   min_variant_depth: int = 10):
+    """One context per alt allele for qualifying sites, dropping alleles
+    whose summed alt depth across samples is below
+    min-variant-depth-for-genotyping (variant_context_utils.rs:607-690)."""
     out = []
     for vc in contexts:
         if not site_passes(vc, qual_by_depth_filter):
             continue
         for ai, alt in enumerate(vc.alternate_alleles, start=1):
+            variant_depth = sum(
+                int(g.ad[ai]) for g in vc.genotypes
+                if g.ad is not None and ai < len(g.ad))
+            if variant_depth < min_variant_depth:
+                continue
             split = VariantContext(vc.tid, vc.start, vc.end,
                                    [vc.reference, alt], vc.genotypes)
             split.log10_p_error = vc.log10_p_error
@@ -157,7 +164,8 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
 def run_genotype(reference: str, vcf_path: str, output_dir: str,
                  bam_paths: list = None, contigs: list = None,
                  genome_name: str = None,
-                 qual_by_depth_filter: float = 25.0) -> dict:
+                 qual_by_depth_filter: float = 25.0,
+                 min_variant_depth: int = 10) -> dict:
     """Cluster variants into variant groups, link groups into strains via
     read linkage (linkage_engine.rs:73), estimate abundances, write strain
     FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
@@ -174,7 +182,8 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     contig_names = contigs if contigs is not None else (vcf_contigs
                                                        or fasta.names)
 
-    split = split_contexts(contexts, qual_by_depth_filter)
+    split = split_contexts(contexts, qual_by_depth_filter,
+                           min_variant_depth=min_variant_depth)
     labels, separations = cluster_variants(split)
     groups = sorted(set(labels.tolist()) - {-1})
     for vc, lab in zip(split, labels):
