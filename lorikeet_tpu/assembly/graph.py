@@ -453,9 +453,15 @@ class ReadThreadingGraph:
 
     # ---------------- dangling end recovery ----------------
     def recover_dangling_ends(self, min_dangling_branch_length: int = 1,
-                              min_matching_bases: int = 3):
+                              min_matching_bases: int = -1,
+                              recover_all: bool = False):
         """Merge dangling tails/heads into the reference path via SW
-        (abstract_read_threading_graph.rs:231-455, common cases)."""
+        (abstract_read_threading_graph.rs:231-455, read_threading_graph.rs:
+        770-1100).  ``min_matching_bases < 0`` is the legacy gate (any
+        non-zero suffix match merges); >= 0 requires that many matching
+        bases at the junction.  ``recover_all`` keeps walking through fork
+        vertices along the highest-multiplicity edge (recover branches with
+        forks, read_threading_graph.rs:783,828)."""
         if self.ref_source is None:
             return
         ref_set = set(self.ref_path)
@@ -463,31 +469,53 @@ class ReadThreadingGraph:
             if sink in ref_set or sink == self.ref_sink:
                 continue
             self._recover_tail(sink, ref_set, min_dangling_branch_length,
-                               min_matching_bases)
+                               min_matching_bases, recover_all)
         for source in list(self.sources()):
             if source in ref_set or source == self.ref_source:
                 continue
             self._recover_head(source, ref_set, min_dangling_branch_length,
-                               min_matching_bases)
+                               min_matching_bases, recover_all)
 
-    def _walk_back(self, vertex, adj, ref_set):
+    def _walk_back(self, vertex, adj, ref_set, recover_all=False):
         """Walk the linear chain from a dangling vertex until a reference or
-        branching vertex; returns the vertex list (dangling end first)."""
+        branching vertex; returns the vertex list (dangling end first).
+        With ``recover_all`` forks don't stop the walk: it follows the
+        highest-multiplicity incident edge (bounded by graph size)."""
         path = [vertex]
         cur = vertex
-        while True:
+        limit = len(self.vertices) + 1
+        while len(path) < limit:
             edges = adj[cur]
-            if len(edges) != 1:
+            if len(edges) == 1:
+                nxt = next(iter(edges))
+            elif recover_all and edges:
+                nxt = max(edges, key=lambda t: edges[t].multiplicity)
+            else:
                 break
-            nxt = next(iter(edges))
+            if nxt in path:
+                break
             path.append(nxt)
             cur = nxt
             if nxt in ref_set:
                 break
             other = self.out_edges[nxt] if adj is self.in_edges else self.in_edges[nxt]
-            if len(other) > 1:
+            if len(other) > 1 and not recover_all:
                 break
         return path
+
+    @staticmethod
+    def _longest_suffix_match(ref_seq: bytes, dangling_seq: bytes,
+                              ref_end: int) -> int:
+        """Longest common suffix of dangling_seq and ref_seq[:ref_end+1]
+        (abstract_read_threading_graph.rs:202-214)."""
+        n = 0
+        i = ref_end
+        j = len(dangling_seq) - 1
+        while i >= 0 and j >= 0 and ref_seq[i] == dangling_seq[j]:
+            n += 1
+            i -= 1
+            j -= 1
+        return n
 
     def _seq_of(self, path_rev):
         """Bases of a forward-ordered vertex path: first kmer + suffixes."""
@@ -498,8 +526,25 @@ class ReadThreadingGraph:
             out.append(self.vertices[v][-1])
         return bytes(out)
 
-    def _recover_tail(self, sink, ref_set, min_len, min_matching):
-        path = self._walk_back(sink, self.in_edges, ref_set)  # sink..branch
+    def _matching_suffix(self, cigar, ref_seq, dangling_seq, min_matching):
+        """Suffix-match gate shared by tail/head merges
+        (read_threading_graph.rs:975-1000 merge_dangling_tail): the number
+        of junction bases that actually match, capped at the final cigar M
+        run; None when below the configured floor."""
+        last_ref_index = sum(n for op, n in cigar if op in "MD") - 1
+        matching = min(
+            self._longest_suffix_match(ref_seq, dangling_seq, last_ref_index),
+            cigar[-1][1])
+        if min_matching >= 0:
+            if matching < min_matching:
+                return None
+        elif matching == 0:
+            return None
+        return matching
+
+    def _recover_tail(self, sink, ref_set, min_len, min_matching,
+                      recover_all=False):
+        path = self._walk_back(sink, self.in_edges, ref_set, recover_all)
         if len(path) < 2 or path[-1] not in ref_set:
             return
         branch = path[-1]
@@ -514,8 +559,11 @@ class ReadThreadingGraph:
         dangling_seq = self._seq_of(fwd)
         ref_seq = self._seq_of(ref_fwd)
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
-        # require the alignment to END in >= min_matching matched bases
-        if not cigar or cigar[-1][0] != "M" or cigar[-1][1] < min_matching:
+        # the alignment must END in a match run (cigar_is_okay_to_merge)
+        if not cigar or cigar[-1][0] != "M":
+            return
+        if self._matching_suffix(cigar, ref_seq, dangling_seq,
+                                 min_matching) is None:
             return
         # position on the ref path where the dangling tail rejoins
         ref_consumed = sum(n for op, n in cigar if op in "MD")
@@ -527,8 +575,9 @@ class ReadThreadingGraph:
             return
         self._edge(sink, join_vertex, False).inc(1)
 
-    def _recover_head(self, source, ref_set, min_len, min_matching):
-        path = self._walk_back(source, self.out_edges, ref_set)  # source..branch
+    def _recover_head(self, source, ref_set, min_len, min_matching,
+                      recover_all=False):
+        path = self._walk_back(source, self.out_edges, ref_set, recover_all)
         if len(path) < 2 or path[-1] not in ref_set:
             return
         if len(path) - 1 < min_len:
@@ -543,7 +592,10 @@ class ReadThreadingGraph:
         # align reversed sequences so the head behaves like a tail
         ref_seq = self._seq_of(ref_back)[::-1]
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
-        if not cigar or cigar[-1][0] != "M" or cigar[-1][1] < min_matching:
+        if not cigar or cigar[-1][0] != "M":
+            return
+        if self._matching_suffix(cigar, ref_seq, dangling_seq,
+                                 min_matching) is None:
             return
         ref_consumed = sum(n for op, n in cigar if op in "MD")
         join_offset = ref_consumed - self.kmer_size
@@ -621,6 +673,46 @@ class AssembledHaplotype:
     alignment_start_offset: int = 0
 
 
+MINIMUM_ACTIVITY_DENSITY_THRESHOLD = 0.2
+DEFAULT_ADDITIONAL_KMERS = (19, 35, 47)
+
+
+def compute_additional_kmer_sizes(activity_density: float,
+                                  current_sizes) -> list:
+    """Density-keyed extra kmer sizes for busy regions
+    (assembly_region.rs:120-151): the denser the active positions, the more
+    extra sizes; each candidate is bumped by +3 until it clears +-5 of every
+    existing size."""
+    if activity_density < MINIMUM_ACTIVITY_DENSITY_THRESHOLD:
+        return []
+    if activity_density - MINIMUM_ACTIVITY_DENSITY_THRESHOLD > 0.4:
+        candidates = DEFAULT_ADDITIONAL_KMERS
+    elif activity_density - MINIMUM_ACTIVITY_DENSITY_THRESHOLD > 0.2:
+        candidates = DEFAULT_ADDITIONAL_KMERS[1:]
+    else:
+        candidates = DEFAULT_ADDITIONAL_KMERS[1:2]
+    out = []
+    existing = list(current_sizes)
+    for k in candidates:
+        while any(abs(cur - k) < 5 for cur in existing):
+            k += 3
+        out.append(k)
+        existing.append(k)
+    return out
+
+
+def _ref_has_non_unique_kmers(ref_bytes: bytes, k: int) -> bool:
+    """read_threading_graph.rs:111-140 applied to the reference alone: a
+    kmer size fails when the reference repeats a kmer (unless allowed)."""
+    seen = set()
+    for i in range(len(ref_bytes) - k + 1):
+        km = ref_bytes[i:i + k]
+        if km in seen:
+            return True
+        seen.add(km)
+    return False
+
+
 def assemble_region(
     ref_seq: np.ndarray,
     reads_by_sample: dict,
@@ -631,7 +723,12 @@ def assemble_region(
     num_pruning_samples: int = 1,
     max_paths: int = 128,
     min_dangling_branch_length: int = 1,
+    min_matching_bases: int = -1,
+    recover_dangling_branches: bool = True,
+    recover_all_dangling_branches: bool = False,
     allow_kmer_extension: bool = True,
+    allow_non_unique_kmers_in_ref: bool = False,
+    activity_density: float = 0.0,
     region_size: int = None,
     use_adaptive_pruning: bool = False,
     initial_error_rate_for_pruning: float = 0.001,
@@ -665,13 +762,33 @@ def assemble_region(
     haplotypes[ref_bytes] = ref_hap
 
     sizes = list(kmer_sizes)
+    # density-keyed additional kmer sizes for busy regions
+    # (assembly_region.rs:120-151; gated upstream by
+    # --disable-automatic-kmer-adjustment passing density 0)
+    sizes += compute_additional_kmer_sizes(activity_density, sizes)
     attempts = 0
+
+    def _retry_larger_k(k):
+        """Append a larger odd kmer size (read_threading_assembler.rs:
+        419-450 retry on cycles / non-unique ref kmers)."""
+        nonlocal attempts
+        if allow_kmer_extension and attempts < MAX_KMER_ITERATIONS_TO_ATTEMPT \
+           and k == sizes[-1]:
+            sizes.append(k + KMER_SIZE_ITERATION_INCREASE * (attempts + 1) + (k % 2 == 0))
+            attempts += 1
+
     for k in sizes:
         if len(ref_bytes) < k + 2:
             continue
+        # non-unique ref kmers fail this kmer size unless explicitly allowed
+        # (--allow-non-unique-kmers-in-ref; read_threading_assembler
+        # create_graph ref-uniqueness gate)
+        if not allow_non_unique_kmers_in_ref \
+                and _ref_has_non_unique_kmers(ref_bytes, k):
+            _retry_larger_k(k)
+            continue
         graph = ReadThreadingGraph(k, num_pruning_samples)
         graph.add_sequence(ref_bytes, 1, True, "ref")
-        # non-unique ref kmers fail this kmer size (unless the graph is fine)
         for sample in sorted(reads_by_sample):
             for rec in reads_by_sample[sample]:
                 graph.add_read(rec, min_base_quality)
@@ -680,10 +797,7 @@ def assemble_region(
         if graph.ref_source is None or graph.ref_sink is None:
             continue
         if graph.has_cycle():
-            if allow_kmer_extension and attempts < MAX_KMER_ITERATIONS_TO_ATTEMPT \
-               and k == sizes[-1]:
-                sizes.append(k + KMER_SIZE_ITERATION_INCREASE * (attempts + 1) + (k % 2 == 0))
-                attempts += 1
+            _retry_larger_k(k)
             continue
         if use_adaptive_pruning:
             graph.prune_chains_adaptive(initial_error_rate_for_pruning,
@@ -692,7 +806,10 @@ def assemble_region(
                                         max_unpruned_variants)
         else:
             graph.prune_low_weight_chains(prune_factor)
-        graph.recover_dangling_ends(min_dangling_branch_length)
+        if recover_dangling_branches:
+            graph.recover_dangling_ends(min_dangling_branch_length,
+                                        min_matching_bases,
+                                        recover_all_dangling_branches)
         if graph.has_cycle():
             continue
         if generate_seq_graph:

@@ -135,17 +135,60 @@ def hard_clip_soft_clips(rec: BamRecord) -> BamRecord:
     return clip_by_read_indices(rec, lead, len(rec.seq) - tail)
 
 
-def hard_clip_low_qual_ends(rec: BamRecord, q_threshold: int) -> BamRecord:
-    quals = rec.qual
+def _low_qual_end_bounds(quals, q_threshold: int):
     lo = 0
     hi = len(quals)
     while lo < hi and quals[lo] <= q_threshold:
         lo += 1
     while hi > lo and quals[hi - 1] <= q_threshold:
         hi -= 1
-    if lo == 0 and hi == len(quals):
+    return lo, hi
+
+
+def hard_clip_low_qual_ends(rec: BamRecord, q_threshold: int) -> BamRecord:
+    lo, hi = _low_qual_end_bounds(rec.qual, q_threshold)
+    if lo == 0 and hi == len(rec.qual):
         return rec
     return clip_by_read_indices(rec, lo, hi)
+
+
+def soft_clip_low_qual_ends(rec: BamRecord, q_threshold: int) -> BamRecord:
+    """--soft-clip-low-quality-ends: mark low-quality tails as soft clips
+    instead of dropping them (read_clipper.rs ClippingRepresentation::
+    SOFTCLIP_BASES path of clip_low_qual_ends; finalize_regions arg at
+    assembly_based_caller_utils.rs:111)."""
+    lo, hi = _low_qual_end_bounds(rec.qual, q_threshold)
+    if lo == 0 and hi == len(rec.qual):
+        return rec
+    if lo >= hi:
+        return _replace(rec, cigar=[], seq=rec.seq[:0], qual=rec.qual[:0])
+    refpos = query_ref_positions(rec)
+    new_cigar = []
+    if lo:
+        new_cigar.append(("S", lo))
+    q = 0
+    new_pos = None
+    for op, n in rec.cigar:
+        ci = CIGAR_OPS.index(op)
+        if CONSUMES_QUERY[ci]:
+            klo, khi = max(q, lo), min(q + n, hi)
+            if khi > klo:
+                new_cigar.append((op, khi - klo))
+                if CONSUMES_REF[ci] and new_pos is None:
+                    new_pos = int(refpos[klo]) if refpos[klo] >= 0 else rec.pos
+            q += n
+        elif lo < q < hi:   # interior D/N
+            new_cigar.append((op, n))
+    if len(rec.qual) - hi:
+        new_cigar.append(("S", len(rec.qual) - hi))
+    merged = []
+    for op, n in new_cigar:
+        if merged and merged[-1][0] == op:
+            merged[-1] = (op, merged[-1][1] + n)
+        else:
+            merged.append((op, n))
+    return _replace(rec, pos=new_pos if new_pos is not None else rec.pos,
+                    cigar=merged)
 
 
 def adaptor_boundary(rec: BamRecord):
@@ -228,6 +271,7 @@ def adjust_overlapping_pair_quals(reads: list) -> None:
 def finalize_region_reads(reads_by_sample: dict, padded_start: int,
                           padded_end: int, min_base_quality: int = 10,
                           dont_use_soft_clipped_bases: bool = False,
+                          soft_clip_low_quality_ends: bool = False,
                           correct_overlapping_quals: bool = True) -> dict:
     """finalize_regions pipeline over {sample: [BamRecord]}; returns the
     finalized mapping (records are clipped copies, input order by position)."""
@@ -240,7 +284,10 @@ def finalize_region_reads(reads_by_sample: dict, padded_start: int,
                 r = hard_clip_soft_clips(rec)
             else:
                 r = revert_soft_clips(rec)
-            r = hard_clip_low_qual_ends(r, min_tail_quality)
+            if soft_clip_low_quality_ends:
+                r = soft_clip_low_qual_ends(r, min_tail_quality)
+            else:
+                r = hard_clip_low_qual_ends(r, min_tail_quality)
             if not len(r.seq):
                 continue
             r = hard_clip_adaptor_sequence(r)

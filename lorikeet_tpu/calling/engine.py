@@ -31,9 +31,6 @@ from lorikeet_tpu.utils.math import log10_one_minus_pow10
 ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN = 2
 MAX_QD_BEFORE_FIXING = 45.0
 IDEAL_HIGH_QD = 45.0
-# region trimming paddings (cli.rs:1775-1792 defaults)
-SNP_PADDING = 20
-INDEL_PADDING = 75
 
 
 @dataclass
@@ -91,8 +88,15 @@ class CallerConfig:
     min_long_read_average_base_qual: int = 20
     # alignment thresholding (filter.rs; None/inactive by default)
     alignment_thresholds: object = None
+    # BAM flag gates (mod.rs:19-37 FlagFilter; utils.rs:606-608 defaults:
+    # improper pairs/secondary excluded, supplementary kept). None uses
+    # those defaults via io.filter.FlagFilter.
+    flag_filter: object = None
     # svim structural-variant QUAL filter (cli.rs min-sv-qual)
     min_sv_qual: int = 3
+    # skip the svim SV stage entirely (cli.rs do-not-call-svs,
+    # lorikeet_engine.rs:370-383)
+    do_not_call_svs: bool = False
     # forced-calling feature VCF (cli.rs features-vcf,
     # assembly_region_walker.rs:133-195)
     features_vcf: str = None
@@ -118,6 +122,34 @@ class CallerConfig:
     assembly_region_padding: int = 100
     active_prob_threshold: float = 0.002
     max_input_depth: int = 200_000
+    # region trimming paddings (cli.rs:1775-1799 defaults;
+    # assembly_region_trimmer.rs:61-130: indels get indel padding, or
+    # str padding + longest repeat run at tandem-repeat sites)
+    snp_padding_for_genotyping: int = 20
+    indel_padding_for_genotyping: int = 75
+    str_padding_for_genotyping: int = 75
+    max_extension_into_region_padding: int = 25
+    # band-pass probability propagation cap (cli.rs
+    # max-prob-propagation-distance, band_pass_activity_profile.rs)
+    max_prob_propagation_distance: int = 50
+    # contigs shorter than this are skipped entirely
+    # (cli.rs min-contig-size, haplotype_caller_engine.rs:340,418)
+    min_contig_size: int = 0
+    # read-threading assembly knobs (haplotype_caller_engine.rs:120-200
+    # assembler construction; cli.rs:1588-1767 defaults)
+    max_allowed_path_for_read_threading_assembler: int = 128
+    num_pruning_samples: int = 1
+    dont_increase_kmer_sizes_for_cycles: bool = False
+    disable_automatic_kmer_adjustment: bool = False
+    allow_non_unique_kmers_in_ref: bool = False
+    recover_dangling_branches: bool = True
+    recover_all_dangling_branches: bool = False
+    min_dangling_branch_length: int = 1
+    min_matching_bases_to_dangling_end_recovery: int = -1
+    # region finalization soft-clip handling
+    # (assembly_based_caller_utils.rs:295-311 finalize_regions args)
+    dont_use_soft_clipped_bases: bool = False
+    soft_clip_low_quality_ends: bool = False
     # host worker threads for per-contig parallelism (cli.rs --threads;
     # the rayon-pool analogue — device batches stay whole-chunk)
     threads: int = 1
@@ -143,6 +175,9 @@ class CallerConfig:
         if p in ("very-fast", "fast", "precise", "sensitive",
                  "super-sensitive"):
             self.disable_prune_factor_correction = True
+            # every preset pins these off (haplotype_caller_engine.rs:255-298)
+            self.allow_non_unique_kmers_in_ref = False
+            self.recover_all_dangling_branches = False
 
 
 @dataclass
@@ -336,7 +371,7 @@ class HaplotypeCallerEngine:
 
     def prepare_region(
         self, ref_window, window_start, active_start, active_end,
-        reads_by_sample, tid=0, given_alleles=None,
+        reads_by_sample, tid=0, given_alleles=None, activity_density=0.0,
     ):
         """Host phases up to the pair-HMM: finalize reads, assemble, event
         maps, trim.  Returns a RegionWork or None when nothing to call.
@@ -352,7 +387,9 @@ class HaplotypeCallerEngine:
         reads_by_sample = finalize_region_reads(
             reads_by_sample, window_start,
             window_start + len(ref_window) - 1,
-            min_base_quality=self.cfg.min_base_quality)
+            min_base_quality=self.cfg.min_base_quality,
+            dont_use_soft_clipped_bases=self.cfg.dont_use_soft_clipped_bases,
+            soft_clip_low_quality_ends=self.cfg.soft_clip_low_quality_ends)
         # second mapq gate before assembly/genotyping
         # (haplotype_caller_engine.rs:1272 filter_non_passing_reads)
         mq_gate = self.cfg.mapping_quality_threshold_for_genotyping
@@ -368,11 +405,21 @@ class HaplotypeCallerEngine:
             min_base_quality=self.cfg.min_base_quality,
             prune_factor=self.cfg.prune_factor,
             disable_prune_correction=self.cfg.disable_prune_factor_correction,
+            num_pruning_samples=self.cfg.num_pruning_samples,
+            max_paths=self.cfg.max_allowed_path_for_read_threading_assembler,
             use_adaptive_pruning=self.cfg.use_adaptive_pruning,
             initial_error_rate_for_pruning=self.cfg.initial_error_rate_for_pruning,
             pruning_log_odds_threshold=self.cfg.pruning_log_odds_threshold,
             pruning_seeding_log_odds_threshold=self.cfg.pruning_seeding_log_odds_threshold,
             max_unpruned_variants=self.cfg.max_unpruned_variants,
+            allow_kmer_extension=not self.cfg.dont_increase_kmer_sizes_for_cycles,
+            allow_non_unique_kmers_in_ref=self.cfg.allow_non_unique_kmers_in_ref,
+            recover_dangling_branches=self.cfg.recover_dangling_branches,
+            recover_all_dangling_branches=self.cfg.recover_all_dangling_branches,
+            min_dangling_branch_length=self.cfg.min_dangling_branch_length,
+            min_matching_bases=self.cfg.min_matching_bases_to_dangling_end_recovery,
+            activity_density=(0.0 if self.cfg.disable_automatic_kmer_adjustment
+                              else activity_density),
             dot_path=self.cfg.graph_output,
             dot_prefix=f"tid{tid}_pos{window_start}_")
         if len(haplotypes) <= 1 and not given_alleles:
@@ -401,10 +448,26 @@ class HaplotypeCallerEngine:
             in_active = all_events
             if not in_active:
                 return None
-        pad_lo = min(vc.start - (SNP_PADDING if vc.start == vc.end
-                                 else INDEL_PADDING) for vc in in_active)
-        pad_hi = max(vc.end + (SNP_PADDING if vc.start == vc.end
-                               else INDEL_PADDING) for vc in in_active)
+        # per-variant padding: SNPs get snp padding; indels get indel
+        # padding, or str padding + the longest tandem-repeat run when the
+        # site is repeat-decomposable (assembly_region_trimmer.rs:96-117)
+        from lorikeet_tpu.utils.repeats import vc_tandem_repeat_units
+        ref_bytes = np.asarray(ref_window, np.uint8).tobytes()
+
+        def _padding(vc):
+            if vc.start == vc.end and all(len(a.bases) == 1
+                                          for a in vc.alleles
+                                          if not a.is_symbolic):
+                return self.cfg.snp_padding_for_genotyping
+            repeats = vc_tandem_repeat_units(vc, ref_bytes, window_start)
+            if repeats is not None:
+                counts, unit = repeats
+                return (self.cfg.str_padding_for_genotyping
+                        + max(counts) * len(unit))
+            return self.cfg.indel_padding_for_genotyping
+
+        pad_lo = min(vc.start - _padding(vc) for vc in in_active)
+        pad_hi = max(vc.end + _padding(vc) for vc in in_active)
         pad_lo = max(pad_lo, window_start)
         pad_hi = min(pad_hi, window_start + len(ref_window) - 1)
         reads_by_sample = {

@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="forward FASTQ files (with -2)")
         sp.add_argument("-2", dest="read2", nargs="+", default=None,
                         help="reverse FASTQ files (with -1)")
+        sp.add_argument("-c", "--coupled", nargs="+", default=None,
+                        help="forward/reverse FASTQ files alternating "
+                             "(f1 r1 f2 r2 ...)")
         sp.add_argument("--single", nargs="+", default=None,
                         help="unpaired FASTQ files")
         sp.add_argument("--interleaved", nargs="+", default=None,
@@ -102,6 +105,106 @@ def build_parser() -> argparse.ArgumentParser:
                              "to this file (base_graph.rs:505)")
         sp.add_argument("--min-prune-factor", dest="prune_factor", type=int,
                         default=1)
+        sp.add_argument("--num-pruning-samples", type=int, default=1,
+                        help="number of samples whose top multiplicities "
+                             "set an edge's pruning multiplicity")
+        sp.add_argument("--disable-prune-factor-correction",
+                        action="store_true",
+                        help="do not rescale the prune factor by region "
+                             "coverage")
+        sp.add_argument("--max-allowed-path-for-read-threading-assembler",
+                        type=int, default=128,
+                        help="cap on k-best haplotype paths per graph")
+        sp.add_argument("--dont-increase-kmer-sizes-for-cycles",
+                        action="store_true",
+                        help="fail assembly at a kmer size instead of "
+                             "retrying larger odd sizes on cycles")
+        sp.add_argument("--disable-automatic-kmer-adjustment",
+                        action="store_true",
+                        help="do not add extra kmer sizes in high "
+                             "activity-density regions")
+        sp.add_argument("--allow-non-unique-kmers-in-ref",
+                        action="store_true",
+                        help="assemble kmer sizes whose reference window "
+                             "repeats a kmer")
+        sp.add_argument("--do-not-recover-dangling-branches",
+                        action="store_true",
+                        help="disable dangling tail/head recovery")
+        sp.add_argument("--recover-all-dangling-branches",
+                        action="store_true",
+                        help="walk through forks when recovering dangling "
+                             "branches")
+        sp.add_argument("--min-dangling-branch-length", type=int, default=1,
+                        help="minimum dangling branch length to attempt "
+                             "recovery")
+        sp.add_argument("--min-matching-bases-to-dangling-end-recovery",
+                        type=int, default=-1,
+                        help="junction bases that must match to merge a "
+                             "dangling end (-1 = legacy any-match)")
+        sp.add_argument("--dont-use-soft-clipped-bases",
+                        action="store_true",
+                        help="hard-clip soft clips before assembly instead "
+                             "of reverting them")
+        sp.add_argument("--soft-clip-low-quality-ends",
+                        action="store_true",
+                        help="soft-clip (keep) low-quality tails instead "
+                             "of hard-clipping them")
+        sp.add_argument("--snp-padding-for-genotyping", type=int, default=20,
+                        help="region-trim padding around SNPs")
+        sp.add_argument("--indel-padding-for-genotyping", type=int,
+                        default=75, help="region-trim padding around indels")
+        sp.add_argument("--str-padding-for-genotyping", type=int, default=75,
+                        help="region-trim padding around tandem-repeat "
+                             "indels (plus the repeat run length)")
+        sp.add_argument("--max-extension-into-region-padding", type=int,
+                        default=25,
+                        help="legacy-trim cap on extension into the padded "
+                             "region")
+        sp.add_argument("--max-prob-propagation-distance", type=int,
+                        default=50,
+                        help="cap on soft-clip activity propagation in the "
+                             "band-pass profile")
+        sp.add_argument("--min-contig-size", type=int, default=0,
+                        help="skip contigs shorter than this")
+        sp.add_argument("--allow-improper-pairs", action="store_true",
+                        help="keep improperly paired reads")
+        sp.add_argument("--include-secondary", action="store_true",
+                        help="keep secondary alignments in the BAM filter "
+                             "layer (the caller still drops them, "
+                             "read_utils.rs:44)")
+        sp.add_argument("--exclude-supplementary", action="store_true",
+                        help="drop supplementary alignments")
+        sp.add_argument("--keep-unmapped", action="store_true",
+                        help="keep unmapped reads in cached mapper BAMs")
+        sp.add_argument("--do-not-call-svs", action="store_true",
+                        help="skip svim structural-variant calling on "
+                             "long-read samples")
+        sp.add_argument("--prodigal-params", default="",
+                        help="extra arguments for prodigal when "
+                             "--calculate-dnds has no --gff-file")
+        sp.add_argument("--minimap2-reference-is-index", action="store_true",
+                        help="treat -r as a prebuilt minimap2 .mmi index")
+        # accepted for reference CLI parity; declared but never read by the
+        # reference either (cli.rs defines them; no non-CLI use sites)
+        for inert in ("--high-memory", "--sharded", "--no-zeros",
+                      "--error-correct-reads", "--use-linked-debruijn-graph",
+                      "--enable-legacy-graph-cycle-detection",
+                      "--debug-graph-transformations", "--disable-avx"):
+            sp.add_argument(inert, action="store_true",
+                            help=argparse.SUPPRESS)
+        for inert, dv in (("--min-covered-fraction", 0.0),
+                          ("--trim-min", 0.05), ("--trim-max", 0.95),
+                          ("--contig-end-exclusion", 0.0)):
+            sp.add_argument(inert, type=float, default=dv,
+                            help=argparse.SUPPRESS)
+        sp.add_argument("--kmer-length-for-read-error-correction", type=int,
+                        default=25, help=argparse.SUPPRESS)
+        sp.add_argument("--min-observations-for-kmers-to-be-solid", type=int,
+                        default=20, help=argparse.SUPPRESS)
+        sp.add_argument("--exclude-genomes-from-deshard", default=None,
+                        help=argparse.SUPPRESS)
+        sp.add_argument("--debug-graph-output", default=None,
+                        help=argparse.SUPPRESS)
         sp.add_argument("--max-mnp-distance", type=int, default=0)
         sp.add_argument("--pcr-indel-model", default="conservative",
                         choices=["none", "hostile", "aggressive",
@@ -319,6 +422,35 @@ def _caller_config(args):
     cfg.depth_per_sample_filter = args.depth_per_sample_filter
     cfg.graph_output = args.graph_output
     cfg.threads = args.threads
+    cfg.num_pruning_samples = args.num_pruning_samples
+    cfg.disable_prune_factor_correction = args.disable_prune_factor_correction
+    cfg.max_allowed_path_for_read_threading_assembler = \
+        args.max_allowed_path_for_read_threading_assembler
+    cfg.dont_increase_kmer_sizes_for_cycles = \
+        args.dont_increase_kmer_sizes_for_cycles
+    cfg.disable_automatic_kmer_adjustment = \
+        args.disable_automatic_kmer_adjustment
+    cfg.allow_non_unique_kmers_in_ref = args.allow_non_unique_kmers_in_ref
+    cfg.recover_dangling_branches = not args.do_not_recover_dangling_branches
+    cfg.recover_all_dangling_branches = args.recover_all_dangling_branches
+    cfg.min_dangling_branch_length = args.min_dangling_branch_length
+    cfg.min_matching_bases_to_dangling_end_recovery = \
+        args.min_matching_bases_to_dangling_end_recovery
+    cfg.dont_use_soft_clipped_bases = args.dont_use_soft_clipped_bases
+    cfg.soft_clip_low_quality_ends = args.soft_clip_low_quality_ends
+    cfg.snp_padding_for_genotyping = args.snp_padding_for_genotyping
+    cfg.indel_padding_for_genotyping = args.indel_padding_for_genotyping
+    cfg.str_padding_for_genotyping = args.str_padding_for_genotyping
+    cfg.max_extension_into_region_padding = \
+        args.max_extension_into_region_padding
+    cfg.max_prob_propagation_distance = args.max_prob_propagation_distance
+    cfg.min_contig_size = args.min_contig_size
+    cfg.do_not_call_svs = args.do_not_call_svs
+    from lorikeet_tpu.io.filter import FlagFilter
+    cfg.flag_filter = FlagFilter(
+        include_improper_pairs=args.allow_improper_pairs,
+        include_secondary=args.include_secondary,
+        include_supplementary=not args.exclude_supplementary)
     if getattr(args, "profile", None):
         # profile presets override the knobs they cover
         # (haplotype_caller_engine.rs:246-298)
@@ -420,13 +552,17 @@ def main(argv=None) -> int:
         print("supply -r and/or -d", file=sys.stderr)
         return 2
     if args.calculate_dnds and not args.gff_file:
-        print("--calculate-dnds requires --gff-file", file=sys.stderr)
-        return 2
+        from lorikeet_tpu.io.mapping import check_for_external_command
+        if not check_for_external_command("prodigal"):
+            print("--calculate-dnds needs --gff-file or prodigal on PATH",
+                  file=sys.stderr)
+            return 2
 
     # raw-read inputs: map to cached BAMs first (bam_generator.rs role)
     bam_files = list(args.bam_files or [])
     long_bam_files = list(args.longread_bam_files or [])
-    if args.read1 or args.single or args.interleaved or args.longreads:
+    if args.read1 or args.coupled or args.single or args.interleaved \
+            or args.longreads:
         from lorikeet_tpu.io.mapping import map_reads_to_bam
         cache = args.bam_file_cache_directory or os.path.join(
             args.output_directory, "bams")
@@ -441,12 +577,21 @@ def main(argv=None) -> int:
                 map_reads_to_bam(mapper or args.mapper, ref, out, r1, r2,
                                  interleaved=interleaved,
                                  threads=args.threads, params=params,
-                                 sample_name=stem)
+                                 sample_name=stem,
+                                 discard_unmapped=not args.keep_unmapped,
+                                 reference_is_index=
+                                 args.minimap2_reference_is_index)
             return out
 
         for i, r1 in enumerate(args.read1 or []):
             r2 = args.read2[i] if args.read2 and i < len(args.read2) else None
             bam_files.append(_map(r1, r2))
+        coupled = args.coupled or []
+        if len(coupled) % 2:
+            print("--coupled needs an even number of files", file=sys.stderr)
+            return 2
+        for i in range(0, len(coupled), 2):
+            bam_files.append(_map(coupled[i], coupled[i + 1]))
         for r1 in args.single or []:
             bam_files.append(_map(r1))
         for r1 in args.interleaved or []:
@@ -489,10 +634,16 @@ def main(argv=None) -> int:
             continue
         gdir = os.path.join(args.output_directory, genome)
         if args.calculate_dnds:
-            from lorikeet_tpu.strain.dnds import calculate_dnds
+            from lorikeet_tpu.strain.dnds import calculate_dnds, check_for_gff
             # dN/dS runs against the FASTA the genome's contigs live in
             ref = _fasta_for_genome(args, genome)
-            out["dnds"] = calculate_dnds(ref, out["vcf"], args.gff_file, gdir)
+            gff = args.gff_file or check_for_gff(ref, gdir,
+                                                 args.prodigal_params)
+            if gff is None:
+                print(f"no GFF for {genome} and prodigal unavailable; "
+                      "skipping dN/dS", file=sys.stderr)
+            else:
+                out["dnds"] = calculate_dnds(ref, out["vcf"], gff, gdir)
         if args.calculate_fst:
             from lorikeet_tpu.io.vcf import read_vcf
             from lorikeet_tpu.strain.fst import write_fst

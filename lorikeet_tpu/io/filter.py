@@ -15,9 +15,23 @@ from dataclasses import dataclass
 
 @dataclass
 class FlagFilter:
+    """Defaults match utils.rs:606-608: improper pairs and secondary
+    alignments are excluded, supplementary alignments are KEPT unless
+    --exclude-supplementary is given."""
     include_improper_pairs: bool = False
     include_secondary: bool = False
-    include_supplementary: bool = False
+    include_supplementary: bool = True
+
+    def passes(self, rec) -> bool:
+        """mod.rs:25-37 FlagFilter::passes."""
+        if not self.include_secondary and rec.is_secondary:
+            return False
+        if not self.include_supplementary and rec.is_supplementary:
+            return False
+        if not self.include_improper_pairs and rec.is_paired \
+                and not rec.is_proper_pair:
+            return False
+        return True
 
 
 @dataclass

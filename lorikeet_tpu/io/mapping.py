@@ -142,15 +142,19 @@ def map_reads_to_bam(mapper: str, reference: str, out_bam: str,
                      interleaved: bool = False, threads: int = 1,
                      params: str = "", discard_unmapped: bool = False,
                      command_override: list = None,
-                     sample_name: str = None) -> str:
+                     sample_name: str = None,
+                     reference_is_index: bool = False) -> str:
     """Run the mapper, sort its SAM output, write a BAM; returns out_bam.
 
     `command_override` substitutes the mapper invocation (used by tests and
-    custom pipelines); it must emit SAM on stdout.
+    custom pipelines); it must emit SAM on stdout.  `reference_is_index`
+    skips index generation and hands the reference path straight to the
+    mapper (cli.rs minimap2-reference-is-index; minimap2 accepts a
+    prebuilt .mmi transparently, mapping_index_maintenance.rs:236).
     """
     cmd = command_override or build_mapper_command(
         mapper, reference, read1, read2, interleaved, threads, params)
-    if command_override is None:
+    if command_override is None and not reference_is_index:
         ensure_index(mapper, reference)
         if not check_for_external_command(cmd[0]):
             raise RuntimeError(

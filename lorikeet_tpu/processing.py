@@ -38,15 +38,23 @@ DEPTH_PER_SAMPLE_FILTER = 5
 
 def _read_passes_filters(rec, mapq_threshold=20, read_type="short",
                          min_long_read_size=1500,
-                         min_long_read_average_base_qual=20):
+                         min_long_read_average_base_qual=20,
+                         flag_filter=None):
     """read_utils.rs:25-90 filter set; long reads additionally require a
-    minimum length and average base quality (:70-77)."""
+    minimum length and average base quality (:70-77).  ``flag_filter``
+    gates improper-pair / secondary / supplementary handling
+    (read_utils.rs:44-48 consults FlagFilter; secondary reads never pass)."""
     from lorikeet_tpu.utils.cigar import read_length, reference_length
     if len(rec.seq) == 0 or len(rec.qual) == 0 or not rec.cigar:
         return False
-    if rec.is_secondary or rec.is_supplementary or rec.is_unmapped:
+    if rec.is_secondary or rec.is_unmapped:
         return False
-    if rec.is_paired and not rec.is_proper_pair:
+    if rec.is_supplementary and not (flag_filter is not None
+                                     and flag_filter.include_supplementary):
+        return False
+    if rec.is_paired and not rec.is_proper_pair \
+            and not (flag_filter is not None
+                     and flag_filter.include_improper_pairs):
         return False
     if rec.is_duplicate or rec.is_qc_fail:
         return False
@@ -164,6 +172,8 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     # ---- activity profiling over [lo, hi) ----
     read_types = getattr(cfg, "read_types", None) or ["short"] * n_samples
     thresholds = getattr(cfg, "alignment_thresholds", None)
+    from lorikeet_tpu.io.filter import FlagFilter
+    flag_filter = getattr(cfg, "flag_filter", None) or FlagFilter()
     profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
     all_reads = [[] for _ in range(n_samples)]
     for s, bam in enumerate(bams):
@@ -175,7 +185,8 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                     rec, cfg.mapq_threshold,
                     read_type=read_types[s] if s < len(read_types) else "short",
                     min_long_read_size=cfg.min_long_read_size,
-                    min_long_read_average_base_qual=cfg.min_long_read_average_base_qual):
+                    min_long_read_average_base_qual=cfg.min_long_read_average_base_qual,
+                    flag_filter=flag_filter):
                 continue
             rec.sample_index = s
             candidates.append(rec)
@@ -198,7 +209,9 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     hq_n = sum(p.hq_sc_n for p in profiles)
     hq_sum = sum(p.hq_sc_sum for p in profiles)
     hq_mean = np.where(hq_n > 0, hq_sum / np.maximum(hq_n, 1), 0.0)
-    smoothed = band_pass_smooth(raw_probs, hq_mean)
+    smoothed = band_pass_smooth(
+        raw_probs, hq_mean,
+        max_prob_propagation=getattr(cfg, "max_prob_propagation_distance", 50))
     # forced-calling feature VCF: regions carrying given alleles are called
     # even when inactive (haplotype_caller_engine.rs:1166-1177) — realised
     # here by forcing the activity probability at given starts
@@ -242,10 +255,16 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
             reads_by_sample[s] = sel[:cfg.max_input_depth]
         given_here = [vc for vc in given_span
                       if vc.start <= pad_end and vc.end >= pad_start]
+        # fraction of active-span positions meaningfully active, keys the
+        # automatic extra kmer sizes (activity_profile.rs:506-518 density
+        # over smoothed probs > 0.05)
+        span_probs = smoothed[region.start:region.end + 1]
+        density = float(np.mean(span_probs > 0.05)) if len(span_probs) else 0.0
         work = engine.prepare_region(window, pad_start, active_start,
                                      active_end, reads_by_sample,
                                      tid=result.tid,
-                                     given_alleles=given_here)
+                                     given_alleles=given_here,
+                                     activity_density=density)
         if work is not None:
             works.append(work)
     for calls in call_regions_batched(engine, works) if works else []:
@@ -296,18 +315,26 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
     haplotype_caller_engine.rs:443-465).  Contigs touch disjoint BAM record
     sets, so after an eager decode the readers are shared read-only; each
     worker opens its own FastaReader (the handle seeks)."""
+    min_size = getattr(cfg, "min_contig_size", 0) or 0
     n_workers = min(getattr(cfg, "threads", 1) or 1, len(spec.contigs))
+
+    def _one(local_fasta, contig):
+        # contigs below --min-contig-size are skipped outright
+        # (haplotype_caller_engine.rs:340,418 min_contig_length gate)
+        if min_size and local_fasta.length(contig) < min_size:
+            return ContigResult(tid=0)
+        return call_contig(local_fasta, bams, contig, cfg, engine,
+                           limit=limit)
+
     if n_workers <= 1 or len(spec.contigs) <= 1:
-        return [call_contig(fasta, bams, c, cfg, engine, limit=limit)
-                for c in spec.contigs]
+        return [_one(fasta, c) for c in spec.contigs]
     for b in bams:
         b._ensure_decoded()
 
     def work(contig):
         local_fasta = FastaReader(spec.fasta)
         try:
-            return call_contig(local_fasta, bams, contig, cfg, engine,
-                               limit=limit)
+            return _one(local_fasta, contig)
         finally:
             local_fasta.close()
 
@@ -464,7 +491,8 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
     # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
     if True:
         try:
-            if long_bam_paths and mode != "summarise":
+            if long_bam_paths and mode != "summarise" \
+                    and not getattr(cfg, "do_not_call_svs", False):
                 # SV calling on long-read samples (lorikeet_engine.rs:370-383)
                 progress.update(spec.name, "calling structural variants")
                 from lorikeet_tpu.strain.sv import call_structural_variants

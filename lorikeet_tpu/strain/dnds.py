@@ -7,8 +7,9 @@ Contract: /root/reference/src/evolve/codon_structs.rs
   accumulate per-sample mutated codons (multi-allele permutation-averaged
   N/S classification), frameshift counts from length-changing alleles,
   Jukes-Cantor corrected dN/dS with the 0.75 singularity nudge;
-- driven by a GFF3 file (the reference spawns prodigal when absent —
-  unavailable here, so a GFF must be supplied; lorikeet_engine.rs:1307-1358).
+- driven by a GFF3 file; when none is supplied, check_for_gff reuses a
+  cached *.gff in the output dir or spawns prodigal
+  (lorikeet_engine.rs:1307-1358).
 """
 from __future__ import annotations
 
@@ -195,6 +196,33 @@ def find_mutations(gene: GffGene, contexts, ref_seq: np.ndarray,
             val = 0.0
         dnds[s_idx] = val
     return snps, frameshifts, dnds
+
+
+def check_for_gff(reference: str, output_dir: str,
+                  prodigal_params: str = "") -> str | None:
+    """Locate or create the gene-model GFF for a genome
+    (lorikeet_engine.rs:1307-1358): reuse a single cached ``*.gff`` in the
+    output dir, otherwise run prodigal (with --prodigal-params appended)
+    writing ``genes.gff``.  Returns the GFF path, or None when no cache
+    exists and prodigal is unavailable."""
+    import glob as _glob
+    import subprocess
+    from lorikeet_tpu.io.mapping import check_for_external_command
+    cached = sorted(_glob.glob(os.path.join(output_dir, "*.gff")))
+    if len(cached) == 1:
+        return cached[0]
+    if len(cached) > 1:
+        return None
+    if not check_for_external_command("prodigal"):
+        return None
+    gff_path = os.path.join(output_dir, "genes.gff")
+    cmd = ["prodigal", "-o", gff_path, "-i", reference, "-f", "gff"]
+    if prodigal_params:
+        cmd += prodigal_params.split()
+    res = subprocess.run(cmd, capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(f"prodigal failed: {res.stderr[-2000:]}")
+    return gff_path
 
 
 def calculate_dnds(reference: str, vcf_path: str, gff_path: str,
