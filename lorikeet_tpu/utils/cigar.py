@@ -56,6 +56,165 @@ def merge_adjacent(cigar):
     return out
 
 
+class CigarBuilderError(ValueError):
+    pass
+
+
+class CigarBuilder:
+    """Validating, normalizing CIGAR accumulator
+    (/root/reference/src/reads/cigar_builder.rs).
+
+    ``make()`` merges adjacent same-type elements, normalizes mixed
+    insertion/deletion runs to deletion-then-insertion, optionally strips
+    deletions with no aligned bases before/after them (counting the removed
+    bases), and validates clip placement (leading H then S, trailing S then
+    H, no clips mid-read, at least one read-consuming non-clip element).
+    ``make()`` may be called repeatedly as elements accumulate; counters
+    are recomputed over the full element list each time."""
+
+    def __init__(self, remove_deletions: bool = True):
+        self.remove_deletions = remove_deletions
+        self.elements = []      # raw (op, len) in added order
+        self.leading_deletion_bases_removed = 0
+        self.trailing_deletion_bases_removed = 0
+
+    def add(self, op: str, n: int) -> "CigarBuilder":
+        if n < 0:
+            raise CigarBuilderError(f"negative length {n}{op}")
+        if op not in "MIDNSHP=X":
+            raise CigarBuilderError(f"unknown op {op!r}")
+        if n:
+            self.elements.append((op, n))
+        return self
+
+    def _validate(self, elements):
+        # clips only at the ends, H outside S
+        n = len(elements)
+        i = 0
+        while i < n and elements[i][0] == "H":
+            i += 1
+        while i < n and elements[i][0] == "S":
+            i += 1
+        j = n
+        while j > i and elements[j - 1][0] == "H":
+            j -= 1
+        while j > i and elements[j - 1][0] == "S":
+            j -= 1
+        core = elements[i:j]
+        if any(op in "SH" for op, _ in core):
+            raise CigarBuilderError(f"clips inside the read: {elements}")
+        if not any(op in "MI=X" for op, _ in core):
+            raise CigarBuilderError(f"fully clipped cigar: {elements}")
+
+    def make(self):
+        """Normalized [(op, len)]; raises CigarBuilderError when invalid."""
+        elements = merge_adjacent(self.elements)
+        # normalize maximal I/D runs to one D then one I
+        # (cigar_builder.rs indel-sandwich handling)
+        out = []
+        i = 0
+        while i < len(elements):
+            op, n = elements[i]
+            if op in "ID":
+                d_tot = ins_tot = 0
+                while i < len(elements) and elements[i][0] in "ID":
+                    if elements[i][0] == "D":
+                        d_tot += elements[i][1]
+                    else:
+                        ins_tot += elements[i][1]
+                    i += 1
+                if d_tot:
+                    out.append(("D", d_tot))
+                if ins_tot:
+                    out.append(("I", ins_tot))
+            else:
+                out.append((op, n))
+                i += 1
+        leading_removed = trailing_removed = 0
+        if self.remove_deletions:
+            # a deletion with no aligned (M/=/X) bases before (after) it is
+            # a leading (trailing) deletion and is dropped; insertions do
+            # not anchor a deletion
+            kept = []
+            aligned_seen = 0
+            aligned_total = sum(1 for op, _ in out if op in "M=X")
+            for op, n in out:
+                if op in "M=X":
+                    aligned_seen += 1
+                    kept.append((op, n))
+                elif op == "D":
+                    if aligned_seen == 0:
+                        leading_removed += n
+                    elif aligned_seen == aligned_total:
+                        trailing_removed += n
+                    else:
+                        kept.append((op, n))
+                else:
+                    kept.append((op, n))
+            out = merge_adjacent(kept)
+        self.leading_deletion_bases_removed = leading_removed
+        self.trailing_deletion_bases_removed = trailing_removed
+        self._validate(out)
+        return out
+
+
+def clip_cigar(cigar, start: int, stop: int, clip_op: str = "S"):
+    """Replace query positions [start, stop) with clip elements
+    (cigar_utils.rs:149-230 clip_cigar).  Positions count soft-clipped and
+    aligned read bases; hard clips pass through.  Deletions at the clip
+    boundary or inside the clipped span are dropped (via CigarBuilder's
+    leading/trailing deletion removal)."""
+    builder = CigarBuilder(remove_deletions=True)
+    pos = 0
+    for op, n in cigar:
+        if op == "H":
+            builder.add("H", n)
+            continue
+        consumes = op in CONSUMES_READ
+        end = pos + (n if consumes else 0)
+        if end <= start or pos >= stop:
+            # outside the clip; deletions exactly at the boundary are
+            # meaningless and skipped (cigar_utils.rs:180-186)
+            if consumes or (pos != start and pos != stop):
+                builder.add(op, n)
+        else:
+            if not consumes:
+                pos = end
+                continue   # D/N inside the clipped span vanish
+            lo = max(pos, start)
+            hi = min(end, stop)
+            if pos < lo:
+                builder.add(op, lo - pos)
+            kept_clip = "S" if (op == "S" and clip_op == "S") else clip_op
+            builder.add(kept_clip, hi - lo)
+            if end > hi:
+                builder.add(op, end - hi)
+        pos = end
+    return builder.make()
+
+
+def alignment_start_shift(cigar, num_clipped: int) -> int:
+    """Reference bases skipped when hard-clipping the first ``num_clipped``
+    query bases (cigar_utils.rs:281-330)."""
+    ref_clipped = 0
+    pos = 0
+    for op, n in cigar:
+        if op == "H":
+            continue
+        end = pos + (n if op in CONSUMES_READ else 0)
+        if end <= num_clipped:
+            if op in CONSUMES_REF:
+                ref_clipped += n
+        elif pos < num_clipped:
+            if op in CONSUMES_REF:
+                ref_clipped += num_clipped - pos
+            break
+        else:
+            break
+        pos = end
+    return ref_clipped
+
+
 def trim_cigar_by_bases(cigar, start: int, end: int):
     """Keep the cigar portion covering READ bases [start, end] inclusive.
 
