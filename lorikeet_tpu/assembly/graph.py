@@ -66,6 +66,26 @@ class Edge:
         return vals[-1] if vals else 0
 
 
+def read_stretches(rec, min_base_quality: int):
+    """Maximal high-quality non-N stretches of a read's non-soft-clipped
+    bases as [(name, bytes)] (GATK add_read splitting, kmer-independent)."""
+    seq = rec.seq
+    qual = rec.qual
+    cigar = getattr(rec, "cigar", None)
+    if cigar:
+        lead = cigar[0][1] if cigar[0][0] == "S" else 0
+        tail = cigar[-1][1] if cigar[-1][0] == "S" else 0
+        if lead or tail:
+            end = len(seq) - tail
+            seq = seq[lead:end]
+            qual = qual[lead:end]
+    good = (qual >= min_base_quality) & (seq != ord("N"))
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        ([False], good, [False])).view(np.int8)))
+    return [(rec.name, seq[start:stop].tobytes())
+            for start, stop in zip(edges[::2].tolist(), edges[1::2].tolist())]
+
+
 class ReadThreadingGraph:
     def __init__(self, kmer_size: int, num_pruning_samples: int = 1):
         self.kmer_size = kmer_size
@@ -91,26 +111,17 @@ class ReadThreadingGraph:
         add each stretch longer than kmer_size.  Soft-clipped bases are
         excluded (run_local_assembly hard-clips them,
         read_threading_assembler.rs:237-242)."""
-        seq = rec.seq
-        qual = rec.qual
-        cigar = getattr(rec, "cigar", None)
-        if cigar:
-            lead = cigar[0][1] if cigar[0][0] == "S" else 0
-            tail = cigar[-1][1] if cigar[-1][0] == "S" else 0
-            if lead or tail:
-                end = len(seq) - tail
-                seq = seq[lead:end]
-                qual = qual[lead:end]
-        good = (qual >= min_base_quality) & (seq != ord("N"))
-        start = None
-        for i in range(len(seq) + 1):
-            ok = i < len(seq) and good[i]
-            if ok and start is None:
-                start = i
-            elif not ok and start is not None:
-                if i - start >= self.kmer_size:
-                    self.add_sequence(seq[start:i].tobytes(), 1, False, rec.name)
-                start = None
+        for name, stretch in read_stretches(rec, min_base_quality):
+            if len(stretch) >= self.kmer_size:
+                self.add_sequence(stretch, 1, False, name)
+
+    def add_stretches(self, stretches):
+        """Pre-split (name, bytes) stretches (see read_stretches); the
+        splitting is kmer-size independent so multi-k assembly computes it
+        once."""
+        for name, stretch in stretches:
+            if len(stretch) >= self.kmer_size:
+                self.add_sequence(stretch, 1, False, name)
 
     def _new_vertex(self, kmer: bytes) -> int:
         vid = len(self.vertices)
@@ -767,6 +778,12 @@ def assemble_region(
     # --disable-automatic-kmer-adjustment passing density 0)
     sizes += compute_additional_kmer_sizes(activity_density, sizes)
     attempts = 0
+    # quality splitting is kmer-independent: do it once for all sizes
+    sample_order = sorted(reads_by_sample)
+    stretches_by_sample = {
+        s: [t for rec in reads_by_sample[s]
+            for t in read_stretches(rec, min_base_quality)]
+        for s in sample_order}
 
     def _retry_larger_k(k):
         """Append a larger odd kmer size (read_threading_assembler.rs:
@@ -789,9 +806,8 @@ def assemble_region(
             continue
         graph = ReadThreadingGraph(k, num_pruning_samples)
         graph.add_sequence(ref_bytes, 1, True, "ref")
-        for sample in sorted(reads_by_sample):
-            for rec in reads_by_sample[sample]:
-                graph.add_read(rec, min_base_quality)
+        for sample in sample_order:
+            graph.add_stretches(stretches_by_sample[sample])
         graph.build()
         graph.flush_sample()
         if graph.ref_source is None or graph.ref_sink is None:

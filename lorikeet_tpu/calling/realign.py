@@ -13,6 +13,7 @@ windows/annotations see haplotype-consistent coordinates.
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import numpy as np
 
@@ -23,7 +24,16 @@ from lorikeet_tpu.ops.smith_waterman import (
 
 def _hap_base_maps(hap_cigar: list, hap_ref_start: int):
     """Per-haplotype-base (ref position | -1 for insertions) and the count
-    of deleted ref bases immediately before each haplotype base."""
+    of deleted ref bases immediately before each haplotype base.
+
+    Memoized per (cigar, start): every read realigned to a haplotype shares
+    its maps, so a region costs O(haplotypes) builds instead of O(reads)."""
+    return _hap_base_maps_cached(
+        tuple(map(tuple, hap_cigar)), hap_ref_start)
+
+
+@functools.lru_cache(maxsize=1024)
+def _hap_base_maps_cached(hap_cigar: tuple, hap_ref_start: int):
     ref_pos = []
     del_before = []
     pending_del = 0

@@ -59,6 +59,9 @@ class BamRecord:
     tlen: int = 0
     tags: dict = field(default_factory=dict)
     sample_index: int = 0    # filled by the pipeline
+    # native-decoder filter bits (bam_decode.cpp BamColumns::intrinsic);
+    # -1 = unknown (pure-Python decode or synthetic record)
+    intrinsic: int = -1
 
     @property
     def is_paired(self):
@@ -261,16 +264,20 @@ class BamReader:
         from lorikeet_tpu.native import bam_native
         cols = bam_native.parse(data, rec_off)
         n = len(cols["tid"])
+        intrinsic = cols["intrinsic"]
         order = np.lexsort((cols["pos"], cols["tid"]))
         names = cols["names"]
         no, co, so, to = (cols["name_off"], cols["cigar_off"],
                           cols["seq_off"], cols["tag_off"])
         cigars, seq, qual, tags = (cols["cigars"], cols["seq"],
                                    cols["qual"], cols["tags"])
+        # decode the whole cigar column once (vectorized), then slice lists
+        op_chars = np.array(list(CIGAR_OPS))[cigars & 0xF].tolist()
+        op_lens = (cigars >> 4).tolist()
         by_tid = {}
         for i in map(int, order):
-            cig = [(CIGAR_OPS[int(v) & 0xF], int(v) >> 4)
-                   for v in cigars[co[i]:co[i + 1]]]
+            cig = list(zip(op_chars[co[i]:co[i + 1]],
+                           op_lens[co[i]:co[i + 1]]))
             rec = BamRecord(
                 name=names[no[i]:no[i + 1]].decode(),
                 flag=int(cols["flag"][i]), tid=int(cols["tid"][i]),
@@ -280,7 +287,8 @@ class BamReader:
                 mate_tid=int(cols["mate_tid"][i]),
                 mate_pos=int(cols["mate_pos"][i]),
                 tlen=int(cols["tlen"][i]),
-                tags=_LazyTags(tags, int(to[i]), int(to[i + 1])))
+                tags=_LazyTags(tags, int(to[i]), int(to[i + 1])),
+                intrinsic=int(intrinsic[i]))
             by_tid.setdefault(rec.tid, []).append(rec)
         self._by_tid = by_tid
         self._starts = {tid: np.array([r.pos for r in recs], np.int64)

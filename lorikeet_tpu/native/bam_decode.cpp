@@ -77,6 +77,10 @@ struct BamColumns {
   int32_t* mate_pos;
   int32_t* tlen;
   int32_t* ref_len;     // reference bases consumed by the CIGAR
+  int32_t* intrinsic;   // per-record filter bits: 1=refskip op,
+                        // 2=consecutive indels, 4=starts/ends with deletion
+                        // (ignoring clips), 8=cigar query len != l_seq,
+                        // 16=zero reference length
   int64_t* name_off;    // [n+1] offsets into names
   int64_t* cigar_off;   // [n+1] offsets (in uint32 units) into cigars
   int64_t* seq_off;     // [n+1] offsets into seq/qual
@@ -124,7 +128,7 @@ void bam_buffer_free(uint8_t* p) { std::free(p); }
 // Parse the record section of an uncompressed BAM stream (starting at
 // rec_off) into columnar arrays.  Returns NULL on malformed input.
 BamColumns* bam_parse(const uint8_t* buf, int64_t len, int64_t rec_off) {
-  std::vector<int32_t> tid, pos, mapq, flag, mtid, mpos, tlen, rlen;
+  std::vector<int32_t> tid, pos, mapq, flag, mtid, mpos, tlen, rlen, intrinsic;
   std::vector<int64_t> name_off{0}, cigar_off{0}, seq_off{0}, tag_off{0};
   std::vector<char> names;
   std::vector<uint32_t> cigars;
@@ -159,7 +163,9 @@ BamColumns* bam_parse(const uint8_t* buf, int64_t len, int64_t rec_off) {
     name_off.push_back((int64_t)names.size());
     rp += l_read_name;
 
-    int32_t reflen = 0;
+    int32_t reflen = 0, flags = 0;
+    int64_t querylen = 0;
+    int prev_indel = 0, first_core = -1, last_core = -1;
     for (int k = 0; k < n_cigar; ++k) {
       uint32_t cv;
       std::memcpy(&cv, buf + rp + 4 * k, 4);
@@ -167,7 +173,21 @@ BamColumns* bam_parse(const uint8_t* buf, int64_t len, int64_t rec_off) {
       uint32_t op = cv & 0xF, n = cv >> 4;
       // M D N = X consume reference
       if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) reflen += n;
+      // M I S = X consume query
+      if (op == 0 || op == 1 || op == 4 || op == 7 || op == 8) querylen += n;
+      if (op == 3) flags |= 1;                       // refskip
+      int is_indel = (op == 1 || op == 2);
+      if (is_indel && prev_indel) flags |= 2;        // consecutive indels
+      prev_indel = is_indel;
+      if (op != 4 && op != 5) {                      // non-clip core ops
+        if (first_core < 0) first_core = (int)op;
+        last_core = (int)op;
+      }
     }
+    if (first_core == 2 || last_core == 2) flags |= 4;  // edge deletion
+    if (querylen != (int64_t)l_seq) flags |= 8;
+    if (reflen == 0) flags |= 16;
+    intrinsic.push_back(flags);
     cigar_off.push_back((int64_t)cigars.size());
     rlen.push_back(reflen);
     rp += 4 * (int64_t)n_cigar;
@@ -205,6 +225,7 @@ BamColumns* bam_parse(const uint8_t* buf, int64_t len, int64_t rec_off) {
   c->flag = dup_i32(flag); c->mate_tid = dup_i32(mtid);
   c->mate_pos = dup_i32(mpos); c->tlen = dup_i32(tlen);
   c->ref_len = dup_i32(rlen);
+  c->intrinsic = dup_i32(intrinsic);
   c->name_off = dup_i64(name_off); c->cigar_off = dup_i64(cigar_off);
   c->seq_off = dup_i64(seq_off); c->tag_off = dup_i64(tag_off);
   c->names = (char*)std::malloc(names.size() + 1);
@@ -224,7 +245,8 @@ void bam_columns_free(BamColumns* c) {
   if (!c) return;
   std::free(c->tid); std::free(c->pos); std::free(c->mapq); std::free(c->flag);
   std::free(c->mate_tid); std::free(c->mate_pos); std::free(c->tlen);
-  std::free(c->ref_len); std::free(c->name_off); std::free(c->cigar_off);
+  std::free(c->ref_len); std::free(c->intrinsic);
+  std::free(c->name_off); std::free(c->cigar_off);
   std::free(c->seq_off); std::free(c->tag_off); std::free(c->names);
   std::free(c->cigars); std::free(c->seq); std::free(c->qual); std::free(c->tags);
   std::free(c);

@@ -21,6 +21,7 @@ class _BamColumns(ctypes.Structure):
         ("mate_pos", ctypes.POINTER(ctypes.c_int32)),
         ("tlen", ctypes.POINTER(ctypes.c_int32)),
         ("ref_len", ctypes.POINTER(ctypes.c_int32)),
+        ("intrinsic", ctypes.POINTER(ctypes.c_int32)),
         ("name_off", ctypes.POINTER(ctypes.c_int64)),
         ("cigar_off", ctypes.POINTER(ctypes.c_int64)),
         ("seq_off", ctypes.POINTER(ctypes.c_int64)),
@@ -89,6 +90,7 @@ def parse(buf: np.ndarray, rec_off: int) -> dict:
             "mate_pos": arr(c.mate_pos, n, np.int32),
             "tlen": arr(c.tlen, n, np.int32),
             "ref_len": arr(c.ref_len, n, np.int32),
+            "intrinsic": arr(c.intrinsic, n, np.int32),
             "name_off": name_off,
             "cigar_off": cigar_off,
             "seq_off": seq_off,

@@ -67,6 +67,11 @@ def _read_passes_filters(rec, mapq_threshold=20, read_type="short",
             return False
         if float(np.mean(rec.qual)) < min_long_read_average_base_qual:
             return False
+    # cigar-shape checks: the native decoder summarizes them as intrinsic
+    # bits (bam_decode.cpp: 1=refskip, 2=consecutive indels, 4=edge
+    # deletion, 8=query-length mismatch, 16=zero reference length)
+    if rec.intrinsic >= 0:
+        return rec.intrinsic == 0
     if reference_length(rec.cigar) == 0:
         return False
     if read_length(rec.cigar) != len(rec.seq):
@@ -236,6 +241,14 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     # dispatch for the whole span (regions are owned by the chunk their
     # active span STARTS in, so halo overlaps never double-call) ----
     from lorikeet_tpu.calling.engine import call_regions_batched
+    # vectorized read-span index per sample: one (pos, reference_end) array
+    # pair instead of O(reads x regions) per-record property calls
+    span_arrays = []
+    for s in range(n_samples):
+        rs = all_reads[s]
+        span_arrays.append((
+            np.fromiter((r.pos for r in rs), np.int64, len(rs)),
+            np.fromiter((r.reference_end for r in rs), np.int64, len(rs))))
     works = []
     for region in regions:
         if not region.is_active:
@@ -250,9 +263,11 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
         window = ref_seq[pad_start:pad_end + 1]
         reads_by_sample = {}
         for s in range(n_samples):
-            sel = [r for r in all_reads[s]
-                   if r.pos <= pad_end and r.reference_end > pad_start]
-            reads_by_sample[s] = sel[:cfg.max_input_depth]
+            pos_a, end_a = span_arrays[s]
+            idx = np.flatnonzero((pos_a <= pad_end) & (end_a > pad_start))
+            rs = all_reads[s]
+            reads_by_sample[s] = [rs[i] for i in
+                                  idx[:cfg.max_input_depth].tolist()]
         given_here = [vc for vc in given_span
                       if vc.start <= pad_end and vc.end >= pad_start]
         # fraction of active-span positions meaningfully active, keys the
