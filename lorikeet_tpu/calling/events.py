@@ -20,6 +20,40 @@ def _regular(b) -> bool:
     return b in _REGULAR
 
 
+def make_block(vc1: VariantContext, vc2: VariantContext) -> VariantContext:
+    """Block substitution from two same-start events of one haplotype
+    (event_map.rs:274-344): SNP+insertion extends the alt, SNP+deletion
+    patches the ref, insertion+deletion combine into ref-del/alt-ins."""
+    assert vc1.start == vc2.start
+    ref1, alt1 = vc1.alleles[0], vc1.alleles[1]
+    ref2, alt2 = vc2.alleles[0], vc2.alleles[1]
+    is_snp1 = len(ref1) == 1 and len(alt1) == 1
+    if is_snp1:
+        if ref1.bases == ref2.bases:
+            # SNP + insertion: alt carries the substituted base
+            reference = ref1
+            alt = Allele(alt1.bases + alt2.bases[1:], False)
+            end = vc1.end
+        else:
+            # SNP + deletion: deletion's ref with the SNP's alt base
+            reference = ref2
+            alt = alt1
+            end = vc2.end
+    else:
+        ins, dele = (vc1, vc2) if len(alt1) > len(ref1) else (vc2, vc1)
+        reference = dele.alleles[0]
+        alt = ins.alleles[1]
+        end = dele.end
+    return VariantContext(vc1.tid, vc1.start, end, [reference, alt])
+
+
+def _add_event(events: dict, vc: VariantContext):
+    """add_vc with merge (event_map.rs:253-262): same-start events combine
+    into a block substitution."""
+    prev = events.get(vc.start)
+    events[vc.start] = vc if prev is None else make_block(prev, vc)
+
+
 def build_event_map(hap, ref: np.ndarray, ref_start: int,
                     max_mnp_distance: int = 0) -> dict:
     """Events keyed by reference start position for one assembled haplotype.
@@ -42,7 +76,8 @@ def build_event_map(hap, ref: np.ndarray, ref_start: int,
                     start = ref_start + ref_pos - 1
                     alleles = [Allele(bytes([ref_byte]), True),
                                Allele(bytes([ref_byte]) + ins.tobytes(), False)]
-                    events[start] = VariantContext(0, start, start, alleles)
+                    _add_event(events, VariantContext(0, start, start,
+                                                      alleles))
             aln_pos += ln
         elif op == "S":
             aln_pos += ln
@@ -54,7 +89,8 @@ def build_event_map(hap, ref: np.ndarray, ref_start: int,
                     start = ref_start + ref_pos - 1
                     alleles = [Allele(del_bases.tobytes(), True),
                                Allele(bytes([ref_byte]), False)]
-                    events[start] = VariantContext(0, start, start + ln, alleles)
+                    _add_event(events, VariantContext(0, start, start + ln,
+                                                      alleles))
             ref_pos += ln
         elif op in "M=X":
             mismatches = [
@@ -76,11 +112,33 @@ def build_event_map(hap, ref: np.ndarray, ref_start: int,
                     Allele(ref[ref_pos + start_off:ref_pos + end_off + 1].tobytes(), True),
                     Allele(alignment[aln_pos + start_off:aln_pos + end_off + 1].tobytes(), False),
                 ]
-                events[start] = VariantContext(
-                    0, start, ref_start + ref_pos + end_off, alleles)
+                _add_event(events, VariantContext(
+                    0, start, ref_start + ref_pos + end_off, alleles))
             ref_pos += ln
             aln_pos += ln
     return events
+
+
+def get_overlapping_events(loc: int, events: dict) -> list:
+    """Events of ONE haplotype overlapping ``loc``, with the reference's
+    deletion-vs-insertion tie rule (event_map.rs:429-464): when a deletion
+    ends exactly at loc and an insertion sits at loc, the deletion is
+    dropped — the insertion explains the locus."""
+    overlapping = [vc for start, vc in sorted(events.items())
+                   if start <= loc <= vc.end]
+    has_ins_at_loc = any(
+        len(vc.reference) == 1 and any(len(a) > 1
+                                       for a in vc.alternate_alleles)
+        for vc in overlapping)
+    deletions_ending = [
+        vc for vc in overlapping
+        if len(vc.reference) > 1 and any(len(a) == 1
+                                         for a in vc.alternate_alleles)
+        and vc.end == loc]
+    if has_ins_at_loc and deletions_ending:
+        drop = deletions_ending[0]
+        return [vc for vc in overlapping if vc is not drop]
+    return overlapping
 
 
 def events_at_locus(loc: int, hap_events: list, include_spanning: bool = True):

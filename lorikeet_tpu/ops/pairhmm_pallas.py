@@ -88,34 +88,48 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
 
     _GROUP = GROUP  # diagonals per renormalisation
 
+    # Entering hap base: when the tile is a single 128-lane chunk the
+    # rolling window aligns lane-for-lane with the state arrays, and only
+    # lane 0 (the boundary) of the entering value is ever consumed — the
+    # masked-reduction broadcast (iota+where+cross-lane sum) is pure
+    # overhead.  Multi-chunk tiles keep the reduction path.
+    direct_window = Rpad == _LANES
+
     def body(g, chunk_carry):
         # A group of _GROUP diagonals d = c*128 + g*_GROUP + s + 1, then one
         # power-of-two renormalisation.  Entering hap base hap[d-1] is the
         # head of the rolling window (Mosaic only allows lane-aligned dynamic
         # slices, so the stream is consumed via offset-0 extract + roll).
+        # sm/si/sd memoize shift(m1)/shift(i1)/shift(d1) of the PREVIOUS
+        # step: this step's two-generation terms shift(m2)/shift(i2+d2) are
+        # exactly those, so each step rolls 3 arrays instead of 4.
         c, carry, window = chunk_carry
-        # sid2 carries i2 + d2: the two-generation states only ever enter
-        # m_new through their sum, saving a roll and an add per step
-        m1, i1, d1, m2, sid2, hapd, bval, acc, ls = carry
+        m1, i1, d1, sm, si, sd, hapd, bval, acc, ls = carry
         for s in range(_GROUP):
             d = c * _LANES + g * _GROUP + s + 1
-            new_hap = jnp.broadcast_to(col(window, 0), (TB, Rpad))
+            if direct_window:
+                hapd = jnp.where(boundary, window, pltpu.roll(hapd, 1, 1))
+            else:
+                new_hap = jnp.broadcast_to(col(window, 0), (TB, Rpad))
+                hapd = jnp.where(boundary, new_hap, pltpu.roll(hapd, 1, 1))
             window = pltpu.roll(window, _LANES - 1, 1)
-            hapd = jnp.where(boundary, new_hap, pltpu.roll(hapd, 1, 1))
 
             base_match = (rp == hapd) | rp_is_n | (hapd == _NBASE)
             prior = jnp.where(base_match, pm, px)
 
             # shift() zeroes lane 0, so m_new/i_new are already 0 on the
             # boundary row — no explicit select needed there
-            m_new = prior * (shift(m2) * tmm + shift(sid2) * tim)
-            i_new = shift(m1) * tmi + shift(i1) * tii
+            m_new = prior * (sm * tmm + (si + sd) * tim)
+            new_sm = shift(m1)
+            new_si = shift(i1)
+            i_new = new_sm * tmi + new_si * tii
             d_new = jnp.where(boundary, bval, m1 * tmd + d1 * tdd)
 
             j_here = d - read_len                              # [TB,Rpad]
             valid = (j_here >= 1) & (j_here <= hap_len) & is_end_row
             acc = acc + jnp.where(valid, m_new + i_new, 0.0)
-            m1, i1, d1, m2, sid2 = m_new, i_new, d_new, m1, i1 + d1
+            sm, si, sd = new_sm, new_si, shift(d1)
+            m1, i1, d1 = m_new, i_new, d_new
 
         # Renormalise all live state by a power-of-two scale derived from the
         # group *interior* max's exponent bits (replaces the reference's
@@ -134,7 +148,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         e = jax.lax.shift_right_logical(pltpu.bitcast(peak, jnp.int32), 23) & 0xFF
         inv = pltpu.bitcast(jax.lax.shift_left(254 - e, 23), jnp.float32)  # 2^(127-e)
         carry = (m1 * inv, i1 * inv, d1 * inv,
-                 m2 * inv, sid2 * inv,
+                 sm * inv, si * inv, sd * inv,
                  hapd, bval * inv, acc * inv, ls + (e - 127))
         return (c, carry, window)
 
@@ -146,11 +160,11 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         return carry
 
     init_d = jnp.where(boundary, b0, 0.0)
-    carry = (zeros, zeros, init_d, zeros, zeros,
+    carry = (zeros, zeros, init_d, zeros, zeros, zeros,
              jnp.zeros((TB, Rpad), jnp.int32), b0, zeros,
              jnp.zeros((TB, Rpad), jnp.int32))
     carry = jax.lax.fori_loop(0, nchunks, chunk_body, carry)
-    acc, ls = carry[7], carry[8]
+    acc, ls = carry[8], carry[9]
     total = jnp.sum(acc, axis=1, keepdims=True)
     # ls lanes are identical; log10(2^ls) = ls * log10(2)
     ls_col = jnp.max(ls, axis=1, keepdims=True).astype(f32) * np.float32(np.log10(2.0))
