@@ -215,91 +215,160 @@ def alignment_start_shift(cigar, num_clipped: int) -> int:
     return ref_clipped
 
 
-def trim_cigar_by_bases(cigar, start: int, end: int):
-    """Keep the cigar portion covering READ bases [start, end] inclusive.
-
-    Returns (cigar, leading_deletion_bases_removed, trailing_deletion_bases_removed)
-    mirroring AlignmentUtils::trim_cigar_by_bases semantics: deletions at the
-    cut points are dropped and reported.
-    """
-    out = []
-    pos = 0  # read-base cursor
-    lead_del = trail_del = 0
+def _trim_cigar(cigar, start: int, end: int, by_reference: bool):
+    """Workhorse for trim_cigar_by_bases / trim_cigar_by_reference
+    (alignment_utils.rs:334-386): keep the cigar portion covering
+    [start, end] inclusive in read or reference coordinates, with
+    zero-length elements included at both boundaries; leading/trailing
+    deletions are removed by the builder and reported."""
+    assert end >= start, (start, end)
+    builder = CigarBuilder(remove_deletions=True)
+    element_end = 0
     for op, n in cigar:
-        consumes = op in CONSUMES_READ
-        if not consumes:
-            # deletion-like: keep only if strictly inside the kept window
-            if pos > start and pos <= end:
-                out.append((op, n))
-            elif pos <= start and op == "D":
-                lead_del += n
-            elif pos > end and op == "D":
-                trail_del += n
+        element_start = element_end
+        consumed = (op in CONSUMES_REF) if by_reference \
+            else (op in CONSUMES_READ)
+        element_end = element_start + (n if consumed else 0)
+        if element_end < start or (element_end == start
+                                   and element_start < start):
             continue
-        seg_start = pos
-        seg_end = pos + n  # exclusive
-        pos = seg_end
-        lo = max(seg_start, start)
-        hi = min(seg_end, end + 1)
-        if lo < hi:
-            out.append((op, hi - lo))
-    # a deletion attached to the very end counts as trailing
-    while out and out[-1][0] == "D":
-        trail_del += out.pop()[1]
-    while out and out[0][0] == "D":
-        lead_del += out.pop(0)[1]
-    return merge_adjacent(out), lead_del, trail_del
+        if element_start > end and element_end > end + 1:
+            break
+        if element_end == element_start:
+            overlap = n
+        else:
+            overlap = min(end + 1, element_end) - max(start, element_start)
+        builder.add(op, overlap)
+    out = builder.make()
+    return (out, builder.leading_deletion_bases_removed,
+            builder.trailing_deletion_bases_removed)
+
+
+def trim_cigar_by_bases(cigar, start: int, end: int):
+    """Keep the cigar portion covering READ bases [start, end] inclusive;
+    returns (cigar, leading_deletion_bases_removed,
+    trailing_deletion_bases_removed)."""
+    return _trim_cigar(cigar, start, end, by_reference=False)
+
+
+def trim_cigar_by_reference(cigar, start: int, end: int):
+    """Keep the cigar portion covering REFERENCE positions [start, end]
+    inclusive; same return shape as trim_cigar_by_bases."""
+    return _trim_cigar(cigar, start, end, by_reference=True)
+
+
+def normalize_alleles(sequences, bounds, max_shift: int, trim: bool):
+    """GATK normalize_alleles (alignment_utils.rs:585-639): trim redundant
+    shared bases off both ends of the per-sequence index ranges, then shift
+    the ranges left while the flanking bases allow.  ``bounds`` is a list of
+    [start, end) lists mutated in place; returns (start_shift, end_shift)."""
+
+    def last_base_on_right_is_same():
+        idxs = [b[1] - 1 for b in bounds]
+        if any(i < 0 for i in idxs):
+            return False
+        first = sequences[0][idxs[0]]
+        return all(sequences[n][idxs[n]] == first
+                   for n in range(len(sequences)))
+
+    def first_base_on_left_is_same():
+        first = sequences[0][bounds[0][0]]
+        return all(sequences[n][bounds[n][0]] == first
+                   for n in range(len(sequences)))
+
+    def next_base_on_left_is_same():
+        idxs = [b[0] - 1 for b in bounds]
+        if any(i < 0 for i in idxs):
+            return False
+        first = sequences[0][idxs[0]]
+        return all(sequences[n][idxs[n]] == first
+                   for n in range(len(sequences)))
+
+    start_shift = end_shift = 0
+    min_size = min(b[1] - b[0] for b in bounds)
+    while trim and min_size > 0 and last_base_on_right_is_same():
+        for b in bounds:
+            b[1] -= 1
+        min_size -= 1
+        end_shift += 1
+    while trim and min_size > 0 and first_base_on_left_is_same():
+        for b in bounds:
+            b[0] += 1
+        min_size -= 1
+        start_shift -= 1
+    while start_shift < max_shift and next_base_on_left_is_same() \
+            and last_base_on_right_is_same():
+        for b in bounds:
+            b[0] -= 1
+            b[1] -= 1
+        start_shift += 1
+        end_shift += 1
+    return start_shift, end_shift
 
 
 def left_align_indels(cigar, ref: np.ndarray, read: np.ndarray, ref_offset: int = 0):
-    """Shift indels as far left as possible (VCF normalization).
+    """Left-align (VCF-normalize) the indels of a read-vs-reference cigar.
 
-    Simplified but behavior-compatible version of
-    alignment_utils.rs left_align_indels for the haplotype-cigar use case:
-    repeatedly move each indel left one unit while the flanking bases allow.
-    Returns the adjusted cigar (leading/trailing deletions preserved).
-    """
+    Faithful port of alignment_utils.rs:425-560 left_align_indels: traverse
+    the cigar right to left accumulating indel ref/read ranges, and at each
+    alignment block trim+shift the accumulated alleles via normalize_alleles
+    — merging indels that meet inside one tandem repeat and cancelling
+    insertion/deletion pairs that net out.  Returns (cigar,
+    leading_deletion_bases_removed, trailing_deletion_bases_removed)."""
     cigar = merge_adjacent(cigar)
-    changed = True
-    while changed:
-        changed = False
-        # positions of ops
-        ref_pos = ref_offset
-        read_pos = 0
-        spans = []
-        for op, n in cigar:
-            spans.append((op, n, ref_pos, read_pos))
-            if op in CONSUMES_REF:
-                ref_pos += n
-            if op in CONSUMES_READ:
-                read_pos += n
-        for k, (op, n, rpos, qpos) in enumerate(spans):
-            if op not in "ID" or k == 0:
-                continue
-            prev_op, prev_n, _, _ = spans[k - 1]
-            if prev_op != "M" or prev_n == 0:
-                continue
-            # unit = the indel sequence
-            if op == "D":
-                seg = ref[rpos:rpos + n]
-                left = ref[rpos - 1] if rpos - 1 >= 0 else None
-            else:
-                seg = read[qpos:qpos + n]
-                left = read[qpos - 1] if qpos - 1 >= 0 else None
-            if left is None or seg.size == 0:
-                continue
-            if seg[-1] == left:
-                # shift indel one base left
-                new = list(cigar)
-                new[k - 1] = (prev_op, prev_n - 1)
-                if k + 1 < len(new) and new[k + 1][0] == "M":
-                    new[k + 1] = ("M", new[k + 1][1] + 1)
-                else:
-                    new.insert(k + 1, ("M", 1))
-                cigar = merge_adjacent(new)
-                changed = True
-                break
-    return cigar
+    if not any(op in "ID" for op, _ in cigar):
+        return cigar, 0, 0
+    ref = np.asarray(ref, np.uint8)
+    read = np.asarray(read, np.uint8)
+    r_end = ref_offset + reference_length(cigar)
+    q_end = read_length(cigar)
+    ref_range = [r_end, r_end]     # [start, end) on ref (global coords)
+    read_range = [q_end, q_end]    # [start, end) on read
+    result_rtl = []
+    for k in range(len(cigar) - 1, -1, -1):
+        op, n = cigar[k]
+        on_ref = n if op in CONSUMES_REF else 0
+        on_read = n if op in CONSUMES_READ else 0
+        if op in "ID":
+            # accumulate; shifting happens at the next alignment block
+            ref_range[0] -= on_ref
+            read_range[0] -= on_read
+        elif ref_range[1] == ref_range[0] and read_range[1] == read_range[0]:
+            ref_range = [ref_range[0] - on_ref, ref_range[1] - on_ref]
+            read_range = [read_range[0] - on_read, read_range[1] - on_read]
+            result_rtl.append((op, n))
+        else:
+            max_shift = n if op in "M=X" else 0
+            max_shift = min(max_shift, ref_range[0], read_range[0])
+            start_shift, end_shift = normalize_alleles(
+                [ref, read], [ref_range, read_range], max_shift, True)
+            # new match alignment on the right due to left-alignment
+            result_rtl.append(("M", end_shift))
+            emit_indel = (k == 0 or start_shift < max_shift
+                          or op not in "M=X")
+            new_match_left = -start_shift if start_shift < 0 else 0
+            remaining_left = n if start_shift < 0 else n - start_shift
+            if emit_indel:
+                result_rtl.append(("D", ref_range[1] - ref_range[0]))
+                result_rtl.append(("I", read_range[1] - read_range[0]))
+                ref_range[1] = ref_range[0]
+                read_range[1] = read_range[0]
+                dr = new_match_left + (remaining_left
+                                       if op in CONSUMES_REF else 0)
+                ref_range = [ref_range[0] - dr, ref_range[1] - dr]
+                dq = new_match_left + (remaining_left
+                                       if op in CONSUMES_READ else 0)
+                read_range = [read_range[0] - dq, read_range[1] - dq]
+            result_rtl.append(("M", new_match_left))
+            result_rtl.append((op, remaining_left))
+    result_rtl.append(("D", ref_range[1] - ref_range[0]))
+    result_rtl.append(("I", read_range[1] - read_range[0]))
+    builder = CigarBuilder(remove_deletions=True)
+    for op, n in reversed(result_rtl):
+        builder.add(op, n)
+    out = builder.make()
+    return (out, builder.leading_deletion_bases_removed,
+            builder.trailing_deletion_bases_removed)
 
 
 def calculate_cigar(ref_seq: np.ndarray, alt_seq: np.ndarray,
@@ -328,12 +397,17 @@ def calculate_cigar(ref_seq: np.ndarray, alt_seq: np.ndarray,
         return None  # SW failure (is_s_w_failure)
     trimmed, lead_del, trail_del = trim_cigar_by_bases(
         cigar, 10, len(padded_alt) - 11)
+    # restore trailing deletions for left-alignment; it may remove them
+    # again and report them (cigar_utils.rs:421-456)
     if trail_del > 0:
         trimmed = trimmed + [("D", trail_del)]
-        trail_del = 0
-    aligned = left_align_indels(trimmed, ref_seq, alt_seq, lead_del)
+    aligned, la_lead, la_trail = left_align_indels(
+        trimmed, ref_seq, alt_seq, lead_del)
+    total_lead = lead_del + la_lead
     out = []
-    if lead_del > 0:
-        out.append(("D", lead_del))
+    if total_lead > 0:
+        out.append(("D", total_lead))
     out.extend(aligned)
+    if la_trail > 0:
+        out.append(("D", la_trail))
     return merge_adjacent(out)
