@@ -13,7 +13,6 @@ windows/annotations see haplotype-consistent coordinates.
 from __future__ import annotations
 
 import dataclasses
-import functools
 
 import numpy as np
 
@@ -22,94 +21,47 @@ from lorikeet_tpu.ops.smith_waterman import (
 )
 
 
-def _hap_base_maps(hap_cigar: list, hap_ref_start: int):
-    """Per-haplotype-base (ref position | -1 for insertions) and the count
-    of deleted ref bases immediately before each haplotype base.
-
-    Memoized per (cigar, start): every read realigned to a haplotype shares
-    its maps, so a region costs O(haplotypes) builds instead of O(reads)."""
-    return _hap_base_maps_cached(
-        tuple(map(tuple, hap_cigar)), hap_ref_start)
-
-
-@functools.lru_cache(maxsize=1024)
-def _hap_base_maps_cached(hap_cigar: tuple, hap_ref_start: int):
-    ref_pos = []
-    del_before = []
-    pending_del = 0
-    r = hap_ref_start
-    for op, n in hap_cigar:
-        if op in "M=X":
-            for _ in range(n):
-                ref_pos.append(r)
-                del_before.append(pending_del)
-                pending_del = 0
-                r += 1
-        elif op == "I":
-            for _ in range(n):
-                ref_pos.append(-1)
-                del_before.append(pending_del)
-                pending_del = 0
-        elif op in "DN":
-            pending_del += n
-            r += n
-        # S/H impossible for assembled haplotypes
-    return np.asarray(ref_pos, np.int64), np.asarray(del_before, np.int64)
-
-
 def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
-                         hap_cigar: list, hap_ref_start: int):
+                         hap_cigar: list, hap_ref_start: int,
+                         ref_bases: np.ndarray = None,
+                         read_bases: np.ndarray = None):
     """(new_ref_pos, read-vs-ref cigar) from a read-vs-haplotype alignment.
 
-    Soft clips in the read-vs-hap alignment are preserved.
-    """
-    ref_pos, del_before = _hap_base_maps(hap_cigar, hap_ref_start)
-    out = []
-
-    def emit(op, n=1):
-        if n <= 0:
-            return
-        if out and out[-1][0] == op:
-            out[-1][1] += n
-        else:
-            out.append([op, n])
-
-    h = read_offset_in_hap
-    new_pos = None
-    for op, n in read_vs_hap_cigar:
-        if op in "M=X":
-            for _ in range(n):
-                if h >= len(ref_pos):
-                    emit("S")          # ran off the haplotype: soft clip
-                    continue
-                emit("D", int(del_before[h]))
-                if ref_pos[h] < 0:
-                    emit("I")
-                else:
-                    if new_pos is None:
-                        new_pos = int(ref_pos[h])
-                    emit("M")
-                h += 1
-        elif op == "I":
-            emit("I", n)
-        elif op == "D":
-            for _ in range(n):
-                if h >= len(ref_pos):
-                    break
-                emit("D", int(del_before[h]))
-                if ref_pos[h] >= 0:
-                    emit("D")
-                h += 1
-        elif op == "S":
-            emit("S", n)
-        # H dropped
-    # canonicalize: leading/trailing D removed, I+D merges left as-is
-    cleaned = [(op, n) for op, n in out]
-    while cleaned and cleaned[0][0] == "D":
-        cleaned.pop(0)
-    while cleaned and cleaned[-1][0] == "D":
-        cleaned.pop()
-    return new_pos, cleaned
+    Faithful to create_read_aligned_to_ref (alignment_utils.rs:40-165):
+    the hap-vs-ref cigar is right-padded with match so reads running off
+    the haplotype stay aligned, trimmed to start at the read's offset,
+    composed via apply_cigar_to_cigar (read-vs-hap soft clips become
+    insertions), and — when ``ref_bases``/``read_bases`` are given —
+    left-aligned with the read position adjusted for any leading deletion
+    the alignment sheds."""
+    from lorikeet_tpu.utils.cigar import (
+        CigarBuilder, CigarBuilderError, apply_cigar_to_cigar,
+        left_align_indels, read_length, read_start_on_reference_haplotype,
+        trim_cigar_by_bases,
+    )
+    try:
+        sw_builder = CigarBuilder(remove_deletions=True)
+        for op, n in read_vs_hap_cigar:
+            sw_builder.add(op, n)
+        sw_cigar = sw_builder.make()
+        pad_builder = CigarBuilder(remove_deletions=True)
+        for op, n in hap_cigar:
+            pad_builder.add(op, n)
+        pad_builder.add("M", 1000)
+        padded = pad_builder.make()
+        start_on_ref_hap = read_start_on_reference_haplotype(
+            padded, read_offset_in_hap)
+        new_pos = hap_ref_start + start_on_ref_hap
+        hap_to_ref, _, _ = trim_cigar_by_bases(
+            padded, read_offset_in_hap, read_length(padded) - 1)
+        composed = apply_cigar_to_cigar(sw_cigar, hap_to_ref)
+        if ref_bases is not None and read_bases is not None:
+            composed, lead_removed, _ = left_align_indels(
+                composed, ref_bases, read_bases, start_on_ref_hap)
+            new_pos += lead_removed
+        return new_pos, composed
+    except (CigarBuilderError, ValueError):
+        return None, []
 
 
 def realign_reads_to_best_haplotype(likelihoods, haplotypes,
@@ -119,7 +71,9 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
     AssembledHaplotypes whose cigars are vs the padded window at
     ``window_start``."""
     n = 0
-    hap_maps = {}
+    ref_hap = next((h for h in haplotypes if h.is_ref), None)
+    ref_bases = (np.frombuffer(ref_hap.bases, np.uint8)
+                 if ref_hap is not None else None)
     for s in likelihoods.samples:
         mat = likelihoods.values[s]            # [haps, reads]
         reads = likelihoods.reads_by_sample[s]
@@ -141,7 +95,8 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
                 continue
             cigar, offset = res
             new_pos, new_cigar = compose_to_reference(
-                cigar, offset, hap.cigar, window_start)
+                cigar, offset, hap.cigar, window_start,
+                ref_bases=ref_bases, read_bases=rec.seq)
             if new_pos is None or not new_cigar:
                 continue
             reads[i] = dataclasses.replace(rec, pos=new_pos, cigar=new_cigar)

@@ -257,6 +257,73 @@ def trim_cigar_by_reference(cigar, start: int, end: int):
     return _trim_cigar(cigar, start, end, by_reference=True)
 
 
+# (op13, advance_12, advance_23) per (op12, op23) pair; read-vs-hap soft
+# clips behave as insertions (alignment_utils.rs:967-1049 CigarPairTransform)
+_PAIR_TRANSFORM = {}
+for _m12 in "M=X":
+    for _m23 in "M=X":
+        _PAIR_TRANSFORM[(_m12, _m23)] = ("M", 1, 1)
+    for _i23 in "IS":
+        _PAIR_TRANSFORM[(_m12, _i23)] = ("I", 1, 1)
+    _PAIR_TRANSFORM[(_m12, "D")] = ("D", 0, 1)
+for _i12 in "IS":
+    for _o23 in "M=XISD":
+        _PAIR_TRANSFORM[(_i12, _o23)] = ("I", 1, 0)
+for _o23 in "M=X":
+    _PAIR_TRANSFORM[("D", _o23)] = ("D", 1, 1)
+for _i23 in "IS":
+    _PAIR_TRANSFORM[("D", _i23)] = (None, 1, 1)
+_PAIR_TRANSFORM[("D", "D")] = ("D", 0, 1)
+
+
+def apply_cigar_to_cigar(first_to_second, second_to_third):
+    """Compose two alignments: read-vs-hap through hap-vs-ref
+    (alignment_utils.rs:240-281 apply_cigar_to_cigar).  Walks both cigars
+    base by base applying the pair-transform table; output goes through
+    CigarBuilder (leading/trailing deletions removed)."""
+    first_to_second = merge_adjacent(first_to_second)
+    second_to_third = merge_adjacent(second_to_third)
+    builder = CigarBuilder(remove_deletions=True)
+    i12 = i23 = 0          # element indices
+    e12 = e23 = 0          # consumed length within current element
+    while i12 < len(first_to_second) and i23 < len(second_to_third):
+        op12, n12 = first_to_second[i12]
+        op23, n23 = second_to_third[i23]
+        op13, adv12, adv23 = _PAIR_TRANSFORM[(op12, op23)]
+        e12 += adv12
+        e23 += adv23
+        if op13 is not None:
+            builder.add(op13, 1)
+        if e12 == n12:
+            i12 += 1
+            e12 = 0
+        if e23 == n23:
+            i23 += 1
+            e23 = 0
+    return builder.make()
+
+
+def read_start_on_reference_haplotype(hap_vs_ref_cigar,
+                                      read_start_on_haplotype: int) -> int:
+    """Reference bases before the read start, walking the hap-vs-ref cigar
+    until enough haplotype bases are consumed
+    (alignment_utils.rs:283-310)."""
+    if read_start_on_haplotype == 0:
+        return 0
+    ref_consumed = 0
+    hap_consumed = 0
+    for op, n in hap_vs_ref_cigar:
+        if op in CONSUMES_REF:
+            ref_consumed += n
+        if op in CONSUMES_READ:
+            hap_consumed += n
+        if hap_consumed >= read_start_on_haplotype:
+            excess = (hap_consumed - read_start_on_haplotype
+                      if op in CONSUMES_REF else 0)
+            return max(ref_consumed - excess, 0)
+    raise ValueError("cigar doesn't reach the read start")
+
+
 def normalize_alleles(sequences, bounds, max_shift: int, trim: bool):
     """GATK normalize_alleles (alignment_utils.rs:585-639): trim redundant
     shared bases off both ends of the per-sequence index ranges, then shift

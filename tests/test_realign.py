@@ -27,11 +27,13 @@ def test_compose_through_hap_deletion():
     assert cig == [("M", 15), ("D", 5), ("M", 15)]
 
 
-def test_compose_read_insertion_and_softclip_kept():
+def test_compose_read_insertion_and_softclip_becomes_insertion():
+    # read-vs-hap soft clips compose as insertions vs the reference
+    # (alignment_utils.rs:988-1015 CigarPairTransform S->I)
     pos, cig = compose_to_reference(
         [("S", 4), ("M", 10), ("I", 2), ("M", 10)], 5, [("M", 100)], 0)
     assert pos == 5
-    assert cig == [("S", 4), ("M", 10), ("I", 2), ("M", 10)]
+    assert cig == [("I", 4), ("M", 10), ("I", 2), ("M", 10)]
 
 
 def test_realign_moves_reads_spanning_deletion():
