@@ -88,7 +88,15 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
             hap = haplotypes[int(best[i])]
             if hap.is_ref:
                 continue                        # already ref-aligned
-            res = align(hap.bases, rec.seq.tobytes(),
+            # soft clips are excluded from the SW and re-appended after
+            # (alignment_utils.rs:49-52,143: read_minus_soft_clips +
+            # append_clipped_elements_from_cigar_to_cigar)
+            lead_s = rec.cigar[0][1] if rec.cigar and rec.cigar[0][0] == "S" \
+                else 0
+            tail_s = rec.cigar[-1][1] if len(rec.cigar) > 1 \
+                and rec.cigar[-1][0] == "S" else 0
+            core_seq = rec.seq[lead_s:len(rec.seq) - tail_s]
+            res = align(hap.bases, core_seq.tobytes(),
                         ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS,
                         OverhangStrategy.SOFTCLIP)
             if res is None:
@@ -96,9 +104,13 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
             cigar, offset = res
             new_pos, new_cigar = compose_to_reference(
                 cigar, offset, hap.cigar, window_start,
-                ref_bases=ref_bases, read_bases=rec.seq)
+                ref_bases=ref_bases, read_bases=core_seq)
             if new_pos is None or not new_cigar:
                 continue
+            if lead_s:
+                new_cigar = [("S", lead_s)] + new_cigar
+            if tail_s:
+                new_cigar = new_cigar + [("S", tail_s)]
             reads[i] = dataclasses.replace(rec, pos=new_pos, cigar=new_cigar)
             n += 1
     return n
