@@ -290,10 +290,14 @@ def apply_cigar_to_cigar(first_to_second, second_to_third):
         op12, n12 = first_to_second[i12]
         op23, n23 = second_to_third[i23]
         op13, adv12, adv23 = _PAIR_TRANSFORM[(op12, op23)]
-        e12 += adv12
-        e23 += adv23
+        # the transform is constant for an op pair: take the whole
+        # remaining run at once instead of stepping base by base
+        take = min(n12 - e12 if adv12 else 1 << 60,
+                   n23 - e23 if adv23 else 1 << 60)
+        e12 += adv12 * take
+        e23 += adv23 * take
         if op13 is not None:
-            builder.add(op13, 1)
+            builder.add(op13, take)
         if e12 == n12:
             i12 += 1
             e12 = 0
