@@ -217,9 +217,18 @@ def hard_clip_adaptor_sequence(rec: BamRecord) -> BamRecord:
 
 def hard_clip_to_region(rec: BamRecord, start: int, end: int) -> BamRecord:
     """Keep query bases whose reference position is within [start, end]
-    (read_clipper.rs hard_clip_to_region; end inclusive)."""
+    (read_clipper.rs hard_clip_to_region; end inclusive).
+
+    Insertion bases anchor to the preceding aligned/projected base (GATK
+    read-index-for-reference-coordinate semantics), so the kept range is
+    contiguous and boundary insertions travel with their anchor."""
     refpos = query_ref_positions(rec)
-    keep = (refpos >= start) & (refpos <= end)
+    # forward-fill insertion positions from their left anchor; insertions
+    # before any anchored base anchor just before the alignment start
+    anchored = np.where(refpos >= 0, refpos, np.iinfo(np.int64).min)
+    eff = np.maximum.accumulate(
+        np.concatenate(([rec.pos - 1], anchored)))[1:]
+    keep = (eff >= start) & (eff <= end)
     if keep.all():
         return rec
     idx = np.flatnonzero(keep)
