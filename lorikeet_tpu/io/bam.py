@@ -271,24 +271,43 @@ class BamReader:
                           cols["seq_off"], cols["tag_off"])
         cigars, seq, qual, tags = (cols["cigars"], cols["seq"],
                                    cols["qual"], cols["tags"])
-        # decode the whole cigar column once (vectorized), then slice lists
+        # decode the whole cigar column once (vectorized), then slice lists;
+        # whole scalar columns convert to Python lists in one shot (240k
+        # per-element np-scalar int() calls dominate otherwise)
         op_chars = np.array(list(CIGAR_OPS))[cigars & 0xF].tolist()
         op_lens = (cigars >> 4).tolist()
+        flag_l = cols["flag"].tolist()
+        tid_l = cols["tid"].tolist()
+        pos_l = cols["pos"].tolist()
+        mapq_l = cols["mapq"].tolist()
+        mtid_l = cols["mate_tid"].tolist()
+        mpos_l = cols["mate_pos"].tolist()
+        tlen_l = cols["tlen"].tolist()
+        intr_l = intrinsic.tolist()
+        no_l, co_l, so_l, to_l = (no.tolist(), co.tolist(), so.tolist(),
+                                  to.tolist())
         by_tid = {}
-        for i in map(int, order):
-            cig = list(zip(op_chars[co[i]:co[i + 1]],
-                           op_lens[co[i]:co[i + 1]]))
-            rec = BamRecord(
-                name=names[no[i]:no[i + 1]].decode(),
-                flag=int(cols["flag"][i]), tid=int(cols["tid"][i]),
-                pos=int(cols["pos"][i]), mapq=int(cols["mapq"][i]),
-                cigar=cig, seq=seq[so[i]:so[i + 1]],
-                qual=qual[so[i]:so[i + 1]].copy(),
-                mate_tid=int(cols["mate_tid"][i]),
-                mate_pos=int(cols["mate_pos"][i]),
-                tlen=int(cols["tlen"][i]),
-                tags=_LazyTags(tags, int(to[i]), int(to[i + 1])),
-                intrinsic=int(intrinsic[i]))
+        new = BamRecord.__new__
+        for i in order.tolist():
+            # direct attribute construction: ~2x faster than the dataclass
+            # __init__ for 13 fields at this volume
+            rec = new(BamRecord)
+            d = rec.__dict__
+            d["name"] = names[no_l[i]:no_l[i + 1]].decode()
+            d["flag"] = flag_l[i]
+            d["tid"] = tid_l[i]
+            d["pos"] = pos_l[i]
+            d["mapq"] = mapq_l[i]
+            d["cigar"] = list(zip(op_chars[co_l[i]:co_l[i + 1]],
+                                  op_lens[co_l[i]:co_l[i + 1]]))
+            d["seq"] = seq[so_l[i]:so_l[i + 1]]
+            d["qual"] = qual[so_l[i]:so_l[i + 1]].copy()
+            d["mate_tid"] = mtid_l[i]
+            d["mate_pos"] = mpos_l[i]
+            d["tlen"] = tlen_l[i]
+            d["tags"] = _LazyTags(tags, to_l[i], to_l[i + 1])
+            d["sample_index"] = 0
+            d["intrinsic"] = intr_l[i]
             by_tid.setdefault(rec.tid, []).append(rec)
         self._by_tid = by_tid
         self._starts = {tid: np.array([r.pos for r in recs], np.int64)
