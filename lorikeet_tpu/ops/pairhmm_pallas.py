@@ -88,12 +88,11 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
 
     _GROUP = GROUP  # diagonals per renormalisation
 
-    # Entering hap base: when the tile is a single 128-lane chunk the
-    # rolling window aligns lane-for-lane with the state arrays, and only
-    # lane 0 (the boundary) of the entering value is ever consumed — the
-    # masked-reduction broadcast (iota+where+cross-lane sum) is pure
-    # overhead.  Multi-chunk tiles keep the reduction path.
-    direct_window = Rpad == _LANES
+    # Entering hap base: only lane 0 (the boundary) of the entering value
+    # is ever consumed, so the per-chunk 128-lane hap window — zero-padded
+    # to Rpad once per chunk — feeds hapd directly through the boundary
+    # select; the old masked-reduction broadcast (iota+where+cross-lane
+    # sum) per step is pure overhead.
 
     def body(g, chunk_carry):
         # A group of _GROUP diagonals d = c*128 + g*_GROUP + s + 1, then one
@@ -107,12 +106,8 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
         m1, i1, d1, sm, si, sd, hapd, bval, acc, ls = carry
         for s in range(_GROUP):
             d = c * _LANES + g * _GROUP + s + 1
-            if direct_window:
-                hapd = jnp.where(boundary, window, pltpu.roll(hapd, 1, 1))
-            else:
-                new_hap = jnp.broadcast_to(col(window, 0), (TB, Rpad))
-                hapd = jnp.where(boundary, new_hap, pltpu.roll(hapd, 1, 1))
-            window = pltpu.roll(window, _LANES - 1, 1)
+            hapd = jnp.where(boundary, window, pltpu.roll(hapd, 1, 1))
+            window = pltpu.roll(window, Rpad - 1, 1)
 
             base_match = (rp == hapd) | rp_is_n | (hapd == _NBASE)
             prior = jnp.where(base_match, pm, px)
@@ -155,6 +150,11 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     def chunk_body(c, carry):
         start = pl.multiple_of(c * _LANES, _LANES)
         window = hap_stream[:, pl.ds(start, _LANES)]           # [TB,128]
+        if Rpad > _LANES:
+            # zero-pad once per chunk so the per-step boundary select and
+            # roll operate lane-for-lane against the state arrays
+            window = jnp.concatenate(
+                [window, jnp.zeros((TB, Rpad - _LANES), window.dtype)], 1)
         _, carry, _ = jax.lax.fori_loop(0, _LANES // _GROUP, body,
                                         (c, carry, window))
         return carry
@@ -171,10 +171,19 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     out[...] = jnp.log10(jnp.maximum(total, jnp.finfo(f32).tiny)) + ls_col
 
 
+def vmem_safe_block(Rpad: int, requested: int) -> int:
+    """Largest block <= requested that fits the ~16MB scoped-VMEM budget:
+    ~20 live [block, Rpad] f32 arrays put the ceiling at block*Rpad ~= 32k
+    (block 256 at Rpad 128 measured 16.18M/16M OOM at Rpad 256)."""
+    cap = max(32, (256 * 128) // Rpad)
+    return min(requested, cap)
+
+
 @functools.partial(jax.jit, static_argnames=("nchunks", "block_b", "interpret"))
 def _pairhmm_pallas_jit(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
                         read_pad, hap_stream, lens, nchunks, block_b, interpret):
     B, Rpad = t_mm.shape
+    block_b = vmem_safe_block(Rpad, block_b)
     grid = (B // block_b,)
     row = lambda i: (i, 0)
     spec_r = pl.BlockSpec((block_b, Rpad), row, memory_space=pltpu.VMEM)

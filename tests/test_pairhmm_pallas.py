@@ -52,3 +52,48 @@ def test_pallas_interpret_small():
     for k, p in enumerate(pairs):
         want = pairhmm_forward_np(*p)
         assert abs(got[k] - want) < 2e-3, (k, want, got[k])
+
+
+def test_pallas_interpret_long_reads_multilane():
+    """R > 127 pads the lane axis to 256: exercises the padded-window
+    entering-base path (kernel chunk_body zero-pad) and nchunks > 1."""
+    import numpy as np
+    from lorikeet_tpu.ops.pairhmm import pairhmm_forward_batch
+    from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_pallas
+
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    for H, R in [(300, 150), (200, 151), (280, 140)]:
+        hap = bases[rng.integers(0, 4, H)]
+        read = hap[7:7 + R].copy()
+        read[rng.integers(0, R)] = bases[rng.integers(0, 4)]
+        q = rng.integers(10, 40, R).astype(np.uint8)
+        iq = rng.integers(30, 46, R).astype(np.uint8)
+        dq = rng.integers(30, 46, R).astype(np.uint8)
+        gcp = np.full(R, 10, np.uint8)
+        pairs.append((hap, read, q, iq, dq, gcp))
+    Hmax = max(len(p[0]) for p in pairs)
+    Rmax = max(len(p[1]) for p in pairs)
+    B = len(pairs)
+    haps = np.zeros((B, Hmax), np.uint8)
+    reads = np.zeros((B, Rmax), np.uint8)
+    quals = np.zeros((B, Rmax), np.uint8)
+    iqs = np.zeros((B, Rmax), np.uint8)
+    dqs = np.zeros((B, Rmax), np.uint8)
+    gcps = np.zeros((B, Rmax), np.uint8)
+    hl = np.zeros(B, np.int32)
+    rl = np.zeros(B, np.int32)
+    for k, (hap, read, q, iq, dq, gcp) in enumerate(pairs):
+        haps[k, :len(hap)] = hap
+        reads[k, :len(read)] = read
+        quals[k, :len(read)] = q
+        iqs[k, :len(read)] = iq
+        dqs[k, :len(read)] = dq
+        gcps[k, :len(read)] = gcp
+        hl[k], rl[k] = len(hap), len(read)
+    want = np.asarray(pairhmm_forward_batch(haps, hl, reads, rl, quals,
+                                            iqs, dqs, gcps))
+    got = np.asarray(pairhmm_forward_pallas(haps, hl, reads, rl, quals,
+                                            iqs, dqs, gcps, interpret=True))
+    np.testing.assert_allclose(got[:B], want[:B], atol=2e-3)
