@@ -94,12 +94,18 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
             labels[i] = keys.setdefault(key, len(keys))
     else:
         from sklearn.cluster import HDBSCAN
-        from lorikeet_tpu.strain.umap import umap_embed
-        emb = umap_embed(X, n_components=2, seed=random_state)
-        labels = HDBSCAN(
-            min_cluster_size=min(min_cluster_size, max(2, n // 2)),
-            allow_single_cluster=True).fit_predict(emb).astype(np.int64)
-        X = emb
+        # min cluster size scales with the variant count so dense profiles
+        # aren't shattered into micro-groups
+        mcs = min(max(min_cluster_size, n // 25), max(2, n // 2))
+        if X.shape[1] > 3:
+            # high-dimensional depth profiles (many samples): embed first,
+            # as flight does (UMAP to 2-D, then density clustering)
+            from lorikeet_tpu.strain.umap import umap_embed
+            X = umap_embed(X, n_components=2, seed=random_state)
+        # at <= 3 samples the raw fraction space is already low-dimensional;
+        # embedding it only tears clusters apart
+        labels = HDBSCAN(min_cluster_size=mcs, allow_single_cluster=True,
+                         copy=True).fit_predict(X).astype(np.int64)
     groups = sorted(set(labels.tolist()) - {-1})
     n_groups = (max(groups) + 1) if groups else 0
     sep = np.full((n_groups, n_groups), np.inf)
