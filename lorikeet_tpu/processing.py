@@ -117,10 +117,13 @@ def call_contig(
     cfg: CallerConfig = None,
     engine: HaplotypeCallerEngine = None,
     limit=None,                 # optional (start, end) restriction
+    chunk_threads: int = 1,
 ) -> ContigResult:
     """Chunked contig driver: large contigs are processed in outer chunks
     of ~250kb/samples with a halo (haplotype_caller_engine.rs:417,443-470
-    sizing); per-chunk results (calls, depth RLE) concatenate exactly."""
+    sizing); per-chunk results (calls, depth RLE) concatenate exactly.
+    ``chunk_threads`` parallelizes the chunk loop (the reference's inner
+    rayon chunk parallelism) when the contig loop itself is serial."""
     cfg = cfg or CallerConfig()
     engine = engine or HaplotypeCallerEngine(cfg)
     length = fasta.length(contig_name)
@@ -134,12 +137,26 @@ def call_contig(
     # halo: regions can reach MAX size + padding past a boundary, and the
     # band-pass filter needs +/-50bp of context (SURVEY §5 haloing)
     halo = cfg.max_assembly_region_size + cfg.assembly_region_padding + 50
-    result = None
+    spans = []
     for core_lo in range(lo, hi, chunk_size):
         core_hi = min(core_lo + chunk_size, hi)
-        part = _call_span(fasta, bams, contig_name, cfg, engine,
-                          max(lo, core_lo - halo), min(hi, core_hi + halo),
-                          core_lo, core_hi)
+        spans.append((max(lo, core_lo - halo), min(hi, core_hi + halo),
+                      core_lo, core_hi))
+    if chunk_threads > 1 and len(spans) > 1:
+        for b in bams:
+            b._ensure_decoded()
+        contig_seq = fasta.fetch(contig_name)
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(chunk_threads, len(spans))) as ex:
+            parts = list(ex.map(
+                lambda sp: _call_span(fasta, bams, contig_name, cfg, engine,
+                                      sp[0], sp[1], sp[2], sp[3],
+                                      ref_seq=contig_seq), spans))
+    else:
+        parts = [_call_span(fasta, bams, contig_name, cfg, engine, *sp)
+                 for sp in spans]
+    result = None
+    for part in parts:
         if result is None:
             result = part
         else:
@@ -162,13 +179,16 @@ def _rle_concat(dst: list, src: list):
 
 
 def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
-               core_lo=None, core_hi=None) -> ContigResult:
+               core_lo=None, core_hi=None, ref_seq=None) -> ContigResult:
     """Profile + call [lo, hi); emit only regions starting inside the core
-    span and depth RLE for exactly [core_lo, core_hi)."""
+    span and depth RLE for exactly [core_lo, core_hi).  ``ref_seq`` (the
+    whole contig) may be prefetched by the caller — required under chunk
+    threading, where the FastaReader handle's seeks would race."""
     core_lo = lo if core_lo is None else core_lo
     core_hi = hi if core_hi is None else core_hi
     length = fasta.length(contig_name)
-    ref_seq = fasta.fetch(contig_name)
+    if ref_seq is None:
+        ref_seq = fasta.fetch(contig_name)
     n_samples = len(bams)
     tid_per_bam = [b.tid(contig_name) if contig_name in b.references else -1
                    for b in bams]
@@ -333,16 +353,21 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
     min_size = getattr(cfg, "min_contig_size", 0) or 0
     n_workers = min(getattr(cfg, "threads", 1) or 1, len(spec.contigs))
 
-    def _one(local_fasta, contig):
+    def _one(local_fasta, contig, chunk_threads=1):
         # contigs below --min-contig-size are skipped outright
         # (haplotype_caller_engine.rs:340,418 min_contig_length gate)
         if min_size and local_fasta.length(contig) < min_size:
             return ContigResult(tid=0)
         return call_contig(local_fasta, bams, contig, cfg, engine,
-                           limit=limit)
+                           limit=limit, chunk_threads=chunk_threads)
 
     if n_workers <= 1 or len(spec.contigs) <= 1:
-        return [_one(fasta, c) for c in spec.contigs]
+        # chunk-level threading exists (call_contig chunk_threads) but the
+        # chunk hot path is GIL-bound Python — measured SLOWER threaded
+        # (29s vs 16s on a 400kb contig), so the serial loop stays default;
+        # opt in via LORIKEET_CHUNK_THREADS for native-dominated workloads
+        inner = int(os.environ.get("LORIKEET_CHUNK_THREADS", "1"))
+        return [_one(fasta, c, chunk_threads=inner) for c in spec.contigs]
     for b in bams:
         b._ensure_decoded()
 
