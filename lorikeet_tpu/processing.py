@@ -507,13 +507,56 @@ def start_engine(mode: str, references: list, bam_paths: list,
                         progress, results, log, StageTimer)
 
     if parallel_genomes > 1 and len(specs) > 1:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=parallel_genomes) as pool:
-            list(pool.map(run_one, specs))
+        import jax
+        cpu_backend = (getattr(cfg, "use_pallas", None) is False
+                       or jax.default_backend() == "cpu")
+        if cpu_backend:
+            # real multi-core scaling: one PROCESS per genome (the
+            # reference's scoped threadpool has no GIL; Python threads
+            # serialize the host-bound hot path).  Children run CPU-only —
+            # used when no TPU is in play anyway.
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+            payloads = []
+            for spec in specs:
+                genome_paths = ([split_map[(p, spec.name)]
+                                 for p in bam_paths]
+                                if split_map is not None else bam_paths)
+                payloads.append((spec, mode, genome_paths, bam_paths,
+                                 long_bam_paths, output_dir, cfg,
+                                 sample_names, limit, force))
+            ctx = mp.get_context("spawn")
+            with ProcessPoolExecutor(max_workers=parallel_genomes,
+                                     mp_context=ctx) as pool:
+                for name, out in pool.map(_genome_task, payloads):
+                    results[name] = out
+                    progress.finish_genome(name)
+        else:
+            # TPU in play: threads overlap host stages with device
+            # dispatch without contending for the chip across processes
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=parallel_genomes) as pool:
+                list(pool.map(run_one, specs))
     else:
         for spec in specs:
             run_one(spec)
     return results
+
+
+def _genome_task(payload):
+    """Process-pool worker: runs one genome CPU-only in a fresh
+    interpreter and returns (genome_name, result dict)."""
+    (spec, mode, genome_bam_paths, bam_paths, long_bam_paths, output_dir,
+     cfg, sample_names, limit, force) = payload
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from lorikeet_tpu.utils.progress import ProgressTree, StageTimer, log
+    bams = [BamReader(p) for p in genome_bam_paths]
+    progress = ProgressTree(1, enabled=False)
+    results = {}
+    _process_genome(spec, mode, bams, bam_paths, long_bam_paths,
+                    output_dir, cfg, sample_names, limit, force,
+                    progress, results, log, StageTimer)
+    return spec.name, results.get(spec.name)
 
 
 def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
