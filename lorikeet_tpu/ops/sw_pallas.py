@@ -172,10 +172,8 @@ def _kernel(ref_pad, alt_stream, lens, bt_out, lc_out, lr_out,
     lr_out[...] = carry[9]
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "params", "indel_init", "nchunks", "Rpad", "interpret"))
-def _sw_pallas_jit(ref_pad, alt_stream, lens, params, indel_init, nchunks,
-                   Rpad, interpret):
+def _sw_pallas_dp(ref_pad, alt_stream, lens, params, indel_init, nchunks,
+                  Rpad, interpret):
     B = ref_pad.shape[0]
     w_match, w_mis, w_open, w_ext = params
     grid = (B // _TB, nchunks)
@@ -211,7 +209,46 @@ def _sw_pallas_jit(ref_pad, alt_stream, lens, params, indel_init, nchunks,
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("Rpad", "K", "max_steps"))
+def _start_points_jnp(lc, lr, ref_lens, alt_lens, strategy):
+    """Device traceback-start selection (calculate_cigar :288-327): best
+    final-column row (>= keeps the later i), then — unless LEADING_INDEL —
+    the final row with 'greater, or equal and closer to the corner' tie
+    semantics (earliest j wins distance ties).  Cell (i, j) sits at diag
+    column i + j - 1 of the lc/lr streams."""
+    i32 = jnp.int32
+    B, ndiag = lc.shape
+    rl = ref_lens[:, None]
+    al = alt_lens[:, None]
+    if strategy == OverhangStrategy.INDEL:
+        z = jnp.zeros((B,), i32)
+        return ref_lens, alt_lens, z
+    g = jax.lax.broadcasted_iota(i32, (B, ndiag), 1)
+    i_col = g - al + 1
+    colv = jnp.where((i_col >= 1) & (i_col <= rl), lc, _MIN32)
+    m0 = jnp.max(colv, axis=1)
+    p1 = jnp.max(jnp.where(colv == m0[:, None], i_col, 0), axis=1)
+    p2 = alt_lens
+    seg0 = jnp.zeros((B,), i32)
+    if strategy == OverhangStrategy.LEADING_INDEL:
+        return p1, p2, seg0
+    j_row = g - rl + 1
+    candv = (j_row >= 1) & (j_row <= al)
+    rowv = jnp.where(candv, lr, _MIN32)
+    mstar = jnp.max(rowv, axis=1)
+    cand = candv & (rowv == mstar[:, None])
+    dist = jnp.abs(rl - j_row)
+    big = jnp.int32(2 ** 30)
+    dstar = jnp.min(jnp.where(cand, dist, big), axis=1)
+    # min distance, earliest-j tie: lexicographic (dist, j) key
+    key = jnp.where(cand, dist * (ndiag + 2) + j_row, big)
+    jstar = jnp.min(key, axis=1) % (ndiag + 2)
+    take = (mstar > m0) | ((mstar == m0) & (dstar < jnp.abs(p1 - p2)))
+    p1 = jnp.where(take, ref_lens, p1)
+    p2 = jnp.where(take, jstar, p2)
+    seg0 = jnp.where(take, alt_lens - jstar, 0)
+    return p1, p2, seg0
+
+
 def _traceback_device(bt, p1_0, p2_0, seg_0, Rpad, K, max_steps):
     """Vectorized reference traceback (smith_waterman_aligner.rs:352-442
     main loop): batched gathers over the diag-major backtrack stream, runs
@@ -263,41 +300,28 @@ def _traceback_device(bt, p1_0, p2_0, seg_0, Rpad, K, max_steps):
 _STATE_OP = {0: "M", 1: "I", 2: "D"}
 
 
-def _start_points(lc, lr, ref_lens, alt_lens, strategy):
-    """Vectorized traceback-start selection (calculate_cigar :288-327):
-    best final-column row (>= keeps the later i), then — unless
-    LEADING_INDEL — the final row with 'greater, or equal and closer to the
-    corner' tie semantics, which reduces to earliest-argmin-distance over
-    the bottom argmax set."""
-    B = len(ref_lens)
-    p1 = np.zeros(B, np.int64)
-    p2 = alt_lens.astype(np.int64).copy()
-    seg0 = np.zeros(B, np.int64)
-    if strategy == OverhangStrategy.INDEL:
-        return ref_lens.astype(np.int64), p2, seg0
-    for b in range(B):
-        rl, al = int(ref_lens[b]), int(alt_lens[b])
-        # cell (i, j) lives at diag column i + j - 1, so the final column
-        # (j = al, i = 1..rl) occupies columns al .. al + rl - 1
-        colvals = lc[b, al: al + rl]
-        m0 = colvals.max()
-        p1[b] = rl - 1 - int(np.argmax(colvals[::-1])) + 1
-        if strategy == OverhangStrategy.LEADING_INDEL:
-            continue
-        # final row (i = rl, j = 1..al) occupies columns rl .. rl + al - 1
-        rowvals = lr[b, rl: rl + al]
-        mstar = rowvals.max()
-        if mstar < m0:
-            continue
-        js = np.nonzero(rowvals == mstar)[0] + 1
-        dists = np.abs(rl - js)
-        jstar = int(js[np.argmin(dists)])
-        dstar = int(np.min(dists))
-        if mstar > m0 or dstar < abs(int(p1[b]) - int(p2[b])):
-            p1[b] = rl
-            p2[b] = jstar
-            seg0[b] = al - jstar
-    return p1, p2, seg0
+@functools.partial(jax.jit, static_argnames=(
+    "params", "strategy", "nchunks", "Rpad", "interpret"))
+def _sw_full_jit(ref_pad, alt_stream, lens, params, strategy, nchunks, Rpad,
+                 interpret):
+    """Fused DP + start-point selection + traceback: one device program,
+    one packed [B, 2K+8] int32 result (one host round-trip per bucket —
+    the axon tunnel charges ~27 ms per transfer)."""
+    indel_init = strategy in (OverhangStrategy.INDEL,
+                              OverhangStrategy.LEADING_INDEL)
+    bt, lc, lr = _sw_pallas_dp(ref_pad, alt_stream, lens, params, indel_init,
+                               nchunks, Rpad, interpret)
+    ref_lens = lens[:, 0]
+    alt_lens = lens[:, 1]
+    p1_0, p2_0, seg0 = _start_points_jnp(lc, lr, ref_lens, alt_lens, strategy)
+    dev_seg0 = seg0 if strategy == OverhangStrategy.IGNORE \
+        else jnp.zeros_like(seg0)
+    ops, lens_r, cnt, fstate, fseg, fp1, fp2, over = _traceback_device(
+        bt, p1_0, p2_0, dev_seg0, Rpad, _K_RUNS, nchunks * _LANES + 2)
+    tail = jnp.stack([cnt, fstate, fseg, fp1, fp2,
+                      over.astype(jnp.int32), seg0,
+                      jnp.zeros_like(cnt)], axis=1)
+    return jnp.concatenate([ops, lens_r, tail], axis=1)
 
 
 def _assemble(runs_ops, runs_lens, cnt, fstate, fseg, fp1, fp2, seg0,
@@ -368,17 +392,15 @@ def align_batch_pallas(pairs, parameters: SWParameters,
 
     params = (parameters.match_value, parameters.mismatch_penalty,
               parameters.gap_open_penalty, parameters.gap_extend_penalty)
-    indel_init = overhang_strategy in (OverhangStrategy.INDEL,
-                                       OverhangStrategy.LEADING_INDEL)
     for (Rpad, nchunks), items in buckets.items():
         for lo in range(0, len(items), _SLAB):
             chunk = items[lo:lo + _SLAB]
-            _run_bucket(chunk, results, Rpad, nchunks, params, indel_init,
+            _run_bucket(chunk, results, Rpad, nchunks, params,
                         overhang_strategy, parameters, interpret)
     return results
 
 
-def _run_bucket(items, results, Rpad, nchunks, params, indel_init, strategy,
+def _run_bucket(items, results, Rpad, nchunks, params, strategy,
                 parameters, interpret):
     B = _SLAB
     Spad = nchunks * _LANES
@@ -391,28 +413,13 @@ def _run_bucket(items, results, Rpad, nchunks, params, indel_init, strategy,
         lens[r, 0] = len(ref_b)
         lens[r, 1] = len(alt_b)
 
-    bt, lc, lr = _sw_pallas_jit(
+    packed = np.asarray(_sw_full_jit(
         jnp.asarray(ref_pad), jnp.asarray(alt_stream), jnp.asarray(lens),
-        params, indel_init, nchunks, Rpad, interpret)
-    lc_h = np.asarray(lc)
-    lr_h = np.asarray(lr)
-    ref_lens = lens[:, 0].astype(np.int64)
-    alt_lens = lens[:, 1].astype(np.int64)
-    p1_0, p2_0, seg0 = _start_points(lc_h, lr_h, ref_lens, alt_lens, strategy)
-    dev_seg0 = seg0 if strategy == OverhangStrategy.IGNORE \
-        else np.zeros_like(seg0)
-    ops, lens_r, cnt, fstate, fseg, fp1, fp2, over = _traceback_device(
-        bt, jnp.asarray(p1_0, jnp.int32), jnp.asarray(p2_0, jnp.int32),
-        jnp.asarray(dev_seg0, jnp.int32), Rpad, _K_RUNS,
-        nchunks * _LANES + 2)
-    ops = np.asarray(ops)
-    lens_r = np.asarray(lens_r)
-    cnt = np.asarray(cnt)
-    fstate = np.asarray(fstate)
-    fseg = np.asarray(fseg)
-    fp1 = np.asarray(fp1)
-    fp2 = np.asarray(fp2)
-    over = np.asarray(over)
+        params, strategy, nchunks, Rpad, interpret))
+    ops = packed[:, :_K_RUNS]
+    lens_r = packed[:, _K_RUNS:2 * _K_RUNS]
+    cnt, fstate, fseg, fp1, fp2, over, seg0 = \
+        (packed[:, 2 * _K_RUNS + t] for t in range(7))
     for r, (k, ref_b, alt_b) in enumerate(items):
         if over[r]:
             results[k] = align(ref_b, alt_b, parameters, strategy)
