@@ -65,15 +65,20 @@ def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
 
 
 def realign_reads_to_best_haplotype(likelihoods, haplotypes,
-                                    window_start: int) -> int:
+                                    window_start: int,
+                                    use_pallas_sw: bool = False) -> int:
     """Replace each evidence read with a copy realigned via its best
     haplotype; returns the number of realigned reads.  `haplotypes` are
     AssembledHaplotypes whose cigars are vs the padded window at
-    ``window_start``."""
+    ``window_start``.  With ``use_pallas_sw`` the per-read SW alignments
+    run batched on device (ops.sw_pallas, bit-identical); the native host
+    aligner stays the default — it wins below a few hundred pairs."""
     n = 0
     ref_hap = next((h for h in haplotypes if h.is_ref), None)
     ref_bases = (np.frombuffer(ref_hap.bases, np.uint8)
                  if ref_hap is not None else None)
+    # pass 1: gather (hap, core read) SW jobs across all samples
+    jobs = []      # (sample, read_idx, hap, lead_s, tail_s, core_seq)
     for s in likelihoods.samples:
         mat = likelihoods.values[s]            # [haps, reads]
         reads = likelihoods.reads_by_sample[s]
@@ -96,21 +101,37 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
             tail_s = rec.cigar[-1][1] if len(rec.cigar) > 1 \
                 and rec.cigar[-1][0] == "S" else 0
             core_seq = rec.seq[lead_s:len(rec.seq) - tail_s]
-            res = align(hap.bases, core_seq.tobytes(),
-                        ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS,
-                        OverhangStrategy.SOFTCLIP)
-            if res is None:
-                continue
-            cigar, offset = res
-            new_pos, new_cigar = compose_to_reference(
-                cigar, offset, hap.cigar, window_start,
-                ref_bases=ref_bases, read_bases=core_seq)
-            if new_pos is None or not new_cigar:
-                continue
-            if lead_s:
-                new_cigar = [("S", lead_s)] + new_cigar
-            if tail_s:
-                new_cigar = new_cigar + [("S", tail_s)]
-            reads[i] = dataclasses.replace(rec, pos=new_pos, cigar=new_cigar)
-            n += 1
+            jobs.append((s, i, hap, lead_s, tail_s, core_seq))
+    if not jobs:
+        return 0
+
+    if use_pallas_sw:
+        from lorikeet_tpu.ops.sw_pallas import align_batch_pallas
+        aligned = align_batch_pallas(
+            [(hap.bases, core.tobytes()) for _, _, hap, _, _, core in jobs],
+            ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS,
+            OverhangStrategy.SOFTCLIP)
+    else:
+        aligned = [align(hap.bases, core.tobytes(),
+                         ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS,
+                         OverhangStrategy.SOFTCLIP)
+                   for _, _, hap, _, _, core in jobs]
+
+    for (s, i, hap, lead_s, tail_s, core_seq), res in zip(jobs, aligned):
+        if res is None:
+            continue
+        cigar, offset = res
+        new_pos, new_cigar = compose_to_reference(
+            cigar, offset, hap.cigar, window_start,
+            ref_bases=ref_bases, read_bases=core_seq)
+        if new_pos is None or not new_cigar:
+            continue
+        if lead_s:
+            new_cigar = [("S", lead_s)] + new_cigar
+        if tail_s:
+            new_cigar = new_cigar + [("S", tail_s)]
+        reads = likelihoods.reads_by_sample[s]
+        reads[i] = dataclasses.replace(
+            reads[i], pos=new_pos, cigar=new_cigar)
+        n += 1
     return n

@@ -297,6 +297,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="per-sample read cap per assembly region")
         sp.add_argument("--force-cpu", action="store_true",
                         help="use the host pair-HMM even when a TPU is present")
+        sp.add_argument("--pallas-sw", action="store_true",
+                        help="batch realignment Smith-Waterman on device "
+                             "(bit-identical; wins at high region depth)")
         sp.add_argument("--limiting-interval", default=None,
                         help="restrict to start-end (applies per contig)")
         sp.add_argument("--calculate-dnds", action="store_true")
@@ -501,6 +504,7 @@ def _base_config(args):
         mapq_threshold=args.min_mapq,
         kmer_sizes=tuple(args.kmer_sizes),
         use_pallas=False if args.force_cpu else None,
+        use_pallas_sw=bool(getattr(args, "pallas_sw", False)),
     )
 
 

@@ -359,12 +359,15 @@ MAX_REF_LANES = 2048
 
 def align_batch_pallas(pairs, parameters: SWParameters,
                        overhang_strategy: int = OverhangStrategy.SOFTCLIP,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Batched (cigar, offset) via the Pallas kernel; one entry per
     (reference, alternate) pair.  Bit-identical to ops.smith_waterman.align
     (including the exact-substring shortcut); pairs that exceed the kernel's
     shape or run-capacity limits fall back to the scalar aligner.
+    ``interpret=None`` auto-selects interpret mode off-TPU.
     """
+    if interpret is None:
+        interpret = jax.default_backend() not in ("tpu", "axon")
     n = len(pairs)
     results = [None] * n
     todo = []

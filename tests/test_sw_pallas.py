@@ -79,3 +79,39 @@ def test_pallas_sw_param_sets_and_long():
         for k, (r, a) in enumerate(pairs):
             want = align(r, a, params, OverhangStrategy.INDEL)
             assert got[k] == want, (k, params, got[k], want)
+
+
+@pytest.mark.slow
+def test_engine_pallas_sw_vcf_identical(tmp_path):
+    """Full call pipeline with use_pallas_sw must produce a byte-identical
+    VCF to the native-SW path (dispatch equivalence at the engine level)."""
+    import os
+    from lorikeet_tpu.calling.engine import CallerConfig
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.io.fasta import FastaReader
+    from lorikeet_tpu.processing import run_call
+    from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+    data = "/root/reference/tests/data/7seqs.fna"
+    if not os.path.exists(data):
+        pytest.skip("reference data absent")
+    fr = FastaReader(data)
+    contig = "genome2~seq1"
+    tid = fr.names.index(contig)
+    ref = fr.fetch(contig)
+    variants = [
+        Variant(300, bytes(ref[300:301]),
+                b"C" if ref[300] != ord("C") else b"T"),
+        Variant(620, bytes(ref[620:624]), bytes(ref[620:621])),
+    ]
+    recs = simulate_reads(ref, variants, coverage=30, seed=5,
+                          allele_fraction=0.5, error_rate=0.002, tid=tid)
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, fr.names, [fr.length(n) for n in fr.names],
+              sorted(recs, key=lambda r: (r.tid, r.pos)), header_text=None)
+    vcfs = {}
+    for flag in (False, True):
+        out = str(tmp_path / f"out_{flag}")
+        cfg = CallerConfig(use_pallas=False, use_pallas_sw=flag)
+        vcfs[flag] = open(run_call(data, [bam], out, cfg), "rb").read()
+    assert vcfs[False] == vcfs[True]
