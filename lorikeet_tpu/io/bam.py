@@ -257,6 +257,12 @@ class BamReader:
         self._by_tid = by_tid
         self._starts = {tid: np.array([r.pos for r in recs], np.int64)
                         for tid, recs in by_tid.items()}
+        self._ends = {tid: [r.reference_end for r in recs]
+                      for tid, recs in by_tid.items()}
+        self._ends_cummax = {
+            tid: np.maximum.accumulate(np.array(e, np.int64))
+            if e else np.zeros(0, np.int64)
+            for tid, e in self._ends.items()}
         self._records_raw = None
 
     def _decode_native(self, data, rec_off: int):
@@ -284,6 +290,10 @@ class BamReader:
         mpos_l = cols["mate_pos"].tolist()
         tlen_l = cols["tlen"].tolist()
         intr_l = intrinsic.tolist()
+        ends = (cols["pos"].astype(np.int64) +
+                cols["ref_len"].astype(np.int64))
+        ends_l = ends.tolist()
+        seqlen = so[1:] - so[:-1]
         no_l, co_l, so_l, to_l = (no.tolist(), co.tolist(), so.tolist(),
                                   to.tolist())
         by_tid = {}
@@ -308,16 +318,83 @@ class BamReader:
             d["tags"] = _LazyTags(tags, to_l[i], to_l[i + 1])
             d["sample_index"] = 0
             d["intrinsic"] = intr_l[i]
+            d["_reference_end"] = ends_l[i]
             by_tid.setdefault(rec.tid, []).append(rec)
         self._by_tid = by_tid
-        self._starts = {tid: np.array([r.pos for r in recs], np.int64)
-                        for tid, recs in by_tid.items()}
+        # per-tid position/end indexes in record order (pos-sorted); the
+        # cummax of ends lets fetch() binary-search its scan start instead
+        # of walking every record with pos < end
+        tid_sorted = cols["tid"][order]
+        pos_sorted = cols["pos"][order].astype(np.int64)
+        ends_sorted = ends[order]
+        bounds = ([0, *(np.flatnonzero(np.diff(tid_sorted)) + 1).tolist(),
+                   len(tid_sorted)] if len(tid_sorted) else [])
+        self._starts, self._ends, self._ends_cummax = {}, {}, {}
+        self._cols_by_tid = {}
+        flag_sorted = cols["flag"][order]
+        mapq_sorted = cols["mapq"][order]
+        intr_sorted = intrinsic[order]
+        seqlen_sorted = seqlen[order]
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            t = int(tid_sorted[b0])
+            self._starts[t] = pos_sorted[b0:b1]
+            e = ends_sorted[b0:b1]
+            self._ends[t] = e.tolist()
+            self._ends_cummax[t] = np.maximum.accumulate(e)
+            self._cols_by_tid[t] = dict(
+                flag=flag_sorted[b0:b1], mapq=mapq_sorted[b0:b1],
+                intrinsic=intr_sorted[b0:b1], seqlen=seqlen_sorted[b0:b1])
         self._records_raw = None
         self._buf = None
 
 
-    def fetch(self, tid: int = None, start: int = None, end: int = None):
-        """Yield records overlapping [start, end) on tid (all if None)."""
+    def filter_mask(self, tid: int, mapq_threshold: int = 20,
+                    read_type: str = "short", min_long_read_size: int = 1500,
+                    min_long_read_average_base_qual: int = 20,
+                    include_improper_pairs: bool = False,
+                    include_supplementary: bool = False):
+        """Per-record pass/fail for the read_utils.rs:25-90 filter set,
+        vectorized over the decode-time columns (record order matches
+        fetch).  Returns None when columnar data is unavailable (pure-Python
+        decode) — callers then fall back to the per-record predicate."""
+        self._ensure_decoded()
+        cols = getattr(self, "_cols_by_tid", None)
+        if cols is None or tid not in cols:
+            return None
+        key = (tid, mapq_threshold, read_type, min_long_read_size,
+               min_long_read_average_base_qual, include_improper_pairs,
+               include_supplementary)
+        cache = self.__dict__.setdefault("_filter_mask_cache", {})
+        m = cache.get(key)
+        if m is not None:
+            return m
+        c = cols[tid]
+        flag, mapq = c["flag"], c["mapq"]
+        ok = ((c["seqlen"] >= 30) & (mapq >= mapq_threshold)
+              & (mapq != 255) & (c["intrinsic"] == 0))
+        drop = FLAG_SECONDARY | FLAG_UNMAPPED | FLAG_DUP | FLAG_QCFAIL
+        if not include_supplementary:
+            drop |= FLAG_SUPPLEMENTARY
+        ok &= (flag & drop) == 0
+        if not include_improper_pairs:
+            ok &= ~(((flag & FLAG_PAIRED) != 0)
+                    & ((flag & FLAG_PROPER_PAIR) == 0))
+        if read_type == "long":
+            mq = c.get("meanq")
+            if mq is None:
+                mq = np.array([float(np.mean(r.qual)) if len(r.qual) else 0.0
+                               for r in self._by_tid[tid]])
+                c["meanq"] = mq
+            ok &= ((c["seqlen"] >= min_long_read_size)
+                   & (mq >= min_long_read_average_base_qual))
+        m = ok.tolist()
+        cache[key] = m
+        return m
+
+    def fetch(self, tid: int = None, start: int = None, end: int = None,
+              mask=None):
+        """Yield records overlapping [start, end) on tid (all if None);
+        ``mask`` (record-order booleans from filter_mask) pre-filters."""
         self._ensure_decoded()
         if tid is None:
             for t in sorted(k for k in self._by_tid if k >= 0):
@@ -328,12 +405,22 @@ class BamReader:
             yield from recs
             return
         # records are position-sorted; reads overlapping [start,end) have
-        # pos < end and reference_end > start
+        # pos < end and reference_end > start.  cummax(ends) is monotone, so
+        # every record before its upper bound for `start` ends at or before
+        # `start` and can be skipped wholesale.
         starts = self._starts.get(tid)
         hi = int(np.searchsorted(starts, end, side="left")) if end is not None else len(recs)
-        for r in recs[:hi]:
-            if r.reference_end > start:
-                yield r
+        ends = self._ends[tid]
+        lo = int(np.searchsorted(self._ends_cummax[tid], start,
+                                 side="right"))
+        if mask is None:
+            for k in range(lo, hi):
+                if ends[k] > start:
+                    yield recs[k]
+        else:
+            for k in range(lo, hi):
+                if mask[k] and ends[k] > start:
+                    yield recs[k]
 
     def count(self) -> int:
         self._ensure_decoded()

@@ -204,11 +204,17 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     for s, bam in enumerate(bams):
         if tid_per_bam[s] < 0:
             continue
+        rt = read_types[s] if s < len(read_types) else "short"
+        mask = bam.filter_mask(
+            tid_per_bam[s], cfg.mapq_threshold, read_type=rt,
+            min_long_read_size=cfg.min_long_read_size,
+            min_long_read_average_base_qual=cfg.min_long_read_average_base_qual,
+            include_improper_pairs=flag_filter.include_improper_pairs,
+            include_supplementary=flag_filter.include_supplementary)
         candidates = []
-        for rec in bam.fetch(tid_per_bam[s], lo, hi):
-            if not _read_passes_filters(
-                    rec, cfg.mapq_threshold,
-                    read_type=read_types[s] if s < len(read_types) else "short",
+        for rec in bam.fetch(tid_per_bam[s], lo, hi, mask=mask):
+            if mask is None and not _read_passes_filters(
+                    rec, cfg.mapq_threshold, read_type=rt,
                     min_long_read_size=cfg.min_long_read_size,
                     min_long_read_average_base_qual=cfg.min_long_read_average_base_qual,
                     flag_filter=flag_filter):

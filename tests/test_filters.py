@@ -54,3 +54,51 @@ def test_inactive_thresholds_noop():
     th = AlignmentThresholds()
     reads = [_rec("a", [("M", 10)], nm=9)]
     assert apply_alignment_thresholds(reads, th) == reads
+
+
+def test_filter_mask_matches_predicate(tmp_path):
+    """Vectorized decode-time filter_mask must agree with the per-record
+    _read_passes_filters predicate for every flag/mapq/length combination."""
+    import numpy as np
+    from lorikeet_tpu.io.bam import BamReader
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.io.filter import FlagFilter
+    from lorikeet_tpu.processing import _read_passes_filters
+    from lorikeet_tpu.testkit.simulate import simulate_reads
+
+    rng = np.random.default_rng(17)
+    B4 = np.frombuffer(b"ACGT", np.uint8)
+    ref = B4[rng.integers(0, 4, 3000)]
+    recs = simulate_reads(ref, [], coverage=20, seed=2, tid=0)
+    # scramble flags/mapq to hit every filter branch
+    import dataclasses
+    out = []
+    for i, r in enumerate(recs):
+        flag = r.flag
+        if i % 5 == 1:
+            flag |= 0x400            # dup
+        if i % 5 == 2:
+            flag |= 0x800            # supplementary
+        if i % 7 == 3:
+            flag |= 0x200            # qcfail
+        if i % 7 == 4:
+            flag = (flag | 0x1) & ~0x2   # improper pair
+        if i % 11 == 5:
+            flag |= 0x100            # secondary
+        mapq = [60, 10, 255, 0, 30][i % 5]
+        out.append(dataclasses.replace(r, flag=flag, mapq=mapq))
+    bam = str(tmp_path / "flags.bam")
+    write_bam(bam, ["c"], [3000], sorted(out, key=lambda r: r.pos),
+              header_text=None)
+    reader = BamReader(bam)
+    for ff in (FlagFilter(), FlagFilter(include_improper_pairs=True),
+               FlagFilter(include_supplementary=False)):
+        mask = reader.filter_mask(
+            0, 20, read_type="short",
+            include_improper_pairs=ff.include_improper_pairs,
+            include_supplementary=ff.include_supplementary)
+        recs0 = list(reader.fetch(0))
+        assert mask is not None and len(mask) == len(recs0)
+        for k, rec in enumerate(recs0):
+            want = _read_passes_filters(rec, 20, flag_filter=ff)
+            assert mask[k] == want, (k, rec.flag, rec.mapq, mask[k], want)
