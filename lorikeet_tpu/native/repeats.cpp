@@ -34,7 +34,7 @@ inline int reps_forward(const uint8_t* b, int start, int n, const uint8_t* unit,
 
 }  // namespace
 
-extern "C" void repeat_lengths(const uint8_t* b, int n, int max_unit,
+static void repeat_lengths_one(const uint8_t* b, int n, int max_unit,
                                int max_repeat, int32_t* out) {
     for (int i = 0; i < n; i++) {
         int best_bw = 0;
@@ -75,5 +75,23 @@ extern "C" void repeat_lengths(const uint8_t* b, int n, int max_unit,
             max_rl = best_bw;
         }
         out[i] = std::min(max_rl, max_repeat);
+    }
+}
+
+extern "C" void repeat_lengths(const uint8_t* b, int n, int max_unit,
+                               int max_repeat, int32_t* out) {
+    repeat_lengths_one(b, n, max_unit, max_repeat, out);
+}
+
+// Batched form: `offs` has n_seqs+1 entries delimiting concatenated
+// sequences; out is parallel to the concatenated buffer.  One ctypes
+// crossing per region instead of one per read.
+extern "C" void repeat_lengths_batch(const uint8_t* b, const int64_t* offs,
+                                     int n_seqs, int max_unit, int max_repeat,
+                                     int32_t* out) {
+    for (int k = 0; k < n_seqs; k++) {
+        const int64_t lo = offs[k], hi = offs[k + 1];
+        repeat_lengths_one(b + lo, (int)(hi - lo), max_unit, max_repeat,
+                           out + lo);
     }
 }

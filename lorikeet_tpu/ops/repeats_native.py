@@ -26,6 +26,11 @@ def _load():
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ctypes.POINTER(ctypes.c_int32)]
         lib.repeat_lengths.restype = None
+        lib.repeat_lengths_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int32)]
+        lib.repeat_lengths_batch.restype = None
         _lib = lib
     except Exception:  # noqa: BLE001 — no toolchain: fall back to numpy
         _failed = True
@@ -51,3 +56,23 @@ def repeat_lengths_native(bases: np.ndarray, max_unit: int,
             max_unit, max_repeat,
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out.astype(np.int64)
+
+
+def repeat_lengths_batch_native(concat: np.ndarray, offsets: np.ndarray,
+                                max_unit: int, max_repeat: int):
+    """Per-offset repeat lengths for n concatenated sequences (offsets has
+    n+1 entries); one native crossing for the whole batch.  None when the
+    toolchain is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(concat, np.uint8)
+    offs = np.ascontiguousarray(offsets, np.int64)
+    out = np.empty(len(b), np.int32)
+    if len(offs) > 1:
+        lib.repeat_lengths_batch(
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(offs) - 1, max_unit, max_repeat,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out

@@ -135,3 +135,28 @@ def test_cli_accepts_new_flags():
     ])
     assert args.pair_hmm_gap_continuation_penalty == 20
     assert args.disable_dynamic_disq
+
+
+def test_batch_prep_matches_scalar():
+    """prepare_reads_for_hmm_batch must equal prepare_read_for_hmm
+    element-for-element (incl. PCR repeat caps and the mapq cap)."""
+    import numpy as np
+    from lorikeet_tpu.calling.likelihoods import (
+        prepare_read_for_hmm, prepare_reads_for_hmm_batch)
+    from lorikeet_tpu.testkit.simulate import simulate_reads
+
+    rng = np.random.default_rng(4)
+    B4 = np.frombuffer(b"ACGTAAAA", np.uint8)   # homopolymer-rich
+    ref = B4[rng.integers(0, 8, 2500)]
+    recs = simulate_reads(ref, [], coverage=8, seed=9, tid=0)
+    import dataclasses
+    recs = [dataclasses.replace(r, mapq=[60, 25, 12][i % 3])
+            for i, r in enumerate(recs)]
+    for kwargs in (dict(), dict(disable_cap_to_mapq=True),
+                   dict(pcr_rate_factor=None), dict(gcp_value=25),
+                   dict(base_quality_score_threshold=10)):
+        batch = prepare_reads_for_hmm_batch(list(recs), **kwargs)
+        for rec, got in zip(recs, batch):
+            want = prepare_read_for_hmm(rec, **kwargs)
+            for a, b in zip(want, got):
+                assert np.array_equal(a, b), kwargs
