@@ -254,25 +254,22 @@ class ReadThreadingGraph:
                 if not self.out_edges[v] and self.in_edges[v]]
 
     def has_cycle(self) -> bool:
-        color = [0] * len(self.vertices)
-
-        for root in range(len(self.vertices)):
-            if color[root]:
-                continue
-            stack = [(root, iter(self.out_edges[root]))]
-            color[root] = 1
-            while stack:
-                node, it = stack[-1]
-                adv = next(it, None)
-                if adv is None:
-                    color[node] = 2
-                    stack.pop()
-                elif color[adv] == 1:
-                    return True
-                elif color[adv] == 0:
-                    color[adv] = 1
-                    stack.append((adv, iter(self.out_edges[adv])))
-        return False
+        # Kahn's algorithm: a DAG can be fully peeled from its sources;
+        # anything left is on a cycle.  Cheaper constants than the
+        # colored-DFS formulation at these graph sizes.
+        n = len(self.vertices)
+        indeg = [len(self.in_edges[v]) for v in range(n)]
+        stack = [v for v in range(n) if not indeg[v]]
+        seen = 0
+        out_edges = self.out_edges
+        while stack:
+            v = stack.pop()
+            seen += 1
+            for w in out_edges[v]:
+                indeg[w] -= 1
+                if not indeg[w]:
+                    stack.append(w)
+        return seen != n
 
     def remove_edge(self, u, v):
         self.out_edges[u].pop(v, None)
@@ -474,18 +471,23 @@ class ReadThreadingGraph:
         vertices along the highest-multiplicity edge (recover branches with
         forks, read_threading_graph.rs:783,828)."""
         if self.ref_source is None:
-            return
+            return 0
+        recovered = 0
         ref_set = set(self.ref_path)
         for sink in list(self.sinks()):
             if sink in ref_set or sink == self.ref_sink:
                 continue
-            self._recover_tail(sink, ref_set, min_dangling_branch_length,
-                               min_matching_bases, recover_all)
+            if self._recover_tail(sink, ref_set, min_dangling_branch_length,
+                                  min_matching_bases, recover_all):
+                recovered += 1
         for source in list(self.sources()):
             if source in ref_set or source == self.ref_source:
                 continue
-            self._recover_head(source, ref_set, min_dangling_branch_length,
-                               min_matching_bases, recover_all)
+            if self._recover_head(source, ref_set,
+                                  min_dangling_branch_length,
+                                  min_matching_bases, recover_all):
+                recovered += 1
+        return recovered
 
     def _walk_back(self, vertex, adj, ref_set, recover_all=False):
         """Walk the linear chain from a dangling vertex until a reference or
@@ -583,8 +585,9 @@ class ReadThreadingGraph:
             return
         join_vertex = ref_fwd[join_offset]
         if join_vertex in self.out_edges[sink]:
-            return
+            return False
         self._edge(sink, join_vertex, False).inc(1)
+        return True
 
     def _recover_head(self, source, ref_set, min_len, min_matching,
                       recover_all=False):
@@ -614,8 +617,9 @@ class ReadThreadingGraph:
             return
         join_vertex = ref_back[len(ref_back) - 1 - join_offset]
         if source in self.out_edges[join_vertex]:
-            return
+            return False
         self._edge(join_vertex, source, False).inc(1)
+        return True
 
 
 # ---------------------------------------------------------------------------
@@ -822,11 +826,14 @@ def assemble_region(
                                         max_unpruned_variants)
         else:
             graph.prune_low_weight_chains(prune_factor)
+        recovered = 0
         if recover_dangling_branches:
-            graph.recover_dangling_ends(min_dangling_branch_length,
-                                        min_matching_bases,
-                                        recover_all_dangling_branches)
-        if graph.has_cycle():
+            recovered = graph.recover_dangling_ends(
+                min_dangling_branch_length, min_matching_bases,
+                recover_all_dangling_branches)
+        # recovery is the only step that adds edges, so the post-recovery
+        # cycle check is conditional on it having changed the graph
+        if recovered and graph.has_cycle():
             continue
         if generate_seq_graph:
             # kmer graph -> sequence graph -> simplify -> k-best
