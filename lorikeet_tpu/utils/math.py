@@ -132,6 +132,12 @@ def fast_bernoulli_entropy(p: float) -> float:
     return product * ((11.0 + 33.0 * product) / (2.0 + 20.0 * product))
 
 
+def log10_factorial(n: float) -> float:
+    """log10(n!) via lgamma (math_utils.rs log10_factorial)."""
+    import math as _m
+    return _m.lgamma(n + 1.0) / _m.log(10.0)
+
+
 def digamma(x: float) -> float:
     """Psi function via upward recurrence + asymptotic series (x > 0)."""
     result = 0.0
