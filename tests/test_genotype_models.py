@@ -138,3 +138,42 @@ def test_many_ref_samples_dont_kill_good_variant():
         qual = -10 * r.log10_prob_only_ref_allele_exists()
         # a confident het should stay confidently variant regardless of ref panel
         assert qual > 100, (num_ref, qual)
+
+
+def test_independent_samples_model_heterogeneous_ploidies():
+    """Port of independent_samples_genotype_model_unit_tests.rs: per-sample
+    GLs from read x allele matrices across heterogeneous ploidies — the GL
+    vector has genotype_count(ploidy, alleles) entries, all <= 0 for
+    likelihood-like inputs, and allele subsetting keeps that invariant."""
+    import numpy as np
+    from lorikeet_tpu.models.genotype_alleles import (
+        genotype_count, genotype_likelihoods_from_read_matrix)
+
+    rng = np.random.default_rng(3)
+    cases = [
+        ([1, 1, 1, 1], 1, 0, [10, 100, 50, 20]),
+        ([1, 2, 3, 4], 2, 1, [0, 100, 10, 1]),
+        ([2, 2, 2, 2], 5, 2, [1, 2, 3, 4]),
+        ([2, 1, 2, 1], 10, 4, [10, 20, 50, 40]),
+        ([1], 1, 0, [10]),
+        ([2], 2, 1, [20]),
+    ]
+    for ploidies, allele_count, discard, read_counts in cases:
+        for keep_all in (True, False) if discard else (True,):
+            n_alleles = allele_count if keep_all \
+                else max(1, allele_count - discard)
+            kept = np.sort(rng.choice(allele_count, n_alleles,
+                                      replace=False))
+            for ploidy, n_reads in zip(ploidies, read_counts):
+                # read likelihood fill mirroring
+                # read_likelihoods_unit_tester: best allele near 0, others
+                # strongly negative
+                L = -np.abs(rng.normal(3.0, 2.0, (n_reads, allele_count)))
+                L[np.arange(n_reads),
+                  rng.integers(0, allele_count, n_reads)] = \
+                    -np.abs(rng.normal(0.01, 0.01, n_reads))
+                gls = genotype_likelihoods_from_read_matrix(
+                    L[:, kept], ploidy)
+                assert gls.shape == (genotype_count(ploidy, n_alleles),)
+                if n_reads:
+                    assert np.all(gls <= 1e-9), (ploidy, n_alleles)

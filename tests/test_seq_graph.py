@@ -106,3 +106,32 @@ def test_merge_tails():
     before = sg.all_path_seqs()
     assert sg.merge_tails_once()
     assert sg.all_path_seqs() == before
+
+
+def test_path_mechanics():
+    """Port of path_unit_tests.rs::test_make_path on the SeqGraph: vertex
+    paths extend/prepend and concatenate their vertex sequences."""
+    sg = SeqGraph()
+    v1 = sg.add_vertex(b"a")
+    v2 = sg.add_vertex(b"b")
+    v3 = sg.add_vertex(b"c")
+    v4 = sg.add_vertex(b"d")
+    sg.add_edge(v1, v2, 2)
+    sg.add_edge(v2, v3, 1)
+    sg.add_edge(v3, v4, 1)
+
+    path = [v2]
+    path1 = path + [v3]
+    path2 = [v1] + path1
+
+    def bases(p):
+        return b"".join(sg.seqs[v] for v in p)
+
+    assert len(path) - 1 == 0 and len(path1) - 1 == 1 and len(path2) - 1 == 2
+    assert v1 in path2 and v2 in path2 and v3 in path2 and v4 not in path2
+    assert v1 not in path1 and v2 in path1 and v3 in path1
+    assert path2 != path1
+    assert path[0] == v2 and path[-1] == v2
+    assert path1[0] == v2 and path1[-1] == v3
+    assert bases(path) == b"b"
+    assert bases(path2) == b"abc"
