@@ -32,12 +32,17 @@ from lorikeet_tpu.strain.consensus import _write_fasta
 
 def split_contexts(contexts, qual_by_depth_filter=25.0,
                    min_variant_depth: int = 10):
-    """One context per alt allele for qualifying sites, dropping alleles
-    whose summed alt depth across samples is below
-    min-variant-depth-for-genotyping (variant_context_utils.rs:607-690)."""
+    """(split, filtered): one context per alt allele for qualifying sites,
+    dropping alleles whose summed alt depth across samples is below
+    min-variant-depth-for-genotyping; non-qualifying sites are returned in
+    ``filtered`` so the genotype-mode VCF keeps every call
+    (variant_context_utils.rs:607-724, lorikeet_engine.rs:628
+    split_contexts.extend(filtered_contexts))."""
     out = []
+    filtered = []
     for vc in contexts:
         if not site_passes(vc, qual_by_depth_filter):
+            filtered.append(vc)
             continue
         for ai, alt in enumerate(vc.alternate_alleles, start=1):
             variant_depth = sum(
@@ -51,7 +56,7 @@ def split_contexts(contexts, qual_by_depth_filter=25.0,
             split.attributes = dict(vc.attributes)
             split.attributes["_ALT_INDEX"] = ai
             out.append(split)
-    return out
+    return out, filtered
 
 
 def depth_matrix(contexts) -> np.ndarray:
@@ -188,8 +193,8 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     contig_names = contigs if contigs is not None else (vcf_contigs
                                                        or fasta.names)
 
-    split = split_contexts(contexts, qual_by_depth_filter,
-                           min_variant_depth=min_variant_depth)
+    split, filtered = split_contexts(contexts, qual_by_depth_filter,
+                                     min_variant_depth=min_variant_depth)
     labels, separations = cluster_variants(split)
     groups = sorted(set(labels.tolist()) - {-1})
     for vc, lab in zip(split, labels):
@@ -278,10 +283,13 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
         strain_paths.append(path)
     outputs["strain_fastas"] = strain_paths
 
-    # --- rewrite the VCF with VG/ST annotations (lorikeet_engine.rs:628) ---
+    # --- rewrite the VCF with VG/ST annotations; filtered (non-qualified)
+    # contexts stay in the file un-annotated (lorikeet_engine.rs:626-634
+    # split_contexts.extend(filtered_contexts) before write_vcf) ---
     contig_lengths = [fasta.length(n) for n in tid_names]
     annotated_vcf = os.path.join(output_dir, f"{genome}.vcf")
-    write_vcf(annotated_vcf, sorted(split, key=lambda v: (v.tid, v.start)),
+    write_vcf(annotated_vcf,
+              sorted(split + filtered, key=lambda v: (v.tid, v.start)),
               list(tid_names), contig_lengths, samples)
     outputs["vcf"] = annotated_vcf
     return outputs

@@ -101,8 +101,16 @@ def test_split_contexts_min_variant_depth():
     vc = _biallelic_vc([[-20.0, -10.0, 0.0]], ads=[[0, 8]])
     vc.log10_p_error = -50.0
     vc.attributes["QD"] = 30.0
-    assert split_contexts([vc], 25.0, min_variant_depth=10) == []
-    assert len(split_contexts([vc], 25.0, min_variant_depth=5)) == 1
+    # qualified-but-shallow alleles drop entirely; nothing goes to filtered
+    # (variant_context_utils.rs:629-637)
+    assert split_contexts([vc], 25.0, min_variant_depth=10) == ([], [])
+    split, filtered = split_contexts([vc], 25.0, min_variant_depth=5)
+    assert len(split) == 1 and filtered == []
+    # non-qualified sites are returned in filtered, not dropped
+    # (lorikeet_engine.rs:626-628 keeps them in the genotype VCF)
+    vc.attributes["QD"] = 5.0
+    split, filtered = split_contexts([vc], 25.0, min_variant_depth=5)
+    assert split == [] and filtered == [vc]
 
 
 def test_mapping_quality_gate_in_prepare_region():
