@@ -118,12 +118,15 @@ def call_contig(
     engine: HaplotypeCallerEngine = None,
     limit=None,                 # optional (start, end) restriction
     chunk_threads: int = 1,
+    chunk_processes: int = 1,
 ) -> ContigResult:
     """Chunked contig driver: large contigs are processed in outer chunks
     of ~250kb/samples with a halo (haplotype_caller_engine.rs:417,443-470
     sizing); per-chunk results (calls, depth RLE) concatenate exactly.
     ``chunk_threads`` parallelizes the chunk loop (the reference's inner
-    rayon chunk parallelism) when the contig loop itself is serial."""
+    rayon chunk parallelism) when the contig loop itself is serial;
+    ``chunk_processes`` does the same with worker PROCESSES for the
+    CPU-only path, where the GIL serializes threaded chunk work."""
     cfg = cfg or CallerConfig()
     engine = engine or HaplotypeCallerEngine(cfg)
     length = fasta.length(contig_name)
@@ -142,7 +145,20 @@ def call_contig(
         core_hi = min(core_lo + chunk_size, hi)
         spans.append((max(lo, core_lo - halo), min(hi, core_hi + halo),
                       core_lo, core_hi))
-    if chunk_threads > 1 and len(spans) > 1:
+    if chunk_processes > 1 and len(spans) > 1:
+        # one PROCESS per chunk wave (rayon-chunk analogue with real
+        # multi-core scaling; each worker decodes the BAMs once and caches
+        # them across its chunks)
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        payloads = [(fasta.path, [b.path for b in bams], contig_name, cfg,
+                     sp) for sp in spans]
+        ctx = mp.get_context("spawn")
+        with ProcessPoolExecutor(
+                max_workers=min(chunk_processes, len(spans)),
+                mp_context=ctx) as pool:
+            parts = list(pool.map(_span_task, payloads))
+    elif chunk_threads > 1 and len(spans) > 1:
         for b in bams:
             b._ensure_decoded()
         contig_seq = fasta.fetch(contig_name)
@@ -167,6 +183,37 @@ def call_contig(
                 _rle_concat(result.depth_pass_rle[s],
                             part.depth_pass_rle[s])
     return result
+
+
+def _cpu_only_backend(cfg) -> bool:
+    """True when no accelerator is in play (worker processes then cannot
+    contend for a chip; mirrors the genome-pool gate)."""
+    if getattr(cfg, "use_pallas", None) is False:
+        return True
+    import jax
+    return jax.default_backend() == "cpu"
+
+
+_SPAN_WORKER_CACHE: dict = {}
+
+
+def _span_task(payload):
+    """Chunk-process worker: run one span CPU-only; readers and the engine
+    are cached per (fasta, bams, cfg-id) so a worker decodes each BAM once
+    across all the spans it drains."""
+    fasta_path, bam_paths, contig_name, cfg, sp = payload
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    key = (fasta_path, tuple(bam_paths))
+    state = _SPAN_WORKER_CACHE.get(key)
+    if state is None:
+        from lorikeet_tpu.calling.engine import HaplotypeCallerEngine
+        state = (FastaReader(fasta_path),
+                 [BamReader(p) for p in bam_paths],
+                 HaplotypeCallerEngine(cfg))
+        _SPAN_WORKER_CACHE.clear()
+        _SPAN_WORKER_CACHE[key] = state
+    fasta, bams, engine = state
+    return _call_span(fasta, bams, contig_name, cfg, engine, *sp)
 
 
 def _rle_concat(dst: list, src: list):
@@ -359,21 +406,32 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
     min_size = getattr(cfg, "min_contig_size", 0) or 0
     n_workers = min(getattr(cfg, "threads", 1) or 1, len(spec.contigs))
 
-    def _one(local_fasta, contig, chunk_threads=1):
+    def _one(local_fasta, contig, chunk_threads=1, chunk_processes=1):
         # contigs below --min-contig-size are skipped outright
         # (haplotype_caller_engine.rs:340,418 min_contig_length gate)
         if min_size and local_fasta.length(contig) < min_size:
             return ContigResult(tid=0)
         return call_contig(local_fasta, bams, contig, cfg, engine,
-                           limit=limit, chunk_threads=chunk_threads)
+                           limit=limit, chunk_threads=chunk_threads,
+                           chunk_processes=chunk_processes)
 
     if n_workers <= 1 or len(spec.contigs) <= 1:
         # chunk-level threading exists (call_contig chunk_threads) but the
         # chunk hot path is GIL-bound Python — measured SLOWER threaded
-        # (29s vs 16s on a 400kb contig), so the serial loop stays default;
-        # opt in via LORIKEET_CHUNK_THREADS for native-dominated workloads
+        # (29s vs 16s on a 400kb contig), so threads stay off by default
+        # (opt in via LORIKEET_CHUNK_THREADS for native-dominated loads).
+        # On the CPU-only path, -t spreads the chunks over worker
+        # PROCESSES instead — real multi-core scaling for the
+        # one-big-contig case (the reference's inner rayon chunk loop).
         inner = int(os.environ.get("LORIKEET_CHUNK_THREADS", "1"))
-        return [_one(fasta, c, chunk_threads=inner) for c in spec.contigs]
+        procs = 1
+        requested = getattr(cfg, "threads", 1) or 1
+        if requested > 1 and inner <= 1 and _cpu_only_backend(cfg) \
+                and __import__("multiprocessing").current_process().name \
+                == "MainProcess":
+            procs = requested
+        return [_one(fasta, c, chunk_threads=inner, chunk_processes=procs)
+                for c in spec.contigs]
     for b in bams:
         b._ensure_decoded()
 
