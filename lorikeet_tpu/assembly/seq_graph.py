@@ -220,9 +220,16 @@ class SeqGraph:
                 < MIN_COMMON_TO_MERGE_SOURCE_SINK:
             return False
 
+        cores = {m: self.seqs[m][len(prefix):len(self.seqs[m]) - len(suffix)]
+                 for m in middles}
         pre_v = self.add_vertex(prefix)
-        suf_v = self.add_vertex(suffix) if bottom is not None or suffix \
-            else None
+        # a suffix vertex is also required (possibly empty-sequence) when a
+        # middle IS the shared prefix/suffix: its path must survive as
+        # prefix -> suffix (shared_vertex_sequence_splitter.rs always
+        # materializes both; dropping the empty core loses a haplotype)
+        suf_v = self.add_vertex(suffix) if (
+            bottom is not None or suffix
+            or any(not c for c in cores.values())) else None
         total_mult = 0
         any_ref_in = any_ref_out = False
         for m in middles:
@@ -233,7 +240,7 @@ class SeqGraph:
             total_mult += mult
             any_ref_in |= bool(e_in and e_in.is_ref)
             any_ref_out |= bool(e_out and e_out.is_ref)
-            core = self.seqs[m][len(prefix):len(self.seqs[m]) - len(suffix)]
+            core = cores[m]
             out_mult = e_out.multiplicity if e_out else mult
             out_ref = e_out.is_ref if e_out else bool(e_in and e_in.is_ref)
             in_ref = bool(e_in and e_in.is_ref)
