@@ -31,6 +31,8 @@ from lorikeet_tpu.utils.math import log10_one_minus_pow10
 ALLELE_INFORMATIVE_READS_OVERLAP_MARGIN = 2
 MAX_QD_BEFORE_FIXING = 45.0
 IDEAL_HIGH_QD = 45.0
+# assembly_based_caller_utils.rs:94
+MINIMUM_READ_LENGTH_AFTER_TRIMMING = 10
 
 
 @dataclass
@@ -75,6 +77,9 @@ class CallerConfig:
     # keep processing regions with no assembled variation
     # (haplotype_caller_engine.rs:1227 disable-optimizations)
     disable_optimizations: bool = False
+    # skip trimming haplotypes/reads to the variant span
+    # (haplotype_caller_engine.rs:1243 trim_to; GATK dont-trim-active-regions)
+    dont_trim_active_regions: bool = False
     # genotype-mode split filter (cli.rs min-variant-depth-for-genotyping,
     # variant_context_utils.rs:607-690)
     min_variant_depth_for_genotyping: int = 10
@@ -197,6 +202,70 @@ class RegionWork:
     reads_by_sample: dict
     pairs: list
     index: list
+
+
+def _read_offset_at_ref_trim(cigar, start: int) -> int:
+    """Read-base offset where `trim_cigar_by_reference(cigar, start, ...)`
+    begins consuming, mirroring its element-boundary rules exactly."""
+    from lorikeet_tpu.utils.cigar import CONSUMES_READ, CONSUMES_REF
+    element_end = 0
+    read = 0
+    for op, n in cigar:
+        element_start = element_end
+        element_end = element_start + (n if op in CONSUMES_REF else 0)
+        if element_end < start or (element_end == start
+                                   and element_start < start):
+            if op in CONSUMES_READ:
+                read += n
+            continue
+        if (op in CONSUMES_REF and op in CONSUMES_READ
+                and element_start < start):
+            read += start - element_start
+        return read
+    return read
+
+
+def trim_haplotypes_to_span(haplotypes, pad_lo, pad_hi, window_start):
+    """Trim every haplotype to reference span [pad_lo, pad_hi] and dedup
+    (assembly_result_set.rs trim_to + haplotype.rs trim +
+    alignment_utils.rs get_bases_covering_ref_interval).  Returns the new
+    haplotype list, or None when any haplotype cannot be trimmed cleanly
+    (span edge inside an indel / haplotype does not cover the span) — the
+    caller then keeps the untrimmed region."""
+    from dataclasses import replace
+
+    from lorikeet_tpu.utils.cigar import (read_length, reference_length,
+                                          trim_cigar_by_reference)
+
+    out = []
+    seen = {}
+    for hap in haplotypes:
+        hap_ref_start = window_start + hap.alignment_start_offset
+        hap_ref_end = hap_ref_start + reference_length(hap.cigar) - 1
+        if hap_ref_start > pad_lo or hap_ref_end < pad_hi:
+            return None
+        new_cigar, lead_del, _ = trim_cigar_by_reference(
+            hap.cigar, pad_lo - hap_ref_start, pad_hi - hap_ref_start)
+        if lead_del:
+            # trim edge landed inside a deletion: bases no longer start at
+            # pad_lo (haplotype.rs trim returns None here)
+            return None
+        b0 = _read_offset_at_ref_trim(hap.cigar, pad_lo - hap_ref_start)
+        new_bases = hap.bases[b0:b0 + read_length(new_cigar)]
+        if len(new_bases) != read_length(new_cigar) or not new_bases:
+            return None
+        prev = seen.get(new_bases)
+        if prev is not None:
+            # identical trimmed haplotypes merge; the ref one wins
+            # (assembly_result_set.rs trim_to dedup)
+            if hap.is_ref and not out[prev].is_ref:
+                out[prev] = replace(hap, bases=new_bases, cigar=new_cigar,
+                                    alignment_start_offset=0)
+            continue
+        seen[new_bases] = len(out)
+        out.append(replace(hap, bases=new_bases, cigar=new_cigar,
+                           alignment_start_offset=0))
+    return out
 
 
 def call_regions_batched(engine: "HaplotypeCallerEngine",
@@ -479,6 +548,31 @@ class HaplotypeCallerEngine:
             for s, reads in reads_by_sample.items()}
         if not any(reads_by_sample.values()):
             return None
+
+        # trim haplotypes + reads to the variant span before the pair-HMM
+        # (haplotype_caller_engine.rs:1243 trim_to + read-stub removal
+        # :1250-1260): shrinks the DP problem to the variation window
+        if not self.cfg.dont_trim_active_regions and (
+                pad_lo > window_start
+                or pad_hi < window_start + len(ref_window) - 1):
+            trimmed = trim_haplotypes_to_span(haplotypes, pad_lo, pad_hi,
+                                              window_start)
+            if trimmed is not None and len(trimmed) > 1:
+                haplotypes = trimmed
+                off = pad_lo - window_start
+                ref_window = ref_window[off:pad_hi - window_start + 1]
+                window_start = pad_lo
+                hap_events = [build_event_map(h, ref_window, window_start,
+                                              self.cfg.max_mnp_distance)
+                              for h in haplotypes]
+                from lorikeet_tpu.calling.clipping import hard_clip_to_region
+                reads_by_sample = {
+                    s: [c for c in (hard_clip_to_region(r, pad_lo, pad_hi)
+                                    for r in reads)
+                        if len(c.seq) >= MINIMUM_READ_LENGTH_AFTER_TRIMMING]
+                    for s, reads in reads_by_sample.items()}
+                if not any(reads_by_sample.values()):
+                    return None
 
         from lorikeet_tpu.calling.likelihoods import (PCR_INDEL_MODELS,
                                                       build_pairs)

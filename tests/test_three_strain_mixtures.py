@@ -58,7 +58,7 @@ def mixture_run(tmp_path_factory):
         for k, (st, fr) in enumerate(zip(strains, fracs)):
             if fr <= 0:
                 continue
-            recs += simulate_reads(ref, st, coverage=26 * fr,
+            recs += simulate_reads(ref, st, coverage=32 * fr,
                                    seed=100 * sidx + k,
                                    name_prefix=f"r{sidx}_{k}_")
         recs.sort(key=lambda r: (r.tid, r.pos))
