@@ -222,6 +222,20 @@ def hard_clip_to_region(rec: BamRecord, start: int, end: int) -> BamRecord:
     Insertion bases anchor to the preceding aligned/projected base (GATK
     read-index-for-reference-coordinate semantics), so the kept range is
     contiguous and boundary insertions travel with their anchor."""
+    cig = rec.cigar
+    if len(cig) == 1 and cig[0][0] == "M":
+        # pure-match fast path (the overwhelmingly common case): the kept
+        # query range is a direct arithmetic window, no per-base arrays
+        n = cig[0][1]
+        lo = max(0, start - rec.pos)
+        hi = min(n, end + 1 - rec.pos)
+        if lo <= 0 and hi >= n:
+            return rec
+        if lo >= hi:
+            return _replace(rec, cigar=[], seq=rec.seq[:0],
+                            qual=rec.qual[:0])
+        return _replace(rec, pos=rec.pos + lo, cigar=[("M", hi - lo)],
+                        seq=rec.seq[lo:hi], qual=rec.qual[lo:hi])
     refpos = query_ref_positions(rec)
     # forward-fill insertion positions from their left anchor; insertions
     # before any anchored base anchor just before the alignment start
