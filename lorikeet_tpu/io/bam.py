@@ -266,61 +266,16 @@ class BamReader:
         self._records_raw = None
 
     def _decode_native(self, data, rec_off: int):
-        """Materialize BamRecords from the C++ columnar parse."""
+        """Index the C++ columnar parse; BamRecord objects materialize
+        lazily per fetch/records_at (most reads are only ever touched by
+        the columnar pileup/filter paths and never need a Python object)."""
         from lorikeet_tpu.native import bam_native
         cols = bam_native.parse(data, rec_off)
-        n = len(cols["tid"])
-        intrinsic = cols["intrinsic"]
         order = np.lexsort((cols["pos"], cols["tid"]))
-        names = cols["names"]
-        no, co, so, to = (cols["name_off"], cols["cigar_off"],
-                          cols["seq_off"], cols["tag_off"])
-        cigars, seq, qual, tags = (cols["cigars"], cols["seq"],
-                                   cols["qual"], cols["tags"])
-        # decode the whole cigar column once (vectorized), then slice lists;
-        # whole scalar columns convert to Python lists in one shot (240k
-        # per-element np-scalar int() calls dominate otherwise)
-        op_chars = np.array(list(CIGAR_OPS))[cigars & 0xF].tolist()
-        op_lens = (cigars >> 4).tolist()
-        flag_l = cols["flag"].tolist()
-        tid_l = cols["tid"].tolist()
-        pos_l = cols["pos"].tolist()
-        mapq_l = cols["mapq"].tolist()
-        mtid_l = cols["mate_tid"].tolist()
-        mpos_l = cols["mate_pos"].tolist()
-        tlen_l = cols["tlen"].tolist()
-        intr_l = intrinsic.tolist()
+        so = cols["seq_off"]
+        seqlen = so[1:] - so[:-1]
         ends = (cols["pos"].astype(np.int64) +
                 cols["ref_len"].astype(np.int64))
-        ends_l = ends.tolist()
-        seqlen = so[1:] - so[:-1]
-        no_l, co_l, so_l, to_l = (no.tolist(), co.tolist(), so.tolist(),
-                                  to.tolist())
-        by_tid = {}
-        new = BamRecord.__new__
-        for i in order.tolist():
-            # direct attribute construction: ~2x faster than the dataclass
-            # __init__ for 13 fields at this volume
-            rec = new(BamRecord)
-            d = rec.__dict__
-            d["name"] = names[no_l[i]:no_l[i + 1]].decode()
-            d["flag"] = flag_l[i]
-            d["tid"] = tid_l[i]
-            d["pos"] = pos_l[i]
-            d["mapq"] = mapq_l[i]
-            d["cigar"] = list(zip(op_chars[co_l[i]:co_l[i + 1]],
-                                  op_lens[co_l[i]:co_l[i + 1]]))
-            d["seq"] = seq[so_l[i]:so_l[i + 1]]
-            d["qual"] = qual[so_l[i]:so_l[i + 1]].copy()
-            d["mate_tid"] = mtid_l[i]
-            d["mate_pos"] = mpos_l[i]
-            d["tlen"] = tlen_l[i]
-            d["tags"] = _LazyTags(tags, to_l[i], to_l[i + 1])
-            d["sample_index"] = 0
-            d["intrinsic"] = intr_l[i]
-            d["_reference_end"] = ends_l[i]
-            by_tid.setdefault(rec.tid, []).append(rec)
-        self._by_tid = by_tid
         # per-tid position/end indexes in record order (pos-sorted); the
         # cummax of ends lets fetch() binary-search its scan start instead
         # of walking every record with pos < end
@@ -329,14 +284,18 @@ class BamReader:
         ends_sorted = ends[order]
         bounds = ([0, *(np.flatnonzero(np.diff(tid_sorted)) + 1).tolist(),
                    len(tid_sorted)] if len(tid_sorted) else [])
+        self._by_tid = {}
+        self._fi_by_tid = {}
         self._starts, self._ends, self._ends_cummax = {}, {}, {}
         self._cols_by_tid = {}
         flag_sorted = cols["flag"][order]
         mapq_sorted = cols["mapq"][order]
-        intr_sorted = intrinsic[order]
+        intr_sorted = cols["intrinsic"][order]
         seqlen_sorted = seqlen[order]
         for b0, b1 in zip(bounds[:-1], bounds[1:]):
             t = int(tid_sorted[b0])
+            self._by_tid[t] = [None] * (b1 - b0)
+            self._fi_by_tid[t] = order[b0:b1]
             self._starts[t] = pos_sorted[b0:b1]
             e = ends_sorted[b0:b1]
             self._ends[t] = e.tolist()
@@ -344,8 +303,119 @@ class BamReader:
             self._cols_by_tid[t] = dict(
                 flag=flag_sorted[b0:b1], mapq=mapq_sorted[b0:b1],
                 intrinsic=intr_sorted[b0:b1], seqlen=seqlen_sorted[b0:b1])
+        self._raw_cols = cols
+        self._ends_file = ends
+        self._op_cols = None
         self._records_raw = None
         self._buf = None
+
+    def _op_columns(self):
+        """Whole-file decoded cigar op/length columns (built once)."""
+        if self._op_cols is None:
+            cigars = self._raw_cols["cigars"]
+            self._op_cols = (
+                np.array(list(CIGAR_OPS))[cigars & 0xF].tolist(),
+                (cigars >> 4).tolist())
+        return self._op_cols
+
+    def records_at(self, tid: int, ks, sample_index: int = 0) -> list:
+        """Materialize (and cache) the records at sorted-order indices `ks`
+        within tid, returned in that order."""
+        recs = self._by_tid.get(tid)
+        if recs is None:
+            return []
+        fi = self._fi_by_tid[tid]
+        missing = [k for k in (ks.tolist() if hasattr(ks, "tolist") else ks)
+                   if recs[k] is None]
+        if missing:
+            cols = self._raw_cols
+            op_chars, op_lens = self._op_columns()
+            names = cols["names"]
+            no, co, so, to = (cols["name_off"], cols["cigar_off"],
+                              cols["seq_off"], cols["tag_off"])
+            seq, qual, tags = cols["seq"], cols["qual"], cols["tags"]
+            flag_c, tid_c, pos_c = cols["flag"], cols["tid"], cols["pos"]
+            mapq_c, mtid_c, mpos_c = (cols["mapq"], cols["mate_tid"],
+                                      cols["mate_pos"])
+            tlen_c, intr_c, ends_c = (cols["tlen"], cols["intrinsic"],
+                                      self._ends_file)
+            new = BamRecord.__new__
+            for k in missing:
+                i = int(fi[k])
+                # direct attribute construction: ~2x faster than the
+                # dataclass __init__ for 13 fields at this volume
+                rec = new(BamRecord)
+                d = rec.__dict__
+                d["name"] = names[no[i]:no[i + 1]].decode()
+                d["flag"] = int(flag_c[i])
+                d["tid"] = int(tid_c[i])
+                d["pos"] = int(pos_c[i])
+                d["mapq"] = int(mapq_c[i])
+                d["cigar"] = list(zip(op_chars[co[i]:co[i + 1]],
+                                      op_lens[co[i]:co[i + 1]]))
+                d["seq"] = seq[so[i]:so[i + 1]]
+                d["qual"] = qual[so[i]:so[i + 1]].copy()
+                d["mate_tid"] = int(mtid_c[i])
+                d["mate_pos"] = int(mpos_c[i])
+                d["tlen"] = int(tlen_c[i])
+                d["tags"] = _LazyTags(tags, int(to[i]), int(to[i + 1]))
+                d["sample_index"] = sample_index
+                d["intrinsic"] = int(intr_c[i])
+                d["_reference_end"] = int(ends_c[i])
+                recs[k] = rec
+        return [recs[k] for k in ks]
+
+    def columnar(self, tid: int):
+        """Raw column buffers + per-record (sorted order) offset arrays for
+        the zero-object pileup path; None when not native-decoded."""
+        self._ensure_decoded()
+        if getattr(self, "_raw_cols", None) is None \
+                or tid not in self._fi_by_tid:
+            return None
+        cache = self.__dict__.setdefault("_columnar_cache", {})
+        c = cache.get(tid)
+        if c is None:
+            cols = self._raw_cols
+            fi = self._fi_by_tid[tid]
+            so, co = cols["seq_off"], cols["cigar_off"]
+            cigars = cols["cigars"]
+            ops_u8 = (np.frombuffer(CIGAR_OPS.encode(), np.uint8)
+                      [cigars & 0xF])
+            lens_i32 = (cigars >> 4).astype(np.int32)
+            c = dict(
+                seq=cols["seq"], qual=cols["qual"],
+                ops=ops_u8, lens=lens_i32,
+                read_off=so[fi].astype(np.int64),
+                read_len=(so[fi + 1] - so[fi]).astype(np.int32),
+                cigar_off=co[fi].astype(np.int64),
+                cigar_cnt=(co[fi + 1] - co[fi]).astype(np.int32),
+                pos=self._starts[tid],
+                ends=np.asarray(self._ends[tid], np.int64))
+            cache[tid] = c
+        return c
+
+    def fetch_indices(self, tid: int, start: int = None, end: int = None,
+                      mask=None) -> np.ndarray:
+        """Sorted-order indices of records overlapping [start, end) on tid
+        (same selection as fetch), without materializing records."""
+        self._ensure_decoded()
+        starts = self._starts.get(tid)
+        if starts is None:
+            return np.zeros(0, np.int64)
+        n = len(starts)
+        if start is None:
+            sel = np.arange(n, dtype=np.int64)
+        else:
+            hi = (int(np.searchsorted(starts, end, side="left"))
+                  if end is not None else n)
+            lo = int(np.searchsorted(self._ends_cummax[tid], start,
+                                     side="right"))
+            ends = np.asarray(self._ends[tid][lo:hi], np.int64)
+            sel = lo + np.flatnonzero(ends > start)
+        if mask is not None:
+            m = np.asarray(mask, bool)
+            sel = sel[m[sel]]
+        return sel
 
 
     def filter_mask(self, tid: int, mapq_threshold: int = 20,
@@ -382,8 +452,19 @@ class BamReader:
         if read_type == "long":
             mq = c.get("meanq")
             if mq is None:
-                mq = np.array([float(np.mean(r.qual)) if len(r.qual) else 0.0
-                               for r in self._by_tid[tid]])
+                raw = getattr(self, "_raw_cols", None)
+                if raw is not None and len(raw["seq_off"]) > 1:
+                    so = raw["seq_off"]
+                    lens = (so[1:] - so[:-1]).astype(np.int64)
+                    sums = np.add.reduceat(raw["qual"].astype(np.float64),
+                                           so[:-1])
+                    means = np.where(lens > 0,
+                                     sums / np.maximum(lens, 1), 0.0)
+                    mq = means[self._fi_by_tid[tid]]
+                else:
+                    mq = np.array(
+                        [float(np.mean(r.qual)) if len(r.qual) else 0.0
+                         for r in self._by_tid[tid]])
                 c["meanq"] = mq
             ok &= ((c["seqlen"] >= min_long_read_size)
                    & (mq >= min_long_read_average_base_qual))
@@ -396,9 +477,18 @@ class BamReader:
         """Yield records overlapping [start, end) on tid (all if None);
         ``mask`` (record-order booleans from filter_mask) pre-filters."""
         self._ensure_decoded()
+        lazy = getattr(self, "_raw_cols", None) is not None
         if tid is None:
             for t in sorted(k for k in self._by_tid if k >= 0):
-                yield from self._by_tid[t]
+                if lazy:
+                    yield from self.records_at(
+                        t, range(len(self._by_tid[t])))
+                else:
+                    yield from self._by_tid[t]
+            return
+        if lazy:
+            yield from self.records_at(
+                tid, self.fetch_indices(tid, start, end, mask))
             return
         recs = self._by_tid.get(tid, [])
         if start is None or not recs:

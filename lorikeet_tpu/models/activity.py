@@ -228,6 +228,18 @@ def _hq_sc_updates(rec, sc_events) -> list:
     return out
 
 
+def accumulate_reads_columnar(profile: RefVsAnyProfile, cols, idx,
+                              ref_seq: np.ndarray, chunk_start: int,
+                              chunk_end: int, bq: int, ploidy: int) -> bool:
+    """Columnar pileup straight from BamReader.columnar buffers — no
+    BamRecord objects (same contract as accumulate_reads).  Returns False
+    when the native kernel is unavailable."""
+    from lorikeet_tpu.native.pileup_native import (
+        accumulate_reads_columnar as _native)
+    return _native(profile, cols, idx, ref_seq, chunk_start, chunk_end,
+                   bq, _gl_update_table(ploidy))
+
+
 def accumulate_reads(profile: RefVsAnyProfile, recs, ref_seq: np.ndarray,
                      chunk_start: int, chunk_end: int, bq: int, ploidy: int):
     """Batched pileup over many reads: build per-read event arrays, flush

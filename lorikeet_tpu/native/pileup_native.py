@@ -47,6 +47,44 @@ def native_available() -> bool:
 _OP_CODE = {op: ord(op) for op in "MIDNSHP=X"}
 
 
+def accumulate_reads_columnar(profile, cols, idx, ref_seq: np.ndarray,
+                              chunk_start: int, chunk_end: int, bq: int,
+                              table: np.ndarray) -> bool:
+    """Zero-object pileup: scatter reads straight from the BAM decoder's
+    column buffers (BamReader.columnar) for the sorted-order indices
+    `idx`, without materializing BamRecords."""
+    lib = _load()
+    if lib is None:
+        return False
+    idx = np.asarray(idx, np.int64)
+    n = len(idx)
+    if n == 0:
+        return True
+    read_off = np.ascontiguousarray(cols["read_off"][idx])
+    read_len = np.ascontiguousarray(cols["read_len"][idx])
+    cigar_off = np.ascontiguousarray(cols["cigar_off"][idx])
+    cigar_cnt = np.ascontiguousarray(cols["cigar_cnt"][idx])
+    pos = np.ascontiguousarray(cols["pos"][idx].astype(np.int64))
+    ref = np.ascontiguousarray(ref_seq, np.uint8)
+    table = np.ascontiguousarray(table, np.float64)
+    n_gl = table.shape[2]
+    lib.pileup_accumulate(
+        cols["seq"].ctypes.data_as(_u8p), cols["qual"].ctypes.data_as(_u8p),
+        read_off.ctypes.data_as(_i64p), read_len.ctypes.data_as(_i32p),
+        cols["ops"].ctypes.data_as(_u8p), cols["lens"].ctypes.data_as(_i32p),
+        cigar_off.ctypes.data_as(_i64p), cigar_cnt.ctypes.data_as(_i32p),
+        pos.ctypes.data_as(_i64p), n,
+        ref.ctypes.data_as(_u8p), chunk_start, chunk_end,
+        bq, table.ctypes.data_as(_f64p), n_gl,
+        profile.gl.ctypes.data_as(_f64p),
+        profile.read_counts.ctypes.data_as(_i32p),
+        profile.ref_depth.ctypes.data_as(_i32p),
+        profile.nonref_depth.ctypes.data_as(_i32p),
+        profile.hq_sc_sum.ctypes.data_as(_f64p),
+        profile.hq_sc_n.ctypes.data_as(_i32p))
+    return True
+
+
 def accumulate_reads_native(profile, recs, ref_seq: np.ndarray,
                             chunk_start: int, chunk_end: int, bq: int,
                             table: np.ndarray) -> bool:

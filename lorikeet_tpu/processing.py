@@ -247,7 +247,10 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     from lorikeet_tpu.io.filter import FlagFilter
     flag_filter = getattr(cfg, "flag_filter", None) or FlagFilter()
     profiles = [RefVsAnyProfile.zeros(hi - lo, cfg.ploidy) for _ in range(n_samples)]
-    all_reads = [[] for _ in range(n_samples)]
+    # per-sample read source: ("eager", [records]) or ("lazy", bam, tid,
+    # sorted-order indices) — the lazy form never builds BamRecord objects
+    # for reads that stay outside active regions
+    sample_reads = [("eager", []) for _ in range(n_samples)]
     for s, bam in enumerate(bams):
         if tid_per_bam[s] < 0:
             continue
@@ -258,6 +261,18 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
             min_long_read_average_base_qual=cfg.min_long_read_average_base_qual,
             include_improper_pairs=flag_filter.include_improper_pairs,
             include_supplementary=flag_filter.include_supplementary)
+        cols = None
+        if mask is not None and (thresholds is None
+                                 or not thresholds.active):
+            cols = getattr(bam, "columnar", lambda t: None)(tid_per_bam[s])
+        if cols is not None:
+            from lorikeet_tpu.models.activity import accumulate_reads_columnar
+            idx = bam.fetch_indices(tid_per_bam[s], lo, hi, mask=mask)
+            if accumulate_reads_columnar(
+                    profiles[s], cols, idx, ref_seq[lo:hi], lo, hi,
+                    bq=cfg.min_base_quality, ploidy=cfg.ploidy):
+                sample_reads[s] = ("lazy", bam, tid_per_bam[s], idx)
+                continue
         candidates = []
         for rec in bam.fetch(tid_per_bam[s], lo, hi, mask=mask):
             if mask is None and not _read_passes_filters(
@@ -271,7 +286,7 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
         if thresholds is not None and thresholds.active:
             from lorikeet_tpu.io.filter import apply_alignment_thresholds
             candidates = apply_alignment_thresholds(candidates, thresholds)
-        all_reads[s].extend(candidates)
+        sample_reads[s] = ("eager", candidates)
         accumulate_reads(profiles[s], candidates, ref_seq[lo:hi], lo, hi,
                          bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
@@ -318,10 +333,17 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     # pair instead of O(reads x regions) per-record property calls
     span_arrays = []
     for s in range(n_samples):
-        rs = all_reads[s]
-        span_arrays.append((
-            np.fromiter((r.pos for r in rs), np.int64, len(rs)),
-            np.fromiter((r.reference_end for r in rs), np.int64, len(rs))))
+        kind = sample_reads[s]
+        if kind[0] == "lazy":
+            _, b, t, idx = kind
+            c = b.columnar(t)
+            span_arrays.append((c["pos"][idx], c["ends"][idx]))
+        else:
+            rs = kind[1]
+            span_arrays.append((
+                np.fromiter((r.pos for r in rs), np.int64, len(rs)),
+                np.fromiter((r.reference_end for r in rs), np.int64,
+                            len(rs))))
     works = []
     for region in regions:
         if not region.is_active:
@@ -337,10 +359,16 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
         reads_by_sample = {}
         for s in range(n_samples):
             pos_a, end_a = span_arrays[s]
-            idx = np.flatnonzero((pos_a <= pad_end) & (end_a > pad_start))
-            rs = all_reads[s]
-            reads_by_sample[s] = [rs[i] for i in
-                                  idx[:cfg.max_input_depth].tolist()]
+            sel = np.flatnonzero((pos_a <= pad_end) & (end_a > pad_start))
+            sel = sel[:cfg.max_input_depth]
+            kind = sample_reads[s]
+            if kind[0] == "lazy":
+                _, b, t, idx = kind
+                reads_by_sample[s] = b.records_at(t, idx[sel],
+                                                  sample_index=s)
+            else:
+                rs = kind[1]
+                reads_by_sample[s] = [rs[i] for i in sel.tolist()]
         given_here = [vc for vc in given_span
                       if vc.start <= pad_end and vc.end >= pad_start]
         # fraction of active-span positions meaningfully active, keys the
