@@ -204,6 +204,32 @@ class RegionWork:
     index: list
 
 
+def _gq_log10_from_posteriors(best: int, log10_posteriors) -> float:
+    """log10 P(genotype != best) from normalized log10 posteriors
+    (variant_context.rs:524-571 get_gq_log10_from_posteriors)."""
+    from lorikeet_tpu.utils.math import log10_sum_log10
+    p = np.asarray(log10_posteriors, float)
+    n = len(p)
+    if n <= 1:
+        return 1.0
+    if n == 2:
+        return float(p[1] if best == 0 else p[0])
+    if n == 3:
+        a = p[2 if best == 0 else best - 1]
+        b = p[0 if best == 2 else best + 1]
+        return min(0.0, float(np.logaddexp(a * _LN10, b * _LN10) / _LN10))
+    if best == 0:
+        return float(log10_sum_log10(p[1:]))
+    if best == n - 1:
+        return float(log10_sum_log10(p[:best]))
+    lo = log10_sum_log10(p[:best])
+    hi = log10_sum_log10(p[best + 1:])
+    return min(0.0, float(np.logaddexp(lo * _LN10, hi * _LN10) / _LN10))
+
+
+_LN10 = np.log(10.0)
+
+
 def _read_offset_at_ref_trim(cigar, start: int) -> int:
     """Read-base offset where `trim_cigar_by_reference(cigar, start, ...)`
     begins consuming, mirroring its element-boundary rules exactly."""
@@ -368,6 +394,20 @@ class GenotypingEngine:
             total = val if total is None else total + val
         return total
 
+    def _genotype_priors(self, n_alleles: int, out_alleles):
+        """Cached per-allele-count log10 genotype priors from the configured
+        heterozygosities (genotype_prior_calculator.rs make + assuming_hw;
+        resolve_genotype_prior_calculator at
+        haplotype_caller_genotyping_engine.rs:284,496)."""
+        from lorikeet_tpu.models.genotype_priors import GenotypePriorCalculator
+        gpc = getattr(self, "_gpc", None)
+        if gpc is None:
+            gpc = GenotypePriorCalculator.make(self.cfg.snp_heterozygosity,
+                                               self.cfg.indel_heterozygosity)
+            self._gpc = gpc
+        counts = genotype_count_matrix(self.cfg.ploidy, n_alleles)
+        return gpc.log10_priors(counts, out_alleles)
+
     def _subset_and_assign(self, vc: VariantContext, out_alleles):
         """Subset GLs to the output alleles and assign GT per the configured
         genotype-assignment-method (AlleleSubsettingUtils::subset_alleles,
@@ -391,6 +431,7 @@ class GenotypingEngine:
         for g in vc.genotypes:
             gl = g.log10_likelihoods[gmap]
             gl = gl - gl.max()
+            gp = None
             if method in ("SetToNoCall", "SetToNoCallNoAnnotations",
                           "DoNotAssignGenotypes"):
                 alleles = []
@@ -399,6 +440,21 @@ class GenotypingEngine:
                 alleles = [a if a in out_alleles else out_alleles[0]
                            for a in g.alleles]
                 gq = -1
+            elif method == "UsePosteriorProbabilities":
+                # GL + HW genotype priors -> normalized posteriors; call by
+                # max posterior, GQ from the non-best posterior mass
+                # (variant_context.rs make_genotype_call
+                # UsePosteriorProbabilities arm + get_gq_log10_from_posteriors)
+                priors = self._genotype_priors(len(out_alleles), out_alleles)
+                post = priors + gl
+                norm = post - post.max()
+                best = int(np.argmax(post))
+                alleles = [out_alleles[a]
+                           for a in np.repeat(np.arange(len(out_alleles)),
+                                              counts_new[best])]
+                gq_log10 = _gq_log10_from_posteriors(best, norm)
+                gq = int(min(99, round(-10.0 * gq_log10)))
+                gp = norm
             else:                      # UsePLsToAssign (default)
                 best = int(np.argmax(gl))
                 alleles = [out_alleles[a]
@@ -410,6 +466,10 @@ class GenotypingEngine:
                     if len(pls) > 1 else -1
             ng = Genotype(g.sample, g.ploidy, gl, alleles, gq=gq,
                           dp=g.dp, ad=g.ad.copy() if g.ad is not None else None)
+            if gp is not None:
+                # normalized log10 posteriors (GENOTYPE_POSTERIORS_KEY);
+                # _phred_no_variant_posterior consumes this convention
+                ng.attributes["GP"] = gp
             # subset AD to output alleles
             if g.ad is not None:
                 ng.ad = g.ad[old_idx]
