@@ -100,11 +100,13 @@ class ReadThreadingGraph:
         self.ref_source = None
         self.ref_sink = None
         self.built = False
+        self.cycle_checked = None      # set by build() on the native path
+        self.native_pruned = False
 
     # ---------------- construction ----------------
     def add_sequence(self, seq: bytes, count: int = 1, is_ref: bool = False,
-                     name: str = ""):
-        self.pending.append((name, seq, count, is_ref))
+                     name: str = "", sample_id: int = 0):
+        self.pending.append((name, seq, count, is_ref, sample_id))
 
     def add_read(self, rec, min_base_quality: int):
         """Split the read at low-quality/N bases (GATK add_read semantics) and
@@ -113,15 +115,18 @@ class ReadThreadingGraph:
         read_threading_assembler.rs:237-242)."""
         for name, stretch in read_stretches(rec, min_base_quality):
             if len(stretch) >= self.kmer_size:
-                self.add_sequence(stretch, 1, False, name)
+                self.add_sequence(stretch, 1, False, name,
+                                  getattr(rec, "sample_index", 0))
 
-    def add_stretches(self, stretches):
+    def add_stretches(self, stretches, sample_id: int = 0):
         """Pre-split (name, bytes) stretches (see read_stretches); the
         splitting is kmer-size independent so multi-k assembly computes it
-        once."""
+        once.  Sequences must be added sample-grouped: per-sample pruning
+        multiplicities roll at sample boundaries
+        (multi_sample_edge.rs flush_single_sample_multiplicity)."""
         for name, stretch in stretches:
             if len(stretch) >= self.kmer_size:
-                self.add_sequence(stretch, 1, False, name)
+                self.add_sequence(stretch, 1, False, name, sample_id)
 
     def _new_vertex(self, kmer: bytes) -> int:
         vid = len(self.vertices)
@@ -142,39 +147,55 @@ class ReadThreadingGraph:
             e.is_ref = True
         return e
 
-    def build(self):
+    def build(self, prune_factor: int = None):
+        """Thread all pending sequences.  With the native builder, the
+        per-sample multiplicity flushes, the cycle check, and (when
+        ``prune_factor`` is a positive int) low-weight chain pruning +
+        orphan removal all happen in C++ before any Edge objects are
+        materialized; ``self.cycle_checked`` then holds the cycle verdict
+        and ``self.native_pruned`` whether pruning already ran."""
         assert not self.built
         k = self.kmer_size
+        self.cycle_checked = None
+        self.native_pruned = False
         # native C++ builder when the toolchain is present (same thread
-        # order, reference first)
+        # order, reference first; stable sort keeps sample grouping)
         self.pending.sort(key=lambda t: not t[3])
-        from lorikeet_tpu.native.graph_native import build_graph_native
-        native = build_graph_native(self.pending, k)
+        from lorikeet_tpu.native.graph_native import build_graph_native2
+        native = build_graph_native2(self.pending, k,
+                                     self.num_pruning_samples,
+                                     prune_factor or 0)
         if native is not None:
-            vertices, (e_u, e_v, e_mult, e_ref), ref_path = native
+            vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc = native
             self.vertices = vertices
             self.out_edges = [{} for _ in vertices]
             self.in_edges = [{} for _ in vertices]
             out, inn = self.out_edges, self.in_edges
             enew = Edge.__new__
-            for u, v, m, r in zip(e_u.tolist(), e_v.tolist(),
-                                  e_mult.tolist(), e_ref.tolist()):
+            nps = self.num_pruning_samples
+            for u, v, m, r, pm in zip(e_u.tolist(), e_v.tolist(),
+                                      e_mult.tolist(), e_ref.tolist(),
+                                      e_pm.tolist()):
                 e = enew(Edge)
                 e.multiplicity = m
-                e.current_sample = m
+                e.current_sample = 0
                 e.is_ref = bool(r)
-                e.samples = []
+                # per-sample history compressed to what pruning reads:
+                # pruning_multiplicity(nps) == pm
+                e.samples = [pm] * nps
                 out[u][v] = e
                 inn[v][u] = e
             self.ref_path = ref_path.tolist()
             if self.ref_path:
                 self.ref_source = self.ref_path[0]
                 self.ref_sink = self.ref_path[-1]
+            self.cycle_checked = cyc
+            self.native_pruned = bool(prune_factor) and not cyc
             self.pending = []
             self.built = True
             return
         # per-sequence non-unique kmers, unioned (determine_non_unique_kmers)
-        for _, seq, _, _ in self.pending:
+        for _, seq, _, _, _ in self.pending:
             seen = set()
             for i in range(len(seq) - k + 1):
                 km = seq[i:i + k]
@@ -182,9 +203,14 @@ class ReadThreadingGraph:
                     self.non_unique.add(km)
                 else:
                     seen.add(km)
-        # thread the reference first, then reads
+        # thread the reference first, then reads, rolling per-sample
+        # multiplicities at sample boundaries
         self.pending.sort(key=lambda t: not t[3])
-        for name, seq, count, is_ref in self.pending:
+        prev_sample = None
+        for name, seq, count, is_ref, sample_id in self.pending:
+            if prev_sample is not None and sample_id != prev_sample:
+                self.flush_sample()
+            prev_sample = sample_id
             self._thread(seq, count, is_ref)
         self.pending = []
         if self.ref_path:
@@ -810,13 +836,17 @@ def assemble_region(
             continue
         graph = ReadThreadingGraph(k, num_pruning_samples)
         graph.add_sequence(ref_bytes, 1, True, "ref")
-        for sample in sample_order:
-            graph.add_stretches(stretches_by_sample[sample])
-        graph.build()
-        graph.flush_sample()
+        for sid, sample in enumerate(sample_order):
+            graph.add_stretches(stretches_by_sample[sample], sample_id=sid)
+        graph.build(prune_factor=None if use_adaptive_pruning
+                    else prune_factor)
+        if not graph.native_pruned:
+            graph.flush_sample()
         if graph.ref_source is None or graph.ref_sink is None:
             continue
-        if graph.has_cycle():
+        cyclic = graph.cycle_checked if graph.cycle_checked is not None \
+            else graph.has_cycle()
+        if cyclic:
             _retry_larger_k(k)
             continue
         if use_adaptive_pruning:
@@ -824,7 +854,7 @@ def assemble_region(
                                         pruning_log_odds_threshold,
                                         pruning_seeding_log_odds_threshold,
                                         max_unpruned_variants)
-        else:
+        elif not graph.native_pruned:
             graph.prune_low_weight_chains(prune_factor)
         recovered = 0
         if recover_dangling_branches:

@@ -14,12 +14,16 @@
 #include <unordered_set>
 #include <vector>
 
+#include <algorithm>
+
 namespace {
 
 struct EdgeRec {
     int32_t u, v;
     int32_t mult;
     uint8_t is_ref;
+    int32_t cur = 0;               // multiplicity within the current sample
+    std::vector<int32_t> kept;     // top num_pruning_samples per-sample counts
 };
 
 struct Builder {
@@ -64,20 +68,49 @@ struct Builder {
         return ei;
     }
 
+    std::vector<int32_t> touched;  // edges hit within the current sample
+    int nps = 1;
+
+    void bump(int32_t ei, int32_t count) {
+        EdgeRec& e = edges[ei];
+        e.mult += count;
+        if (e.cur == 0) touched.push_back(ei);
+        e.cur += count;
+    }
+
+    // roll per-sample multiplicities at a sample boundary
+    // (multi_sample_edge.rs flush_single_sample_multiplicity)
+    void flush_sample() {
+        for (const int32_t ei : touched) {
+            EdgeRec& e = edges[ei];
+            e.kept.push_back(e.cur);
+            std::sort(e.kept.begin(), e.kept.end(), std::greater<int32_t>());
+            if ((int)e.kept.size() > nps) e.kept.resize(nps);
+            e.cur = 0;
+        }
+        touched.clear();
+    }
+
+    // num_pruning_samples-th largest per-sample count, 0-padded
+    // (multi_sample_edge.rs get_pruning_multiplicity)
+    int32_t pruning_mult(const EdgeRec& e) const {
+        return (int)e.kept.size() >= nps ? e.kept[nps - 1] : 0;
+    }
+
     int32_t extend(int32_t prev, const uint8_t* seq, int64_t kmer_start,
                    int32_t count, bool is_ref) {
         const uint8_t next_base = seq[kmer_start + k - 1];
         for (const int32_t ei : out_adj[prev]) {
             EdgeRec& e = edges[ei];
             if (vertex_kmer[e.v][k - 1] == next_base) {
-                e.mult += count;
+                bump(ei, count);
                 if (is_ref) e.is_ref = 1;
                 return e.v;
             }
         }
         const int32_t vid = get_or_new(seq + kmer_start);
         const int32_t ei = edge(prev, vid, is_ref);
-        edges[ei].mult += count;
+        bump(ei, count);
         return vid;
     }
 
@@ -96,6 +129,124 @@ struct Builder {
         for (int64_t i = start + 1; i <= len - k; i++) {
             vid = extend(vid, seq, i, count, is_ref);
             if (is_ref) ref_path.push_back(vid);
+        }
+    }
+    std::vector<uint8_t> removed;          // per-edge tombstones
+    std::vector<std::vector<int32_t>> in_adj;
+
+    void index_in_edges() {
+        in_adj.assign(vertex_kmer.size(), {});
+        removed.assign(edges.size(), 0);
+        for (size_t ei = 0; ei < edges.size(); ei++)
+            in_adj[edges[ei].v].push_back((int32_t)ei);
+    }
+
+    int in_deg(int32_t v) const {
+        int d = 0;
+        for (const int32_t ei : in_adj[v]) d += !removed[ei];
+        return d;
+    }
+    int out_deg(int32_t v) const {
+        int d = 0;
+        for (const int32_t ei : out_adj[v]) d += !removed[ei];
+        return d;
+    }
+
+    // Kahn peel (graph.py has_cycle)
+    bool has_cycle() const {
+        const int64_t n = (int64_t)vertex_kmer.size();
+        std::vector<int32_t> indeg(n, 0);
+        for (const EdgeRec& e : edges) indeg[e.v]++;
+        std::vector<int32_t> stack;
+        for (int64_t v = 0; v < n; v++)
+            if (!indeg[v]) stack.push_back((int32_t)v);
+        int64_t seen = 0;
+        while (!stack.empty()) {
+            const int32_t v = stack.back();
+            stack.pop_back();
+            seen++;
+            for (const int32_t ei : out_adj[v])
+                if (!--indeg[edges[ei].v]) stack.push_back(edges[ei].v);
+        }
+        return seen != n;
+    }
+
+    // linear chains + low-weight pruning + orphan removal
+    // (chain_pruner.rs:58-121, low_weight_chain_pruner.rs,
+    //  graph.py prune_low_weight_chains/_remove_orphans)
+    void prune_low_weight_chains(int prune_factor) {
+        if (prune_factor <= 0) return;
+        const int64_t n = (int64_t)vertex_kmer.size();
+        std::vector<int32_t> chain_starts;
+        std::vector<uint8_t> seen(n, 0);
+        for (int64_t v = 0; v < n; v++)
+            if (in_deg((int32_t)v) == 0) {
+                chain_starts.push_back((int32_t)v);
+                seen[v] = 1;
+            }
+        // phase 1: enumerate all chains on the unpruned graph (python
+        // find_chains computes the full chain list before any removal)
+        std::vector<std::vector<int32_t>> chains;
+        for (size_t qi = 0; qi < chain_starts.size(); qi++) {
+            const int32_t first = chain_starts[qi];
+            for (const int32_t ei0 : out_adj[first]) {
+                std::vector<int32_t> chain{ei0};
+                int32_t last = edges[ei0].v;
+                while (out_deg(last) == 1 && in_deg(last) <= 1
+                       && last != first) {
+                    const int32_t nxt = out_adj[last].front();
+                    chain.push_back(nxt);
+                    last = edges[nxt].v;
+                }
+                chains.push_back(std::move(chain));
+                if (!seen[last]) {
+                    seen[last] = 1;
+                    chain_starts.push_back(last);
+                }
+            }
+        }
+        // phase 2: prune chains whose every edge is non-ref and low-weight
+        for (const auto& chain : chains) {
+            bool all_low = true;
+            for (const int32_t ei : chain)
+                if (edges[ei].is_ref
+                    || pruning_mult(edges[ei]) >= prune_factor) {
+                    all_low = false;
+                    break;
+                }
+            if (all_low)
+                for (const int32_t ei : chain) removed[ei] = 1;
+        }
+        // orphan removal: keep only vertices on some ref_source -> ref_sink
+        // path
+        if (ref_path.empty()) return;
+        std::vector<uint8_t> fwd(n, 0), bwd(n, 0);
+        std::vector<int32_t> stack{ref_path.front()};
+        fwd[ref_path.front()] = 1;
+        while (!stack.empty()) {
+            const int32_t v = stack.back();
+            stack.pop_back();
+            for (const int32_t ei : out_adj[v])
+                if (!removed[ei] && !fwd[edges[ei].v]) {
+                    fwd[edges[ei].v] = 1;
+                    stack.push_back(edges[ei].v);
+                }
+        }
+        stack.push_back(ref_path.back());
+        bwd[ref_path.back()] = 1;
+        while (!stack.empty()) {
+            const int32_t v = stack.back();
+            stack.pop_back();
+            for (const int32_t ei : in_adj[v])
+                if (!removed[ei] && !bwd[edges[ei].u]) {
+                    bwd[edges[ei].u] = 1;
+                    stack.push_back(edges[ei].u);
+                }
+        }
+        for (size_t ei = 0; ei < edges.size(); ei++) {
+            const EdgeRec& e = edges[ei];
+            if (!(fwd[e.u] && bwd[e.u]) || !(fwd[e.v] && bwd[e.v]))
+                removed[ei] = 1;
         }
     }
 };
@@ -146,5 +297,67 @@ extern "C" int graph_build(
     out_counts[0] = nv;
     out_counts[1] = ne;
     out_counts[2] = nr;
+    return 0;
+}
+
+// Extended builder: per-sample pruning multiplicities (sequences must arrive
+// sample-grouped; `sample_ids` marks the grouping), Kahn cycle detection,
+// and — when acyclic and prune_factor > 0 — low-weight chain pruning with
+// orphan removal, all before any Python objects exist.
+// out_counts = {n_vertices, n_edges, ref_path_len, has_cycle}.
+extern "C" int graph_build2(
+    const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* counts,
+    const uint8_t* is_ref, const int32_t* sample_ids, int64_t n_seqs, int k,
+    int num_pruning_samples, int prune_factor,
+    int64_t* vertex_kmer_off, int32_t* edge_u, int32_t* edge_v,
+    int32_t* edge_mult, uint8_t* edge_is_ref, int32_t* edge_pm,
+    int32_t* ref_path, int64_t cap, int64_t* out_counts) {
+    Builder b;
+    b.k = k;
+    b.buf = seq_buf;
+    b.nps = num_pruning_samples > 0 ? num_pruning_samples : 1;
+    std::unordered_set<std::string_view> seen;
+    for (int64_t s = 0; s < n_seqs; s++) {
+        const uint8_t* seq = seq_buf + seq_off[s];
+        const int64_t len = seq_off[s + 1] - seq_off[s];
+        seen.clear();
+        for (int64_t i = 0; i + k <= len; i++) {
+            const auto km = b.sv(seq + i);
+            if (!seen.insert(km).second) b.non_unique.insert(km);
+        }
+    }
+    b.kmer_to_vertex.reserve((size_t)cap);
+    for (int64_t s = 0; s < n_seqs; s++) {
+        if (s > 0 && sample_ids[s] != sample_ids[s - 1]) b.flush_sample();
+        b.thread(seq_buf + seq_off[s], seq_off[s + 1] - seq_off[s],
+                 counts[s], is_ref[s] != 0);
+    }
+    b.flush_sample();
+
+    const bool cycle = b.has_cycle();
+    b.index_in_edges();
+    if (!cycle) b.prune_low_weight_chains(prune_factor);
+
+    const int64_t nv = (int64_t)b.vertex_kmer.size();
+    const int64_t nr = (int64_t)b.ref_path.size();
+    if (nv > cap || (int64_t)b.edges.size() > cap || nr > cap) return 1;
+    for (int64_t i = 0; i < nv; i++)
+        vertex_kmer_off[i] = b.vertex_kmer[i] - seq_buf;
+    int64_t ne = 0;
+    for (size_t ei = 0; ei < b.edges.size(); ei++) {
+        if (b.removed[ei]) continue;
+        const EdgeRec& e = b.edges[ei];
+        edge_u[ne] = e.u;
+        edge_v[ne] = e.v;
+        edge_mult[ne] = e.mult;
+        edge_is_ref[ne] = e.is_ref;
+        edge_pm[ne] = b.pruning_mult(e);
+        ne++;
+    }
+    for (int64_t i = 0; i < nr; i++) ref_path[i] = b.ref_path[i];
+    out_counts[0] = nv;
+    out_counts[1] = ne;
+    out_counts[2] = nr;
+    out_counts[3] = cycle ? 1 : 0;
     return 0;
 }

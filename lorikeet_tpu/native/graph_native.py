@@ -30,6 +30,12 @@ def _load():
             _i64p, _i32p, _i32p, _i32p, _u8p, _i32p,
             ctypes.c_int64, _i64p]
         lib.graph_build.restype = ctypes.c_int
+        lib.graph_build2.argtypes = [
+            _u8p, _i64p, _i32p, _u8p, _i32p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            _i64p, _i32p, _i32p, _i32p, _u8p, _i32p, _i32p,
+            ctypes.c_int64, _i64p]
+        lib.graph_build2.restype = ctypes.c_int
         _lib = lib
     except Exception:  # noqa: BLE001 — no toolchain: fall back to Python
         _failed = True
@@ -83,3 +89,52 @@ def build_graph_native(pending: list, k: int):
     return (vertices,
             (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne]),
             ref_path[:nr])
+
+
+def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
+                        prune_factor: int):
+    """Thread + per-sample flush + cycle check + (if acyclic and
+    prune_factor > 0) low-weight chain pruning with orphan removal, all in
+    C++.  `pending` is [(name, seq bytes, count, is_ref, sample_id)] in
+    thread order, reference first, sample-grouped.  Returns
+    (vertices, (u, v, mult, is_ref, pruning_mult), ref_path, has_cycle) or
+    None when the native builder is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(pending)
+    seq_buf = b"".join(p[1] for p in pending)
+    seq_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p[1]) for p in pending], out=seq_off[1:])
+    counts = np.fromiter((p[2] for p in pending), np.int32, n)
+    is_ref = np.fromiter((1 if p[3] else 0 for p in pending), np.uint8, n)
+    sample_ids = np.fromiter((p[4] for p in pending), np.int32, n)
+    cap = int(sum(max(len(p[1]) - k + 1, 0) for p in pending)) + 1
+    buf = np.frombuffer(seq_buf, np.uint8)
+
+    v_off = np.empty(cap, np.int64)
+    e_u = np.empty(cap, np.int32)
+    e_v = np.empty(cap, np.int32)
+    e_mult = np.empty(cap, np.int32)
+    e_ref = np.empty(cap, np.uint8)
+    e_pm = np.empty(cap, np.int32)
+    ref_path = np.empty(cap, np.int32)
+    out_counts = np.zeros(4, np.int64)
+
+    rc = lib.graph_build2(
+        buf.ctypes.data_as(_u8p), seq_off.ctypes.data_as(_i64p),
+        counts.ctypes.data_as(_i32p), is_ref.ctypes.data_as(_u8p),
+        sample_ids.ctypes.data_as(_i32p), n, k,
+        num_pruning_samples, prune_factor,
+        v_off.ctypes.data_as(_i64p), e_u.ctypes.data_as(_i32p),
+        e_v.ctypes.data_as(_i32p), e_mult.ctypes.data_as(_i32p),
+        e_ref.ctypes.data_as(_u8p), e_pm.ctypes.data_as(_i32p),
+        ref_path.ctypes.data_as(_i32p),
+        cap, out_counts.ctypes.data_as(_i64p))
+    if rc != 0:
+        return None
+    nv, ne, nr, cyc = (int(x) for x in out_counts)
+    vertices = [seq_buf[int(o):int(o) + k] for o in v_off[:nv]]
+    return (vertices,
+            (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne], e_pm[:ne]),
+            ref_path[:nr], bool(cyc))
