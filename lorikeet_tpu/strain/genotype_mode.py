@@ -138,37 +138,33 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
     n_strains = max((s for m in membership for s in m), default=-1) + 1
     if n_strains == 0:
         return np.zeros(0)
-    w = [variant_weights.copy() for _ in range(n_strains)]
-    strain_vars = [[i for i, m in enumerate(membership) if s in m]
-                   for s in range(n_strains)]
-    weights = [variant_weights[strain_vars[s]].astype(np.float64)
-               for s in range(n_strains)]
+    n_vars = len(membership)
+    # dense [S, V] membership (SURVEY §7.1: dense matrix form of the
+    # reference's per-strain weight lists)
+    M = np.zeros((n_strains, n_vars), bool)
+    for v, m in enumerate(membership):
+        for s in m:
+            M[s, v] = True
+    W = np.where(M, variant_weights[None, :].astype(np.float64), 0.0)
+    has_vars = M.any(axis=1)
     theta = np.ones(n_strains)
+    tiny = np.finfo(float).eps
     omega = 1.0
     iters = 0
     while omega > eps and iters < max_iters:
         iters += 1
-        theta_prev = theta.copy()
-        new_weights = []
-        new_theta = np.zeros(n_strains)
-        denominator = sum(float(np.sum(wt)) for wt in weights)
-        for s in range(n_strains):
-            if abs(theta[s]) <= eps or not len(weights[s]):
-                new_weights.append(weights[s])
-                new_theta[s] = 0.0
-                continue
-            pooled = np.array([
-                max(sum(theta[g] for g in membership[v]), np.finfo(float).eps)
-                for v in strain_vars[s]])
-            wnew = weights[s] * theta[s] / pooled
-            ab = wnew.sum() / denominator if denominator > 0 else 0.0
-            if not np.isfinite(ab) or ab < eps:
-                ab = 0.0
-            new_weights.append(wnew)
-            new_theta[s] = ab
-        weights = new_weights
-        theta = new_theta
-        omega = np.abs(theta - theta_prev).sum()
+        theta_prev = theta
+        denominator = float(W.sum())
+        active = (np.abs(theta) > eps) & has_vars
+        pooled = np.maximum(theta @ M, tiny)            # [V]
+        W_new = np.where((active[:, None]) & M,
+                         W * theta[:, None] / pooled[None, :], W)
+        ab = W_new.sum(axis=1) / denominator if denominator > 0 \
+            else np.zeros(n_strains)
+        ab = np.where(np.isfinite(ab) & (ab >= eps), ab, 0.0)
+        theta = np.where(active, ab, 0.0)
+        W = np.where(active[:, None], W_new, W)
+        omega = float(np.abs(theta - theta_prev).sum())
     return theta
 
 
