@@ -80,6 +80,9 @@ class CallerConfig:
     # skip trimming haplotypes/reads to the variant span
     # (haplotype_caller_engine.rs:1243 trim_to; GATK dont-trim-active-regions)
     dont_trim_active_regions: bool = False
+    # per-contig checkpoint/resume under {genome}/.chunks (long multi-contig
+    # jobs; keys include BAM sizes/mtimes + the config fingerprint)
+    checkpoint: bool = False
     # genotype-mode split filter (cli.rs min-variant-depth-for-genotyping,
     # variant_context_utils.rs:607-690)
     min_variant_depth_for_genotyping: int = 10

@@ -285,6 +285,12 @@ def build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--disable-optimizations", action="store_true",
                         help="keep processing regions with no assembled "
                              "variation")
+        sp.add_argument("--dont-trim-active-regions", action="store_true",
+                        help="keep full-window haplotypes/reads instead of "
+                             "trimming to the variant span")
+        sp.add_argument("--checkpoint", action="store_true",
+                        help="resume long jobs from per-contig checkpoints "
+                             "under {genome}/.chunks")
         sp.add_argument("--min-assembly-region-size", type=int, default=50)
         sp.add_argument("--max-assembly-region-size", type=int, default=300)
         sp.add_argument("--assembly-region-padding", type=int, default=100)
@@ -500,6 +506,8 @@ def _base_config(args):
         mapping_quality_threshold_for_genotyping=
         args.mapping_quality_threshold_for_genotyping,
         disable_optimizations=args.disable_optimizations,
+        dont_trim_active_regions=args.dont_trim_active_regions,
+        checkpoint=args.checkpoint,
         min_base_quality=args.min_base_quality,
         mapq_threshold=args.min_mapq,
         kmer_sizes=tuple(args.kmer_sizes),

@@ -425,7 +425,40 @@ def discover_genomes(references: list, genome_dir: str = None,
     return specs
 
 
-def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
+def _cfg_fingerprint(cfg) -> str:
+    """Stable digest of the calling-relevant config (object-typed knobs
+    contribute their class name + public attrs)."""
+    import dataclasses
+    import hashlib
+    parts = []
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if isinstance(v, (int, float, str, bool, tuple, list, type(None))):
+            parts.append(f"{f.name}={v!r}")
+        else:
+            attrs = sorted(getattr(v, "__dict__", {}).items())
+            parts.append(f"{f.name}={type(v).__name__}:{attrs!r}")
+    return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
+
+
+def _chunk_key(contig: str, bams: list, cfg_fp: str) -> str:
+    """Checkpoint key: contig + every BAM's (path, size, mtime) + config."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(contig.encode())
+    h.update(cfg_fp.encode())
+    for b in bams:
+        p = getattr(b, "path", "")
+        try:
+            st = os.stat(p)
+            h.update(f"{p}:{st.st_size}:{st.st_mtime_ns}".encode())
+        except OSError:
+            h.update(p.encode())
+    return h.hexdigest()[:24]
+
+
+def _call_contigs(spec, fasta, bams, cfg, engine, limit,
+                  checkpoint_dir: str = None) -> list:
     """Per-contig results, threaded over contigs when cfg.threads allows
     (the reference's rayon contig parallelism,
     haplotype_caller_engine.rs:443-465).  Contigs touch disjoint BAM record
@@ -434,14 +467,38 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit) -> list:
     min_size = getattr(cfg, "min_contig_size", 0) or 0
     n_workers = min(getattr(cfg, "threads", 1) or 1, len(spec.contigs))
 
+    cfg_fp = _cfg_fingerprint(cfg) if checkpoint_dir else None
+
     def _one(local_fasta, contig, chunk_threads=1, chunk_processes=1):
         # contigs below --min-contig-size are skipped outright
         # (haplotype_caller_engine.rs:340,418 min_contig_length gate)
         if min_size and local_fasta.length(contig) < min_size:
             return ContigResult(tid=0)
-        return call_contig(local_fasta, bams, contig, cfg, engine,
-                           limit=limit, chunk_threads=chunk_threads,
-                           chunk_processes=chunk_processes)
+        # per-contig checkpoint: long multi-contig jobs resume where they
+        # stopped (beyond the reference's genome-level artifact cache,
+        # lorikeet_engine.rs:135-157; SURVEY §5 checkpointed region queues)
+        ck_path = None
+        if checkpoint_dir is not None and limit is None:
+            import pickle
+            ck_path = os.path.join(checkpoint_dir,
+                                   _chunk_key(contig, bams, cfg_fp) + ".pkl")
+            if os.path.exists(ck_path):
+                try:
+                    with open(ck_path, "rb") as fh:
+                        return pickle.load(fh)
+                except Exception:  # noqa: BLE001 — corrupt: recompute
+                    pass
+        result = call_contig(local_fasta, bams, contig, cfg, engine,
+                             limit=limit, chunk_threads=chunk_threads,
+                             chunk_processes=chunk_processes)
+        if ck_path is not None:
+            import pickle
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = ck_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump(result, fh)
+            os.replace(tmp, ck_path)
+        return result
 
     if n_workers <= 1 or len(spec.contigs) <= 1:
         # chunk-level threading exists (call_contig chunk_threads) but the
@@ -490,7 +547,10 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
     n_samples = len(bams)
     passing_rle = [[] for _ in range(n_samples)]
     genome_size = 0
-    results = _call_contigs(spec, fasta, bams, cfg, engine, limit)
+    checkpoint_dir = (os.path.join(genome_dir, ".chunks")
+                      if getattr(cfg, "checkpoint", False) else None)
+    results = _call_contigs(spec, fasta, bams, cfg, engine, limit,
+                            checkpoint_dir=checkpoint_dir)
     for local_tid, contig in enumerate(spec.contigs):
         res = results[local_tid]
         for vc in res.calls:
@@ -673,6 +733,10 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
         results[spec.name] = {"vcf": vcf_path, "cached": True}
         progress.done += 1
         return
+    if force and getattr(cfg, "checkpoint", False):
+        # --force also invalidates per-contig checkpoints
+        import shutil
+        shutil.rmtree(os.path.join(gdir, ".chunks"), ignore_errors=True)
     # per-genome isolation: one genome failing does not kill the run
     # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
     if True:
