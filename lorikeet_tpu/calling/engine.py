@@ -297,16 +297,26 @@ def trim_haplotypes_to_span(haplotypes, pad_lo, pad_hi, window_start):
     return out
 
 
-def call_regions_batched(engine: "HaplotypeCallerEngine",
-                         works: list) -> list:
-    """Compute ALL regions' pair-HMM likelihoods in one device dispatch,
-    then genotype each region; returns per-region call lists."""
-    from lorikeet_tpu.calling.likelihoods import (
-        assemble_likelihoods, compute_pair_likelihoods,
-    )
-    cfg = engine.cfg
+def compute_works_likelihoods(engine: "HaplotypeCallerEngine",
+                              works: list) -> np.ndarray:
+    """All regions' pair-HMM likelihoods in one device dispatch (the
+    compute half of call_regions_batched; ctypes/device execution releases
+    the GIL, so running this on a worker thread overlaps with host region
+    preparation of the next span)."""
+    from lorikeet_tpu.calling.likelihoods import compute_pair_likelihoods
     all_pairs = [p for w in works for p in w.pairs]
-    lks = compute_pair_likelihoods(all_pairs, cfg.use_pallas)
+    return compute_pair_likelihoods(all_pairs, engine.cfg.use_pallas)
+
+
+def call_regions_batched(engine: "HaplotypeCallerEngine",
+                         works: list, lks: np.ndarray = None) -> list:
+    """Compute ALL regions' pair-HMM likelihoods in one device dispatch,
+    then genotype each region; returns per-region call lists.  Pass
+    precomputed ``lks`` (compute_works_likelihoods) to skip the compute."""
+    from lorikeet_tpu.calling.likelihoods import assemble_likelihoods
+    cfg = engine.cfg
+    if lks is None:
+        lks = compute_works_likelihoods(engine, works)
     out = []
     off = 0
     for w in works:

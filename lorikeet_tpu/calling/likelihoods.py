@@ -456,6 +456,16 @@ def build_pairs(haplotypes: list, reads_by_sample: dict,
 #: one-time compile is a good investment (long runs warm up, test-scale runs
 #: never pay it).
 _PALLAS_WARM_BUCKETS: set = set()
+def _join_prewarm_threads():
+    """Killing a daemon thread mid-XLA-compile at interpreter exit aborts
+    the process ("FATAL: exception not rethrown"); waiting also finishes
+    populating the persistent compile cache for the next run."""
+    for t in list(_prewarm_threads.values()):
+        t.join()
+
+
+import atexit as _atexit
+_atexit.register(_join_prewarm_threads)
 _PALLAS_MIN_COLD_CELLS = 2e9
 _PALLAS_PREWARM_CELLS = 1e8
 _cells_seen = 0.0

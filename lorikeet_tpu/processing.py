@@ -169,8 +169,35 @@ def call_contig(
                                       sp[0], sp[1], sp[2], sp[3],
                                       ref_seq=contig_seq), spans))
     else:
-        parts = [_call_span(fasta, bams, contig_name, cfg, engine, *sp)
-                 for sp in spans]
+        # two-stage span pipeline: while the device / native kernel chews
+        # span N's pair-HMM batch (GIL released), the main thread prepares
+        # span N+1 (SURVEY §7.1 host-device pipeline balance)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from lorikeet_tpu.calling.engine import (
+            call_regions_batched, compute_works_likelihoods,
+        )
+        parts = []
+        pending = None
+
+        def _finish(p):
+            result, works, fut = p
+            for calls in call_regions_batched(engine, works,
+                                              fut.result() if fut else None):
+                result.calls.extend(calls)
+            parts.append(result)
+
+        with ThreadPoolExecutor(1) as pool:
+            for sp in spans:
+                result, works = _call_span(fasta, bams, contig_name, cfg,
+                                           engine, *sp, defer=True)
+                fut = pool.submit(compute_works_likelihoods, engine,
+                                  works) if works else None
+                if pending is not None:
+                    _finish(pending)
+                pending = (result, works, fut)
+            if pending is not None:
+                _finish(pending)
     result = None
     for part in parts:
         if result is None:
@@ -226,11 +253,15 @@ def _rle_concat(dst: list, src: list):
 
 
 def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
-               core_lo=None, core_hi=None, ref_seq=None) -> ContigResult:
+               core_lo=None, core_hi=None, ref_seq=None, defer=False):
     """Profile + call [lo, hi); emit only regions starting inside the core
     span and depth RLE for exactly [core_lo, core_hi).  ``ref_seq`` (the
     whole contig) may be prefetched by the caller — required under chunk
-    threading, where the FastaReader handle's seeks would race."""
+    threading, where the FastaReader handle's seeks would race.
+
+    With ``defer`` True, returns (result, works) BEFORE the pair-HMM and
+    genotyping run — the span pipeline overlaps that compute with the next
+    span's host preparation."""
     core_lo = lo if core_lo is None else core_lo
     core_hi = hi if core_hi is None else core_hi
     length = fasta.length(contig_name)
@@ -383,6 +414,8 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                                      activity_density=density)
         if work is not None:
             works.append(work)
+    if defer:
+        return result, works
     for calls in call_regions_batched(engine, works) if works else []:
         result.calls.extend(calls)
     return result
