@@ -519,7 +519,10 @@ def _base_config(args):
 def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/lorikeet_tpu_jax"))
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+    # persist even fast Mosaic compiles: re-entering a warm bucket in a new
+    # process then costs a ~0.1s deserialization instead of a recompile
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
+    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     parser = build_parser()
     args = parser.parse_args(argv)
 
