@@ -106,6 +106,10 @@ class SeqGraph:
             if any(e.is_ref for e in self.out_edges[v].values()) and \
                     not any(e.is_ref for e in self.in_edges[v].values()):
                 return v
+        if len(self.seqs) == 1:
+            # a ref-only graph zips to one edgeless vertex: it is both the
+            # reference source and sink (single-haplotype degenerate case)
+            return next(iter(self.seqs))
         return None
 
     def ref_sink(self):
@@ -113,6 +117,8 @@ class SeqGraph:
             if any(e.is_ref for e in self.in_edges[v].values()) and \
                     not any(e.is_ref for e in self.out_edges[v].values()):
                 return v
+        if len(self.seqs) == 1:
+            return next(iter(self.seqs))
         return None
 
     def to_dot(self, name: str = "seqGraph") -> str:
