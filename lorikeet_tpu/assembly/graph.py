@@ -87,9 +87,15 @@ def read_stretches(rec, min_base_quality: int):
 
 
 class ReadThreadingGraph:
-    def __init__(self, kmer_size: int, num_pruning_samples: int = 1):
+    def __init__(self, kmer_size: int, num_pruning_samples: int = 1,
+                 start_only_at_existing: bool = True):
+        # False = GATK's default when dangling recovery is on: reads start
+        # at their first unique kmer, creating recoverable dangling heads
+        # (read_threading_graph.rs:239-248 is_threading_start;
+        # read_threading_assembler.rs:980)
         self.kmer_size = kmer_size
         self.num_pruning_samples = num_pruning_samples
+        self.start_only_at_existing = start_only_at_existing
         self.vertices = []         # vertex id -> kmer bytes
         self.out_edges = []        # vertex id -> {target: Edge}
         self.in_edges = []         # vertex id -> {source: Edge}
@@ -164,7 +170,8 @@ class ReadThreadingGraph:
         from lorikeet_tpu.native.graph_native import build_graph_native2
         native = build_graph_native2(self.pending, k,
                                      self.num_pruning_samples,
-                                     prune_factor or 0)
+                                     prune_factor or 0,
+                                     self.start_only_at_existing)
         if native is not None:
             vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc = native
             self.vertices = vertices
@@ -234,7 +241,11 @@ class ReadThreadingGraph:
         else:
             start = None
             for i in range(len(seq) - k):
-                if seq[i:i + k] in self.kmer_to_vertex:
+                km = seq[i:i + k]
+                ok = (km in self.kmer_to_vertex
+                      if self.start_only_at_existing
+                      else km not in self.non_unique)
+                if ok:
                     start = i
                     break
             if start is None:
@@ -362,7 +373,6 @@ class ReadThreadingGraph:
                 continue
             for u, v in chain:
                 self.remove_edge(u, v)
-        self._remove_orphans()
 
     def _chain_log_odds(self, chain, error_rate: float):
         """(left, right) ln-odds that the chain is real variation
@@ -458,6 +468,11 @@ class ReadThreadingGraph:
                     and not e.is_ref for e in edges):
                 for u, v in chain:
                     self.remove_edge(u, v)
+
+    def remove_paths_not_connected_to_ref(self):
+        """Drop vertices off every ref_source -> ref_sink path.  Runs AFTER
+        dangling-end recovery (read_threading_assembler.rs:1134), never as
+        part of pruning — recoverable dangling chains must survive it."""
         self._remove_orphans()
 
     def _remove_orphans(self):
@@ -628,23 +643,96 @@ class ReadThreadingGraph:
         except ValueError:
             return
         ref_back = self.ref_path[:ref_idx + 1]
-        dangling_seq = self._seq_of(path[::-1])[::-1]  # reversed bases, source end last
+        # reversed dangling bases (source end last): build the chain's
+        # sequence in walk order, then reverse the BASES — reversing the
+        # vertex path first and re-reading suffixes drops the divergent
+        # head bases entirely (kmer suffix concatenation is directional)
+        dangling_seq = self._seq_of(path)[::-1]
         # align reversed sequences so the head behaves like a tail
         ref_seq = self._seq_of(ref_back)[::-1]
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
-        if not cigar or cigar[-1][0] != "M":
+        if not cigar or cigar[0][0] != "M":
             return
-        if self._matching_suffix(cigar, ref_seq, dangling_seq,
-                                 min_matching) is None:
-            return
-        ref_consumed = sum(n for op, n in cigar if op in "MD")
-        join_offset = ref_consumed - self.kmer_size
-        if join_offset < 1 or join_offset > ref_idx:
-            return
-        join_vertex = ref_back[len(ref_back) - 1 - join_offset]
-        if source in self.out_edges[join_vertex]:
+        # merge-point selection on the branch-first (reversed) strings
+        # (read_threading_graph.rs merge_dangling_head{,_legacy}):
+        n = min(len(ref_seq), len(dangling_seq))
+        if min_matching is None or min_matching < 0:
+            # legacy: last mismatch within the leading M run, capped at
+            # max(1, branch_len // kmer_size) mismatches; a mismatch must
+            # exist (best_prefix_match_legacy :1106-1131 +
+            # get_max_mismatches_legacy :1142-1152)
+            max_mm = max(1, len(dangling_seq) // self.kmer_size)
+            limit = min(cigar[0][1], n)
+            mism = [i for i in range(limit)
+                    if ref_seq[i] != dangling_seq[i]]
+            if not mism or len(mism) > max_mm:
+                return
+            idx = mism[-1]
+        else:
+            # new: walk from the source end towards the branch counting
+            # consecutive matches; require >= min_matching; merge at the
+            # first mismatch met (best_prefix_match :1303-1350)
+            ref_i = sum(cn for op, cn in cigar if op in "MD") - 1
+            read_i = len(dangling_seq) - 1
+            for op, cn in reversed(cigar):
+                if op not in "M=X":
+                    break
+                stop = False
+                for _ in range(cn):
+                    if ref_i >= len(ref_seq) \
+                            or ref_seq[ref_i] != dangling_seq[read_i]:
+                        stop = True
+                        break
+                    ref_i -= 1
+                    read_i -= 1
+                    if ref_i < 0 or read_i < 0:
+                        stop = True
+                        break
+                if stop:
+                    break
+            matches = len(dangling_seq) - 1 - read_i
+            if matches < min_matching or read_i <= 0 or ref_i <= 0:
+                return
+            idx = read_i
+            # the alignment may place the mismatch at different ref/read
+            # offsets under indels; merge indices follow the read side for
+            # the dangling path and the ref side for the reference path
+            ref_merge = ref_i
+        if min_matching is None or min_matching < 0:
+            ref_merge = idx
+        rp = ref_back[::-1]                 # branch-first reference vertices
+        dp = path[::-1]                     # branch-first dangling vertices
+        if ref_merge >= len(rp) - 1:
+            return                          # can't push back the reference
+        if idx >= len(dp):
+            # the merge lands inside the source kmer: replace the source by
+            # new vertices that borrow reference bases, so per-base merge
+            # points exist (extend_dangling_path_against_reference
+            # :1358-1420)
+            off = sum((cn if op in "MD" else 0) - (cn if op in "MI" else 0)
+                      for op, cn in cigar)
+            num = idx - len(dp) + 2
+            ref_node = len(dp) - 1 + off + num
+            if ref_node < 0 or ref_node >= len(rp):
+                return
+            src_kmer = self.vertices[source]
+            seq_ext = self.vertices[rp[ref_node]][:num] + src_kmer
+            # unlink the old source from its successor
+            succ = next(iter(self.out_edges[source]))
+            old_edge = self.out_edges[source][succ]
+            self.remove_edge(source, succ)
+            dp = dp[:-1]
+            prev = succ
+            for i in range(num, 0, -1):
+                nv = self._new_vertex(seq_ext[i:i + self.kmer_size])
+                self._edge(nv, prev, False).inc(old_edge.multiplicity)
+                dp.append(nv)
+                prev = nv
+        join_ref = rp[ref_merge + 1]
+        join_dang = dp[idx]
+        if join_dang in self.out_edges[join_ref]:
             return False
-        self._edge(join_vertex, source, False).inc(1)
+        self._edge(join_ref, join_dang, False).inc(1)
         return True
 
 
@@ -834,7 +922,11 @@ def assemble_region(
                 and _ref_has_non_unique_kmers(ref_bytes, k):
             _retry_larger_k(k)
             continue
-        graph = ReadThreadingGraph(k, num_pruning_samples)
+        graph = ReadThreadingGraph(
+            k, num_pruning_samples,
+            # GATK: reads start at their first unique kmer when dangling
+            # recovery is on (read_threading_assembler.rs:980)
+            start_only_at_existing=not recover_dangling_branches)
         graph.add_sequence(ref_bytes, 1, True, "ref")
         for sid, sample in enumerate(sample_order):
             graph.add_stretches(stretches_by_sample[sample], sample_id=sid)
@@ -865,6 +957,9 @@ def assemble_region(
         # cycle check is conditional on it having changed the graph
         if recovered and graph.has_cycle():
             continue
+        # drop heading/trailing paths only AFTER recovery had its chance
+        # (read_threading_assembler.rs:1134 remove_paths_not_connected_to_ref)
+        graph.remove_paths_not_connected_to_ref()
         if generate_seq_graph:
             # kmer graph -> sequence graph -> simplify -> k-best
             # (read_threading_assembler.rs:272-298 seq-graph pipeline)

@@ -114,13 +114,24 @@ struct Builder {
         return vid;
     }
 
+    // reads start at their first unique kmer (GATK default when dangling
+    // recovery is on: read_threading_graph.rs:239-248 is_threading_start
+    // with start_threading_only_at_existing_vertex=false) — unknown start
+    // kmers create new dangling-head chains that recovery can merge back
+    bool start_only_at_existing = true;
+
     void thread(const uint8_t* seq, int64_t len, int32_t count, bool is_ref) {
         if (len < k + 1) return;
         int64_t start = 0;
         if (!is_ref) {
             start = -1;
-            for (int64_t i = 0; i < len - k; i++)
-                if (kmer_to_vertex.count(sv(seq + i))) { start = i; break; }
+            for (int64_t i = 0; i < len - k; i++) {
+                const auto key = sv(seq + i);
+                const bool ok = start_only_at_existing
+                    ? kmer_to_vertex.count(key) != 0
+                    : non_unique.count(key) == 0;
+                if (ok) { start = i; break; }
+            }
             if (start < 0) return;
         }
         if (len <= start + k) return;
@@ -217,38 +228,8 @@ struct Builder {
             if (all_low)
                 for (const int32_t ei : chain) removed[ei] = 1;
         }
-        // orphan removal: keep only vertices on some ref_source -> ref_sink
-        // path
-        if (ref_path.empty()) return;
-        std::vector<uint8_t> fwd(n, 0), bwd(n, 0);
-        std::vector<int32_t> stack{ref_path.front()};
-        fwd[ref_path.front()] = 1;
-        while (!stack.empty()) {
-            const int32_t v = stack.back();
-            stack.pop_back();
-            for (const int32_t ei : out_adj[v])
-                if (!removed[ei] && !fwd[edges[ei].v]) {
-                    fwd[edges[ei].v] = 1;
-                    stack.push_back(edges[ei].v);
-                }
-        }
-        stack.push_back(ref_path.back());
-        bwd[ref_path.back()] = 1;
-        while (!stack.empty()) {
-            const int32_t v = stack.back();
-            stack.pop_back();
-            for (const int32_t ei : in_adj[v])
-                if (!removed[ei] && !bwd[edges[ei].u]) {
-                    bwd[edges[ei].u] = 1;
-                    stack.push_back(edges[ei].u);
-                }
-        }
-        for (size_t ei = 0; ei < edges.size(); ei++) {
-            const EdgeRec& e = edges[ei];
-            if (!(fwd[e.u] && bwd[e.u]) || !(fwd[e.v] && bwd[e.v]))
-                removed[ei] = 1;
-        }
     }
+
 };
 
 }  // namespace
@@ -308,7 +289,7 @@ extern "C" int graph_build(
 extern "C" int graph_build2(
     const uint8_t* seq_buf, const int64_t* seq_off, const int32_t* counts,
     const uint8_t* is_ref, const int32_t* sample_ids, int64_t n_seqs, int k,
-    int num_pruning_samples, int prune_factor,
+    int num_pruning_samples, int prune_factor, int start_only_at_existing,
     int64_t* vertex_kmer_off, int32_t* edge_u, int32_t* edge_v,
     int32_t* edge_mult, uint8_t* edge_is_ref, int32_t* edge_pm,
     int32_t* ref_path, int64_t cap, int64_t* out_counts) {
@@ -316,6 +297,7 @@ extern "C" int graph_build2(
     b.k = k;
     b.buf = seq_buf;
     b.nps = num_pruning_samples > 0 ? num_pruning_samples : 1;
+    b.start_only_at_existing = start_only_at_existing != 0;
     std::unordered_set<std::string_view> seen;
     for (int64_t s = 0; s < n_seqs; s++) {
         const uint8_t* seq = seq_buf + seq_off[s];

@@ -32,7 +32,7 @@ def _load():
         lib.graph_build.restype = ctypes.c_int
         lib.graph_build2.argtypes = [
             _u8p, _i64p, _i32p, _u8p, _i32p, ctypes.c_int64, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
             _i64p, _i32p, _i32p, _i32p, _u8p, _i32p, _i32p,
             ctypes.c_int64, _i64p]
         lib.graph_build2.restype = ctypes.c_int
@@ -92,7 +92,8 @@ def build_graph_native(pending: list, k: int):
 
 
 def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
-                        prune_factor: int):
+                        prune_factor: int,
+                        start_only_at_existing: bool = True):
     """Thread + per-sample flush + cycle check + (if acyclic and
     prune_factor > 0) low-weight chain pruning with orphan removal, all in
     C++.  `pending` is [(name, seq bytes, count, is_ref, sample_id)] in
@@ -126,6 +127,7 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
         counts.ctypes.data_as(_i32p), is_ref.ctypes.data_as(_u8p),
         sample_ids.ctypes.data_as(_i32p), n, k,
         num_pruning_samples, prune_factor,
+        1 if start_only_at_existing else 0,
         v_off.ctypes.data_as(_i64p), e_u.ctypes.data_as(_i32p),
         e_v.ctypes.data_as(_i32p), e_mult.ctypes.data_as(_i32p),
         e_ref.ctypes.data_as(_u8p), e_pm.ctypes.data_as(_i32p),
