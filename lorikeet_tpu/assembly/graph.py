@@ -610,24 +610,40 @@ class ReadThreadingGraph:
         except ValueError:
             return
         ref_fwd = self.ref_path[ref_idx:]
-        dangling_seq = self._seq_of(fwd)
-        ref_seq = self._seq_of(ref_fwd)
+        # one base per vertex, starting at the shared branch base (GATK tail
+        # path strings, get_bases_for_path without source expansion): string
+        # index == vertex index, which the merge indices below rely on
+        k1 = self.kmer_size - 1
+        dangling_seq = self._seq_of(fwd)[k1:]
+        ref_seq = self._seq_of(ref_fwd)[k1:]
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
         # the alignment must END in a match run (cigar_is_okay_to_merge)
         if not cigar or cigar[-1][0] != "M":
             return
-        if self._matching_suffix(cigar, ref_seq, dangling_seq,
-                                 min_matching) is None:
+        matching_suffix = self._matching_suffix(cigar, ref_seq, dangling_seq,
+                                                min_matching)
+        if matching_suffix is None:
             return
-        # position on the ref path where the dangling tail rejoins
-        ref_consumed = sum(n for op, n in cigar if op in "MD")
-        join_offset = ref_consumed - self.kmer_size
-        if join_offset < 1 or join_offset >= len(ref_fwd):
+        # merge indices (merge_dangling_tail, read_threading_graph.rs:
+        # 960-1042): the dangling vertex just before the matched suffix
+        # connects to the reference vertex where that suffix begins
+        last_ref_index = sum(n for op, n in cigar if op in "MD") - 1
+        read_len = sum(n for op, n in cigar if op in "MIS=X")
+        alt_index = max(read_len - matching_suffix - 1, 0)
+        # left-aligned leading deletion covering the LCA: push the ref merge
+        # point one position so the deletion keeps its full length
+        leading_del = (cigar[0][0] == "D"
+                       and cigar[0][1] + matching_suffix == last_ref_index + 1)
+        ref_index = last_ref_index - matching_suffix + 1 + (1 if leading_del
+                                                            else 0)
+        if ref_index <= 0 or ref_index >= len(ref_fwd) \
+                or alt_index >= len(fwd):
             return
-        join_vertex = ref_fwd[join_offset]
-        if join_vertex in self.out_edges[sink]:
+        join_dang = fwd[alt_index]
+        join_ref = ref_fwd[ref_index]
+        if join_ref in self.out_edges[join_dang]:
             return False
-        self._edge(sink, join_vertex, False).inc(1)
+        self._edge(join_dang, join_ref, False).inc(1)
         return True
 
     def _recover_head(self, source, ref_set, min_len, min_matching,
