@@ -173,7 +173,9 @@ class ReadThreadingGraph:
                                      prune_factor or 0,
                                      self.start_only_at_existing)
         if native is not None:
-            vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc = native
+            (vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc,
+             (n_nonuniq, n_map)) = native
+            self._complexity = (n_nonuniq, n_map)
             self.vertices = vertices
             self.out_edges = [{} for _ in vertices]
             self.in_edges = [{} for _ in vertices]
@@ -223,7 +225,15 @@ class ReadThreadingGraph:
         if self.ref_path:
             self.ref_source = self.ref_path[0]
             self.ref_sink = self.ref_path[-1]
+        self._complexity = (len(self.non_unique), len(self.kmer_to_vertex))
         self.built = True
+
+    def is_low_quality_graph(self) -> bool:
+        """Too many non-unique kmers for this kmer size
+        (read_threading_graph.rs:261-263): the assembler skips the size
+        unless it is the last attempt."""
+        n_nonuniq, n_map = getattr(self, "_complexity", (0, 1))
+        return n_nonuniq * 4 > n_map
 
     def flush_sample(self):
         """Call between samples to roll per-sample multiplicities."""
@@ -957,6 +967,16 @@ def assemble_region(
         if cyclic:
             _retry_larger_k(k)
             continue
+        # low-complexity gate (read_threading_assembler.rs:1064-1072):
+        # skip this kmer size unless it is the final attempt
+        if graph.is_low_quality_graph():
+            if k != sizes[-1]:
+                continue
+            before = len(sizes)
+            _retry_larger_k(k)
+            if len(sizes) > before:
+                continue
+            # final attempt: allow the low-complexity graph
         if use_adaptive_pruning:
             graph.prune_chains_adaptive(initial_error_rate_for_pruning,
                                         pruning_log_odds_threshold,

@@ -341,5 +341,9 @@ extern "C" int graph_build2(
     out_counts[1] = ne;
     out_counts[2] = nr;
     out_counts[3] = cycle ? 1 : 0;
+    // low-complexity gate inputs (read_threading_graph.rs:261-263
+    // is_low_quality_graph: non_unique * 4 > kmer_map)
+    out_counts[4] = (int64_t)b.non_unique.size();
+    out_counts[5] = (int64_t)b.kmer_to_vertex.size();
     return 0;
 }

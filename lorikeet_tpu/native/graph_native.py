@@ -120,7 +120,7 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
     e_ref = np.empty(cap, np.uint8)
     e_pm = np.empty(cap, np.int32)
     ref_path = np.empty(cap, np.int32)
-    out_counts = np.zeros(4, np.int64)
+    out_counts = np.zeros(6, np.int64)
 
     rc = lib.graph_build2(
         buf.ctypes.data_as(_u8p), seq_off.ctypes.data_as(_i64p),
@@ -135,8 +135,8 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
         cap, out_counts.ctypes.data_as(_i64p))
     if rc != 0:
         return None
-    nv, ne, nr, cyc = (int(x) for x in out_counts)
+    nv, ne, nr, cyc, n_nonuniq, n_map = (int(x) for x in out_counts)
     vertices = [seq_buf[int(o):int(o) + k] for o in v_off[:nv]]
     return (vertices,
             (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne], e_pm[:ne]),
-            ref_path[:nr], bool(cyc))
+            ref_path[:nr], bool(cyc), (n_nonuniq, n_map))

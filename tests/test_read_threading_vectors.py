@@ -122,3 +122,22 @@ def test_ns_in_reads_are_not_used_for_graph():
     sg.simplify()
     paths = find_best_haplotypes_seq(sg, 128)
     assert len(paths) == 1
+
+
+def test_low_quality_graph_gate():
+    """is_low_quality_graph (read_threading_graph.rs:261-263): a repeat-
+    heavy window has non_unique*4 > unique-map at small k; a random window
+    does not."""
+    rng = np.random.default_rng(4)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    rep = bytes(bases[rng.integers(0, 4, 8)]) * 20     # 8bp unit x 20
+    g = ReadThreadingGraph(11)
+    g.add_sequence(rep, 1, True, "ref")
+    g.build()
+    assert g.is_low_quality_graph()
+
+    rand = bytes(bases[rng.integers(0, 4, 200)])
+    g2 = ReadThreadingGraph(11)
+    g2.add_sequence(rand, 1, True, "ref")
+    g2.build()
+    assert not g2.is_low_quality_graph()
