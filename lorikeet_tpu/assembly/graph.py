@@ -86,6 +86,48 @@ def read_stretches(rec, min_base_quality: int):
             for start, stop in zip(edges[::2].tolist(), edges[1::2].tolist())]
 
 
+def read_stretches_batch(recs, min_base_quality: int) -> list:
+    """read_stretches over a whole read list in one vector pass: one
+    concatenated good-mask with separator sentinels instead of per-read
+    numpy round trips.  Returns a flat [(name, bytes)] list."""
+    if not recs:
+        return []
+    seqs = []
+    bounds = [0]
+    names = []
+    for rec in recs:
+        seq = rec.seq
+        qual = rec.qual
+        cigar = getattr(rec, "cigar", None)
+        if cigar:
+            lead = cigar[0][1] if cigar[0][0] == "S" else 0
+            tail = cigar[-1][1] if cigar[-1][0] == "S" else 0
+            if lead or tail:
+                end = len(seq) - tail
+                seq = seq[lead:end]
+                qual = qual[lead:end]
+        seqs.append((seq, qual))
+        bounds.append(bounds[-1] + len(seq) + 1)   # +1 separator slot
+        names.append(rec.name)
+    total = bounds[-1]
+    cat = np.zeros(total, np.uint8)
+    q = np.zeros(total, np.uint8)
+    for (seq, qual), lo in zip(seqs, bounds[:-1]):
+        cat[lo:lo + len(seq)] = seq
+        q[lo:lo + len(seq)] = qual
+    good = (q >= min_base_quality) & (cat != ord("N")) & (cat != 0)
+    edges = np.flatnonzero(np.diff(np.concatenate(
+        ([False], good, [False])).view(np.int8)))
+    starts = edges[::2]
+    stops = edges[1::2]
+    # map run starts back to their read (runs never cross the separators)
+    ridx = np.searchsorted(np.asarray(bounds[1:]), starts, side="right")
+    cat_b = cat.tobytes()
+    return [(names[r], cat_b[int(s):int(e)])
+            for r, s, e in zip(ridx.tolist(), starts.tolist(),
+                               stops.tolist())]
+
+
 class ReadThreadingGraph:
     def __init__(self, kmer_size: int, num_pruning_samples: int = 1,
                  start_only_at_existing: bool = True):
@@ -925,8 +967,7 @@ def assemble_region(
     # quality splitting is kmer-independent: do it once for all sizes
     sample_order = sorted(reads_by_sample)
     stretches_by_sample = {
-        s: [t for rec in reads_by_sample[s]
-            for t in read_stretches(rec, min_base_quality)]
+        s: read_stretches_batch(reads_by_sample[s], min_base_quality)
         for s in sample_order}
 
     def _retry_larger_k(k):
