@@ -328,30 +328,31 @@ def active_probabilities(
     allele_counts = np.zeros((L, 2))
     active = np.ones(L, bool)
 
-    def posteriors(log10_af_arr):
-        # [S, L, G]
-        raw = (log10_comb[None, None, :] + gls
+    def posteriors(g, log10_af_arr):
+        # [S, l, G] over the position subset g
+        raw = (log10_comb[None, None, :] + g
                + (counts @ log10_af_arr.T).T[None, :, :])
         m = raw.max(axis=2, keepdims=True)
         norm = m + np.log10(np.sum(10.0 ** (raw - m), axis=2, keepdims=True))
         return raw - norm
 
+    # EM over the still-active position subset only — most positions
+    # converge within a couple of iterations, so the full-width recompute
+    # per iteration is almost entirely wasted work
+    idx = np.arange(L)
     for _ in range(max_iters):
-        if not active.any():
+        if idx.size == 0:
             break
-        post = posteriors(log10_af)                       # [S, L, G]
-        # effective counts: sum over samples/genotypes of post * count
+        post = posteriors(gls[:, idx], log10_af[idx])     # [S, l, G]
         lin = 10.0 ** post
         new_counts = np.einsum("slg,ga->la", lin, counts)
-        diff = np.abs(new_counts - allele_counts).max(axis=1)
-        upd = active
-        allele_counts[upd] = new_counts[upd]
-        pseudo = prior_pseudo[None, :] + allele_counts
-        log10_af_new = np.log10(pseudo / pseudo.sum(axis=1, keepdims=True))
-        log10_af[upd] = log10_af_new[upd]
-        active = active & (diff > 0.01)
+        diff = np.abs(new_counts - allele_counts[idx]).max(axis=1)
+        allele_counts[idx] = new_counts
+        pseudo = prior_pseudo[None, :] + new_counts
+        log10_af[idx] = np.log10(pseudo / pseudo.sum(axis=1, keepdims=True))
+        idx = idx[diff > 0.01]
 
-    post = posteriors(log10_af)
+    post = posteriors(gls, log10_af)
     log10_p_no_variant = post[:, :, 0].sum(axis=0)        # [L]
 
     phred = -10.0 * log10_p_no_variant + 0.0
