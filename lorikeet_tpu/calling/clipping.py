@@ -319,6 +319,17 @@ def finalize_region_reads(reads_by_sample: dict, padded_start: int,
             r = hard_clip_to_region(r, padded_start, padded_end)
             if len(r.seq) and r.cigar and r.pos <= padded_end \
                     and r.reference_end > padded_start:
+                # the overlap correction below mutates quals in place, so
+                # every kept record must OWN its qual array: clean reads
+                # pass through the clippers untouched, and clipped records
+                # carry qual VIEWS into the caller's (region-shared) buffer
+                # — either way the original would get corrupted (the
+                # reference regression at
+                # assembly_based_caller_utils_unit_tests.rs:36-37)
+                if r is rec:
+                    r = _replace(rec, qual=rec.qual.copy())
+                elif r.qual.base is not None:
+                    r.qual = r.qual.copy()
                 kept.append(r)
         kept.sort(key=lambda r: r.pos)
         if correct_overlapping_quals:
