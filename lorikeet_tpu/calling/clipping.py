@@ -26,7 +26,16 @@ HALF_PCR_SNV_QUAL = 20  # phred(1e-4) = 40, halved (fragment_utils.rs:9-14)
 
 
 def _replace(rec: BamRecord, **kw) -> BamRecord:
-    return dataclasses.replace(rec, **kw)
+    # ~3x faster than dataclasses.replace at clipping-path volume (tens of
+    # thousands of records per contig): plain attribute-dict copy
+    new = BamRecord.__new__(BamRecord)
+    d = new.__dict__
+    d.update(rec.__dict__)
+    # the memoized reference_end must NOT survive into the copy: pos/cigar
+    # usually change here (dataclasses.replace dropped it implicitly)
+    d.pop("_reference_end", None)
+    d.update(kw)
+    return new
 
 
 def query_ref_positions(rec: BamRecord) -> np.ndarray:
