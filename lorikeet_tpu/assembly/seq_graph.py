@@ -71,21 +71,60 @@ class SeqGraph:
 
     @classmethod
     def from_kmer_graph(cls, graph) -> "SeqGraph":
-        """base_graph.rs:54 to_sequence_graph over a ReadThreadingGraph."""
+        """base_graph.rs:54 to_sequence_graph over a ReadThreadingGraph,
+        fused with the first zip_linear_chains pass (seq_graph.rs:189):
+        maximal linear kmer chains become single vertices directly, so the
+        (large) kmer graph is never materialized as per-kmer seq vertices.
+        Produces the same graph the two-step version reaches after one
+        zip."""
         sg = cls()
-        vmap = {}
-        sources = set(graph.sources())
-        if graph.ref_source is not None:
-            sources.add(graph.ref_source)
-        for v, kmer in enumerate(graph.vertices):
-            if not graph.out_edges[v] and not graph.in_edges[v]:
+        out_e, in_e = graph.out_edges, graph.in_edges
+        kmers = graph.vertices
+        # chain starts: vertices that cannot be merged into a predecessor
+        n = len(kmers)
+        is_start = [False] * n
+        live = []
+        for v in range(n):
+            ins = in_e[v]
+            if not out_e[v] and not ins:
                 continue
-            seq = kmer if (v in sources and not graph.in_edges[v]) else kmer[-1:]
-            vmap[v] = sg.add_vertex(seq)
-        for u, outs in enumerate(graph.out_edges):
-            for v, e in outs.items():
-                if u in vmap and v in vmap:
-                    sg.add_edge(vmap[u], vmap[v], e.multiplicity, e.is_ref)
+            live.append(v)
+            if len(ins) != 1:
+                is_start[v] = True
+            else:
+                p = next(iter(ins))
+                if len(out_e[p]) != 1 or p == v:
+                    is_start[v] = True
+        # break ties in cycles: any live vertex not reachable as a chain
+        # member still needs a start; cycles are rejected upstream, so every
+        # live vertex is covered by the rule above
+        vmap = {}
+        chains = []
+        for v in live:
+            if not is_start[v]:
+                continue
+            chain = [v]
+            cur = v
+            while True:
+                outs = out_e[cur]
+                if len(outs) != 1:
+                    break
+                t = next(iter(outs))
+                if is_start[t] or t == v:
+                    break
+                chain.append(t)
+                cur = t
+            head = chain[0]
+            head_is_source = not in_e[head]
+            seq = (kmers[head] if head_is_source else kmers[head][-1:]) \
+                + b"".join(kmers[x][-1:] for x in chain[1:])
+            vid = sg.add_vertex(seq)
+            for x in chain:
+                vmap[x] = vid
+            chains.append((head, chain[-1]))
+        for head, tail in chains:
+            for t, e in out_e[tail].items():
+                sg.add_edge(vmap[tail], vmap[t], e.multiplicity, e.is_ref)
         return sg
 
     # ---- queries ----------------------------------------------------------
