@@ -195,7 +195,7 @@ class ReadThreadingGraph:
             e.is_ref = True
         return e
 
-    def build(self, prune_factor: int = None):
+    def build(self, prune_factor: int = None, prepacked=None):
         """Thread all pending sequences.  With the native builder, the
         per-sample multiplicity flushes, the cycle check, and (when
         ``prune_factor`` is a positive int) low-weight chain pruning +
@@ -213,7 +213,8 @@ class ReadThreadingGraph:
         native = build_graph_native2(self.pending, k,
                                      self.num_pruning_samples,
                                      prune_factor or 0,
-                                     self.start_only_at_existing)
+                                     self.start_only_at_existing,
+                                     prepacked=prepacked)
         if native is not None:
             (vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc,
              (n_nonuniq, n_map)) = native
@@ -969,6 +970,12 @@ def assemble_region(
     stretches_by_sample = {
         s: read_stretches_batch(reads_by_sample[s], min_base_quality)
         for s in sample_order}
+    base_pending = [("ref", ref_bytes, 1, True, 0)]
+    for sid, sample in enumerate(sample_order):
+        base_pending += [(name, st, 1, False, sid)
+                         for name, st in stretches_by_sample[sample]]
+    from lorikeet_tpu.native.graph_native import pack_pending
+    packed = pack_pending(base_pending)
 
     def _retry_larger_k(k):
         """Append a larger odd kmer size (read_threading_assembler.rs:
@@ -994,11 +1001,11 @@ def assemble_region(
             # GATK: reads start at their first unique kmer when dangling
             # recovery is on (read_threading_assembler.rs:980)
             start_only_at_existing=not recover_dangling_branches)
-        graph.add_sequence(ref_bytes, 1, True, "ref")
-        for sid, sample in enumerate(sample_order):
-            graph.add_stretches(stretches_by_sample[sample], sample_id=sid)
+        # one shared pending list + one numpy packing across kmer sizes
+        # (threading itself skips too-short sequences per k)
+        graph.pending = list(base_pending)
         graph.build(prune_factor=None if use_adaptive_pruning
-                    else prune_factor)
+                    else prune_factor, prepacked=packed)
         if not graph.native_pruned:
             graph.flush_sample()
         if graph.ref_source is None or graph.ref_sink is None:

@@ -91,9 +91,25 @@ def build_graph_native(pending: list, k: int):
             ref_path[:nr])
 
 
+def pack_pending(pending: list):
+    """One-time numpy packing of a pending list, reusable across kmer sizes
+    (the native thread() skips sequences shorter than k+1 itself)."""
+    n = len(pending)
+    seq_buf = b"".join(p[1] for p in pending)
+    seq_off = np.zeros(n + 1, np.int64)
+    np.cumsum([len(p[1]) for p in pending], out=seq_off[1:])
+    counts = np.fromiter((p[2] for p in pending), np.int32, n)
+    is_ref = np.fromiter((1 if p[3] else 0 for p in pending), np.uint8, n)
+    sample_ids = np.fromiter((p[4] for p in pending), np.int32, n)
+    buf = np.frombuffer(seq_buf, np.uint8)
+    cap = int(seq_off[-1]) + 1          # >= total kmer positions for any k
+    return (seq_buf, buf, seq_off, counts, is_ref, sample_ids, cap)
+
+
 def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
                         prune_factor: int,
-                        start_only_at_existing: bool = True):
+                        start_only_at_existing: bool = True,
+                        prepacked=None):
     """Thread + per-sample flush + cycle check + (if acyclic and
     prune_factor > 0) low-weight chain pruning with orphan removal, all in
     C++.  `pending` is [(name, seq bytes, count, is_ref, sample_id)] in
@@ -103,15 +119,10 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
     lib = _load()
     if lib is None:
         return None
-    n = len(pending)
-    seq_buf = b"".join(p[1] for p in pending)
-    seq_off = np.zeros(n + 1, np.int64)
-    np.cumsum([len(p[1]) for p in pending], out=seq_off[1:])
-    counts = np.fromiter((p[2] for p in pending), np.int32, n)
-    is_ref = np.fromiter((1 if p[3] else 0 for p in pending), np.uint8, n)
-    sample_ids = np.fromiter((p[4] for p in pending), np.int32, n)
-    cap = int(sum(max(len(p[1]) - k + 1, 0) for p in pending)) + 1
-    buf = np.frombuffer(seq_buf, np.uint8)
+    if prepacked is None:
+        prepacked = pack_pending(pending)
+    seq_buf, buf, seq_off, counts, is_ref, sample_ids, cap = prepacked
+    n = len(seq_off) - 1
 
     v_off = np.empty(cap, np.int64)
     e_u = np.empty(cap, np.int32)
