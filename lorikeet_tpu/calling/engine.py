@@ -273,13 +273,26 @@ def trim_haplotypes_to_span(haplotypes, pad_lo, pad_hi, window_start):
         hap_ref_end = hap_ref_start + reference_length(hap.cigar) - 1
         if hap_ref_start > pad_lo or hap_ref_end < pad_hi:
             return None
-        new_cigar, lead_del, _ = trim_cigar_by_reference(
-            hap.cigar, pad_lo - hap_ref_start, pad_hi - hap_ref_start)
-        if lead_del:
-            # trim edge landed inside a deletion: bases no longer start at
-            # pad_lo (haplotype.rs trim returns None here)
+        try:
+            new_cigar, lead_del, trail_del = trim_cigar_by_reference(
+                hap.cigar, pad_lo - hap_ref_start, pad_hi - hap_ref_start)
+        except Exception:  # noqa: BLE001 — degenerate trim (all-insertion)
+            return None
+        if lead_del or trail_del:
+            # a trim edge landed inside a deletion: the bases no longer
+            # cover the span exactly (haplotype.rs trim /
+            # get_bases_covering_ref_interval return None here)
             return None
         b0 = _read_offset_at_ref_trim(hap.cigar, pad_lo - hap_ref_start)
+        # trimCigarByReference keeps boundary insertions; Haplotype.trim
+        # strips them (and their bases) explicitly (haplotype.rs:184-204)
+        if new_cigar and new_cigar[0][0] in "IS":
+            b0 += new_cigar[0][1]
+            new_cigar = new_cigar[1:]
+        if new_cigar and new_cigar[-1][0] in "IS":
+            new_cigar = new_cigar[:-1]
+        if not new_cigar:
+            return None
         new_bases = hap.bases[b0:b0 + read_length(new_cigar)]
         if len(new_bases) != read_length(new_cigar) or not new_bases:
             return None

@@ -113,3 +113,45 @@ def test_trim_requires_full_coverage():
     out = trim_haplotypes_to_span(haps, 10, 40, 0)
     assert out is not None and len(out) == 1  # identical slices dedup
     assert out[0].bases == ref[10:41]
+
+
+def test_trim_boundary_insertions():
+    """haplotype_unit_tests.rs:191-204: trimCigarByReference keeps boundary
+    insertions, Haplotype.trim strips them and their bases."""
+    cases = [
+        (1, 5, [("M", 1), ("I", 2), ("M", 4)], b"CGTACGT"),
+        (2, 5, [("M", 4)], b"ACGT"),
+        (3, 5, [("M", 3)], b"CGT"),
+        (0, 2, [("M", 2), ("I", 2), ("M", 1)], b"ACGTA"),
+        (0, 1, [("M", 2)], b"AC"),
+    ]
+    for start, stop, exp_cigar, exp_bases in cases:
+        hap = AssembledHaplotype(b"ACGTACGT",
+                                 [("M", 2), ("I", 2), ("M", 4)],
+                                 0.0, False, 0)
+        out = trim_haplotypes_to_span([hap], 10 + start, 10 + stop, 10)
+        assert out is not None, (start, stop)
+        assert out[0].cigar == exp_cigar, (start, stop, out[0].cigar)
+        assert out[0].bases == exp_bases
+
+
+def test_trim_into_deletion_bails():
+    """haplotype_unit_tests.rs:184-188: trims whose edges land inside a
+    deletion return None."""
+    hap = AssembledHaplotype(b"ACT", [("M", 1), ("D", 2), ("M", 2)],
+                             0.0, False, 0)
+    for start, stop in [(1, 2), (0, 2), (1, 3)]:
+        assert trim_haplotypes_to_span([hap], 10 + start, 10 + stop,
+                                       10) is None
+
+
+def test_trim_exhaustive_match_windows():
+    """haplotype_unit_tests.rs:148-180: every sub-interval of an all-match
+    haplotype trims to the exact base slice."""
+    full = b"ACGTAACCGGT"
+    for s in range(len(full)):
+        for e in range(s, len(full)):
+            h = AssembledHaplotype(full, [("M", len(full))], 0.0, False, 0)
+            out = trim_haplotypes_to_span([h], 10 + s, 10 + e, 10)
+            assert out and out[0].bases == full[s:e + 1]
+            assert out[0].cigar == [("M", e - s + 1)]
