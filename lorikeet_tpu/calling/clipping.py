@@ -337,7 +337,9 @@ def finalize_region_reads(reads_by_sample: dict, padded_start: int,
                 # assembly_based_caller_utils_unit_tests.rs:36-37)
                 if r is rec:
                     r = _replace(rec, qual=rec.qual.copy())
-                elif r.qual.base is not None:
+                elif r.qual is rec.qual or r.qual.base is not None:
+                    # copies can still SHARE the original's owned array
+                    # (no-op clippers keep the attribute), or carry views
                     r.qual = r.qual.copy()
                 kept.append(r)
         kept.sort(key=lambda r: r.pos)

@@ -461,7 +461,9 @@ def _join_prewarm_threads():
     the process ("FATAL: exception not rethrown"); waiting also finishes
     populating the persistent compile cache for the next run."""
     for t in list(_prewarm_threads.values()):
-        t.join()
+        # bounded: a wedged compiler should not hang process exit forever
+        # (an abandoned daemon may still abort, but only after the wait)
+        t.join(timeout=120)
 
 
 import atexit as _atexit

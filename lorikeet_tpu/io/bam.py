@@ -378,10 +378,15 @@ class BamReader:
             cols = self._raw_cols
             fi = self._fi_by_tid[tid]
             so, co = cols["seq_off"], cols["cigar_off"]
-            cigars = cols["cigars"]
-            ops_u8 = (np.frombuffer(CIGAR_OPS.encode(), np.uint8)
-                      [cigars & 0xF])
-            lens_i32 = (cigars >> 4).astype(np.int32)
+            ops_np = getattr(self, "_ops_np", None)
+            if ops_np is None:
+                # file-level decode, shared by every tid's columnar view
+                cigars = cols["cigars"]
+                ops_np = ((np.frombuffer(CIGAR_OPS.encode(), np.uint8)
+                           [cigars & 0xF]),
+                          (cigars >> 4).astype(np.int32))
+                self._ops_np = ops_np
+            ops_u8, lens_i32 = ops_np
             c = dict(
                 seq=cols["seq"], qual=cols["qual"],
                 ops=ops_u8, lens=lens_i32,
@@ -453,11 +458,16 @@ class BamReader:
             mq = c.get("meanq")
             if mq is None:
                 raw = getattr(self, "_raw_cols", None)
-                if raw is not None and len(raw["seq_off"]) > 1:
+                if raw is not None and len(raw["seq_off"]) > 1 \
+                        and len(raw["qual"]):
                     so = raw["seq_off"]
                     lens = (so[1:] - so[:-1]).astype(np.int64)
+                    # clip: a trailing zero-length record would index one
+                    # past the buffer (reduceat bounds); empty segments are
+                    # masked by lens > 0 below
+                    idx = np.minimum(so[:-1], len(raw["qual"]) - 1)
                     sums = np.add.reduceat(raw["qual"].astype(np.float64),
-                                           so[:-1])
+                                           idx)
                     means = np.where(lens > 0,
                                      sums / np.maximum(lens, 1), 0.0)
                     mq = means[self._fi_by_tid[tid]]

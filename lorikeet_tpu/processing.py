@@ -474,12 +474,19 @@ def _cfg_fingerprint(cfg) -> str:
     return hashlib.sha256(";".join(parts).encode()).hexdigest()[:16]
 
 
-def _chunk_key(contig: str, bams: list, cfg_fp: str) -> str:
-    """Checkpoint key: contig + every BAM's (path, size, mtime) + config."""
+def _chunk_key(contig: str, bams: list, cfg_fp: str,
+               fasta_path: str = "") -> str:
+    """Checkpoint key: contig + the reference FASTA's and every BAM's
+    (path, size, mtime) + config."""
     import hashlib
     h = hashlib.sha256()
     h.update(contig.encode())
     h.update(cfg_fp.encode())
+    try:
+        st = os.stat(fasta_path)
+        h.update(f"{fasta_path}:{st.st_size}:{st.st_mtime_ns}".encode())
+    except OSError:
+        h.update(fasta_path.encode())
     for b in bams:
         p = getattr(b, "path", "")
         try:
@@ -513,8 +520,9 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
         ck_path = None
         if checkpoint_dir is not None and limit is None:
             import pickle
-            ck_path = os.path.join(checkpoint_dir,
-                                   _chunk_key(contig, bams, cfg_fp) + ".pkl")
+            ck_path = os.path.join(
+                checkpoint_dir,
+                _chunk_key(contig, bams, cfg_fp, spec.fasta) + ".pkl")
             if os.path.exists(ck_path):
                 try:
                     with open(ck_path, "rb") as fh:
