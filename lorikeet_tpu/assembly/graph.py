@@ -788,8 +788,7 @@ class ReadThreadingGraph:
             seq_ext = self.vertices[rp[ref_node]][:num] + src_kmer
             # unlink the old source from the successor the walk actually
             # followed (a forked source under recover_all has several)
-            succ = dp[-2] if len(dp) >= 2 else \
-                next(iter(self.out_edges[source]))
+            succ = dp[-2]   # the walk guarantees len(dp) >= 2
             old_edge = self.out_edges[source][succ]
             self.remove_edge(source, succ)
             dp = dp[:-1]

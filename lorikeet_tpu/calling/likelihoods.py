@@ -460,10 +460,13 @@ def _join_prewarm_threads():
     """Killing a daemon thread mid-XLA-compile at interpreter exit aborts
     the process ("FATAL: exception not rethrown"); waiting also finishes
     populating the persistent compile cache for the next run."""
+    import time as _time
+    # shared deadline generous enough for a legitimate cold compile
+    # (minutes at large block sizes); a wedged compiler still cannot hang
+    # exit forever, and N threads share one budget
+    deadline = _time.time() + 600
     for t in list(_prewarm_threads.values()):
-        # bounded: a wedged compiler should not hang process exit forever
-        # (an abandoned daemon may still abort, but only after the wait)
-        t.join(timeout=120)
+        t.join(timeout=max(0.0, deadline - _time.time()))
 
 
 import atexit as _atexit

@@ -458,18 +458,22 @@ class BamReader:
             mq = c.get("meanq")
             if mq is None:
                 raw = getattr(self, "_raw_cols", None)
-                if raw is not None and len(raw["seq_off"]) > 1 \
-                        and len(raw["qual"]):
-                    so = raw["seq_off"]
-                    lens = (so[1:] - so[:-1]).astype(np.int64)
-                    # clip: a trailing zero-length record would index one
-                    # past the buffer (reduceat bounds); empty segments are
-                    # masked by lens > 0 below
-                    idx = np.minimum(so[:-1], len(raw["qual"]) - 1)
-                    sums = np.add.reduceat(raw["qual"].astype(np.float64),
-                                           idx)
-                    means = np.where(lens > 0,
-                                     sums / np.maximum(lens, 1), 0.0)
+                if raw is not None:
+                    means = getattr(self, "_meanq_file", None)
+                    if means is None:
+                        # file-level, cumsum-based segment means: exact for
+                        # zero-length segments anywhere (reduceat both
+                        # overruns on a trailing empty record and corrupts
+                        # the preceding segment's sum); cached across tids
+                        so = raw["seq_off"]
+                        cs = np.concatenate(
+                            ([0.0], np.cumsum(raw["qual"],
+                                              dtype=np.float64)))
+                        lens = (so[1:] - so[:-1]).astype(np.int64)
+                        sums = cs[so[1:]] - cs[so[:-1]]
+                        means = np.where(lens > 0,
+                                         sums / np.maximum(lens, 1), 0.0)
+                        self._meanq_file = means
                     mq = means[self._fi_by_tid[tid]]
                 else:
                     mq = np.array(
