@@ -82,3 +82,29 @@ def test_bgzf_bsize_field_spec(bam_path):
     next_block = bsize + 1
     assert raw[next_block:next_block + 2] in (b"\x1f\x8b", b""), \
         "BSIZE+1 must land on the next gzip member"
+
+
+def test_long_read_mean_qual_with_empty_trailing_record(tmp_path):
+    """Segment means must be exact when a zero-length (SEQ '*') record
+    trails the file: reduceat-on-clipped-indices both overran and silently
+    deflated the preceding read's mean (read_utils.rs:70-77 long filters)."""
+    import numpy as np
+
+    from lorikeet_tpu.io.bam import BamReader, BamRecord
+    from lorikeet_tpu.io.bam_writer import write_bam
+    recs = [
+        BamRecord(name="lowq", flag=0, tid=0, pos=0, mapq=60,
+                  cigar=[("M", 2000)], seq=np.full(2000, 65, np.uint8),
+                  qual=np.full(2000, 10, np.uint8)),
+        BamRecord(name="highq", flag=0, tid=0, pos=10, mapq=60,
+                  cigar=[("M", 2000)], seq=np.full(2000, 65, np.uint8),
+                  qual=np.full(2000, 50, np.uint8)),
+        BamRecord(name="empty", flag=4, tid=0, pos=40, mapq=0, cigar=[],
+                  seq=np.zeros(0, np.uint8), qual=np.zeros(0, np.uint8)),
+    ]
+    bam = str(tmp_path / "t.bam")
+    write_bam(bam, ["c1"], [10000], recs)
+    br = BamReader(bam)
+    mask = br.filter_mask(0, 0, read_type="long", min_long_read_size=1500,
+                          min_long_read_average_base_qual=45)
+    assert list(mask) == [False, True, False]
