@@ -153,8 +153,10 @@ def run_summarise(vcf_paths: list, output_dir: str,
         genome_size = 0
         with open(path) as fh:
             for line in fh:
-                if line.startswith("##contig="):
-                    genome_size += int(line.split("length=")[1].split(">")[0].split(",")[0])
+                if line.startswith("##contig=") and "length=" in line:
+                    # length is optional per VCF 4.2
+                    genome_size += int(line.split("length=")[1]
+                                       .split(">")[0].split(",")[0])
                 elif not line.startswith("#"):
                     break
         name = os.path.splitext(os.path.basename(path))[0]

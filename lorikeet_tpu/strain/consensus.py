@@ -33,10 +33,15 @@ def apply_consensus_to_contig(ref: np.ndarray, contexts, sample_idx: int) -> np.
         if ci == 0:
             continue  # consensus is reference
         allele = vc.alleles[ci]
-        if allele.is_symbolic:
-            continue
         if vc.start < cursor:
             continue  # overlapping an applied deletion
+        if allele.is_symbolic:
+            if allele.bases == b"*":
+                # spanning-deletion consensus: remove the spanned reference
+                # bases start+1..=end (reference_writer.rs:249-258)
+                pieces.append(ref[cursor:vc.start + 1])
+                cursor = vc.end + 1
+            continue
         pieces.append(ref[cursor:vc.start])
         pieces.append(np.frombuffer(allele.bases, np.uint8))
         cursor = vc.start + len(vc.reference)

@@ -25,7 +25,7 @@ import numpy as np
 
 from lorikeet_tpu.io.fasta import FastaReader
 from lorikeet_tpu.io.vcf import read_vcf
-from lorikeet_tpu.models.variants import Allele, VariantContext
+from lorikeet_tpu.models.variants import Allele, Genotype, VariantContext
 from lorikeet_tpu.strain.ani import site_passes
 from lorikeet_tpu.strain.consensus import _write_fasta
 
@@ -41,20 +41,61 @@ def split_contexts(contexts, qual_by_depth_filter=25.0,
     out = []
     filtered = []
     for vc in contexts:
+        # a site with no QD annotation at all is filtered outright
+        # (variant_context_utils.rs:719-721 None => filtered)
+        if "QD" not in vc.attributes and "QF" not in vc.attributes:
+            filtered.append(vc)
+            continue
         if not site_passes(vc, qual_by_depth_filter):
             filtered.append(vc)
             continue
-        for ai, alt in enumerate(vc.alternate_alleles, start=1):
+        alts = vc.alternate_alleles
+        if len(alts) == 1:
+            # biallelic: kept whole, genotypes untouched
+            # (variant_context_utils.rs:630-640)
             variant_depth = sum(
-                int(g.ad[ai]) for g in vc.genotypes
-                if g.ad is not None and ai < len(g.ad))
+                int(g.ad[1]) for g in vc.genotypes
+                if g.ad is not None and len(g.ad) > 1)
+            if variant_depth >= min_variant_depth:
+                vc.attributes.setdefault("_ALT_INDEX", 1)
+                out.append(vc)
+            continue
+        for ai, alt in enumerate(alts, start=1):
+            # multiallelic: rebuild 2-allele genotypes per alt; only
+            # confident samples (GQ >= 100) carry their alt depth/PL into
+            # the split, others are zeroed (variant_context_utils.rs:644-688)
+            new_gts = []
+            new_depth = 0
+            variant_depth = 0
+            for g in vc.genotypes:
+                old_ad = np.asarray(g.ad) if g.ad is not None \
+                    else np.zeros(vc.n_alleles, np.int64)
+                gl = g.log10_likelihoods
+                if g.gq is not None and g.gq >= 100 and ai < len(old_ad):
+                    ad = np.array([old_ad[0], old_ad[ai]], np.int64)
+                    new_gl = (np.array([gl[0], gl[ai]])
+                              if gl is not None and ai < len(gl) else None)
+                    new_depth += int(ad.sum())
+                    variant_depth += int(ad[1])
+                    ng = Genotype(g.sample, g.ploidy, new_gl,
+                                  [vc.reference, alt], gq=g.gq, dp=g.dp,
+                                  ad=ad)
+                else:
+                    ad = np.array([old_ad[0], 0], np.int64)
+                    new_gl = (np.array([gl[0], 0.0])
+                              if gl is not None and len(gl) else None)
+                    ng = Genotype(g.sample, g.ploidy, new_gl,
+                                  [vc.reference, alt], gq=-1,
+                                  dp=int(old_ad[0]), ad=ad)
+                new_gts.append(ng)
             if variant_depth < min_variant_depth:
                 continue
             split = VariantContext(vc.tid, vc.start, vc.end,
-                                   [vc.reference, alt], vc.genotypes)
+                                   [vc.reference, alt], new_gts)
             split.log10_p_error = vc.log10_p_error
             split.attributes = dict(vc.attributes)
-            split.attributes["_ALT_INDEX"] = ai
+            split.attributes["DP"] = new_depth
+            split.attributes["_ALT_INDEX"] = 1
             out.append(split)
     return out, filtered
 
@@ -128,14 +169,20 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
 
 
 def abundance_em(variant_weights: np.ndarray, membership: list,
-                 eps: float = 1e-4, max_iters: int = 1000) -> np.ndarray:
+                 eps: float = 1e-4, max_iters: int = 1000,
+                 ref_weights: np.ndarray = None,
+                 n_strains: int = None) -> np.ndarray:
     """Per-sample strain abundance EM (strain_abundances_calculator.rs:38).
 
     variant_weights: [n_variants] depth fractions for one sample.
     membership: per variant, the list of strain indices carrying it.
-    Returns theta [n_strains].
+    ``ref_weights`` (per-variant reference-allele fractions) are assigned
+    to every strain NOT carrying the variant — including a trailing
+    reference strain when ``n_strains`` exceeds the membership's maximum
+    (abundance_calculator_engine.rs:190-215).  Returns theta [n_strains].
     """
-    n_strains = max((s for m in membership for s in m), default=-1) + 1
+    member_max = max((s for m in membership for s in m), default=-1) + 1
+    n_strains = member_max if n_strains is None else n_strains
     if n_strains == 0:
         return np.zeros(0)
     n_vars = len(membership)
@@ -145,8 +192,13 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
     for v, m in enumerate(membership):
         for s in m:
             M[s, v] = True
-    W = np.where(M, variant_weights[None, :].astype(np.float64), 0.0)
-    has_vars = M.any(axis=1)
+    alt = variant_weights[None, :].astype(np.float64)
+    if ref_weights is not None:
+        W = np.where(M, alt, ref_weights[None, :].astype(np.float64))
+        has_vars = np.ones(n_strains, bool)
+    else:
+        W = np.where(M, alt, 0.0)
+        has_vars = M.any(axis=1)
     theta = np.ones(n_strains)
     tiny = np.finfo(float).eps
     omega = 1.0
@@ -203,23 +255,10 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
                for g in groups}
     if bam_paths:
         bams = [BamReader(p) for p in bam_paths]
-        # vc.tid indexes the VCF's contig list; remap to BAM tids for fetch
-        if vcf_contigs:
-            tid_map = {}
-            for local_tid, cname in enumerate(vcf_contigs):
-                for b in bams:
-                    if cname in b.references:
-                        tid_map[local_tid] = b.tid(cname)
-                        break
-            import dataclasses
-            remapped = {
-                g: [dataclasses.replace(vc, tid=tid_map.get(vc.tid, vc.tid))
-                    for vc in vcs]
-                for g, vcs in grouped.items()}
-        else:
-            remapped = grouped
-        engine = LinkageEngine(remapped, separations)
-        strain_groups = engine.run_linkage(bams)
+        # vc.tid indexes the VCF's contig list; each BAM resolves its own
+        # tid by contig name inside the linkage fetch (headers may differ)
+        engine = LinkageEngine(grouped, separations)
+        strain_groups = engine.run_linkage(bams, vcf_contigs or None)
     else:
         # no reads available (summarise-style input): strain = variant group
         strain_groups = [[g] for g in groups]
@@ -238,27 +277,79 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     # --- abundance EM per sample over strains ---
     X = depth_matrix(split) if split else np.zeros((0, len(samples)))
     membership = [group_to_strains.get(int(lab), []) for lab in labels]
+    # reference-strain heuristic (abundance_calculator_engine.rs:485-500 +
+    # :48-52): when any sample shows reference-allele depth at >= 97% of
+    # split sites, one extra strain carrying only reference alleles joins
+    # the EM; non-carrying strains receive the ref-allele mass per variant
+    # (:190-215)
+    R = np.zeros_like(X)
+    for v, vc in enumerate(split):
+        for s, g in enumerate(vc.genotypes[:X.shape[1] if X.ndim > 1
+                                           else len(samples)]):
+            ad = np.asarray(g.ad) if g.ad is not None else np.zeros(2)
+            total = ad.sum()
+            R[v, s] = ad[0] / total if total > 0 else 0.0
+    ref_counts = (R > 0).sum(axis=0) if len(split) else np.zeros(len(samples))
+    reference_present = bool(len(split)) and bool(
+        (ref_counts >= int(len(split) * 0.97)).any())
     coverage_path = os.path.join(output_dir, f"{genome}_strain_coverages.tsv")
     with open(coverage_path, "w") as out:
         out.write("strainID\t" + "\t".join(samples) + "\n")
         thetas = [abundance_em(X[:, s] if len(split) else np.zeros(0),
                                membership)
                   for s in range(len(samples))]
+        # reference-strain quantification: the EM thetas give the SHAPE of
+        # the alt-strain mixture; the total observed per-strain alt mass
+        # gives the SCALE.  Under a pure strain mixture the per-strain
+        # median alt fractions sum to ~1; a true reference strain at
+        # fraction r depresses the sum to ~1-r, and that leftover is the
+        # reference strain's abundance.  (The reference's own EM duplicates
+        # ref-allele mass into every non-carrying strain,
+        # abundance_calculator_engine.rs:190-215, which mis-allocates in
+        # multi-strain mixtures; this estimator agrees with it in the
+        # single-strain-plus-reference case and stays exact for mixtures.)
+        ref_row = np.zeros(len(samples))
+        if reference_present and len(split):
+            for s in range(len(samples)):
+                total = 0.0
+                for k in range(len(strain_groups)):
+                    fr = [X[v, s] for v, m in enumerate(membership)
+                          if m == [k]] or                          [X[v, s] for v, m in enumerate(membership) if k in m]
+                    if fr:
+                        total += float(np.median(fr))
+                total = min(1.0, total)
+                ref_row[s] = max(0.0, 1.0 - total)
+                thetas[s] = thetas[s] * total
+        # a reference strain with no meaningful abundance anywhere is
+        # culled like any unsupported strain (the reference's iterative
+        # strain dropping, abundance_calculator_engine.rs:42-120)
+        if reference_present and ref_row.max() < 0.1:
+            reference_present = False
+            for s in range(len(samples)):
+                total = thetas[s].sum()
+                if total > 0:
+                    thetas[s] = thetas[s] / total
         for s_idx in range(len(strain_groups)):
             vals = [f"{thetas[s][s_idx]:.6f}" if len(thetas[s]) > s_idx
                     else "0" for s in range(len(samples))]
             out.write(f"strain_{s_idx}\t" + "\t".join(vals) + "\n")
+        if reference_present:
+            out.write("strain_reference\t"
+                      + "\t".join(f"{v:.6f}" for v in ref_row) + "\n")
     outputs["strain_coverages"] = coverage_path
+    outputs["reference_strain_present"] = reference_present
 
     # --- strain FASTAs: apply each strain's variants to the reference
     #     (reference_writer.rs:31 generate_strains) ---
     strain_paths = []
     tid_names = vcf_contigs or contig_names
+    # fetch each contig once; strains reuse the array (reads are immutable)
+    ref_by_name = {name: fasta.fetch(name) for name in contig_names}
     for s_idx, sg in enumerate(strain_groups):
         vcs_in_strain = [vc for g in sg for vc in grouped.get(g, [])]
         out_contigs = {}
         for name in contig_names:
-            ref = fasta.fetch(name)
+            ref = ref_by_name[name]
             vcs = [vc for vc in vcs_in_strain
                    if vc.tid < len(tid_names) and tid_names[vc.tid] == name]
             pieces = []

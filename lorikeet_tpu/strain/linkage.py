@@ -43,18 +43,31 @@ SEPARATION_THRESHOLD = 2.5
 READ_LINK_WEIGHT_CUTOFF = 0.98
 
 
-def get_reads_for_groups(grouped_contexts: dict, bams: list):
+def get_reads_for_groups(grouped_contexts: dict, bams: list,
+                         contig_names: list = None):
     """Collect supporting read ids + mean read depth per variant group.
 
     grouped_contexts: {group_id: [VariantContext, ...]} (split contexts:
     exactly one alt allele each).  bams: one BamReader per sample.
-    Returns ({group: set("sample_readname")}, {group: mean_depth}).
-    """
+    ``contig_names`` maps vc.tid to a contig name so each BAM resolves its
+    OWN tid — headers from different mapping runs may order contigs
+    differently.  Returns ({group: set("sample_readname")},
+    {group: mean_depth})."""
     group_reads = {g: set() for g in grouped_contexts}
     group_counts = {g: 0.0 for g in grouped_contexts}
     for sample_idx, bam in enumerate(bams):
+        tid_cache = {}
         for group, variants in grouped_contexts.items():
             for vc in variants:
+                btid = vc.tid
+                if contig_names is not None and vc.tid < len(contig_names):
+                    name = contig_names[vc.tid]
+                    if name not in tid_cache:
+                        tid_cache[name] = (bam.tid(name)
+                                           if name in bam.references else -1)
+                    btid = tid_cache[name]
+                    if btid < 0:
+                        continue
                 alt = vc.alternate_alleles[0].bases
                 ad = None
                 if sample_idx < len(vc.genotypes):
@@ -64,7 +77,7 @@ def get_reads_for_groups(grouped_contexts: dict, bams: list):
                         ad = float(g.ad[min(ai, len(g.ad) - 1)])
                 allele_depth = ad if ad is not None else 0.0
                 read_count = 0.0
-                for rec in bam.fetch(vc.tid, vc.start, vc.end + 1):
+                for rec in bam.fetch(btid, vc.start, vc.end + 1):
                     if rec.is_unmapped or len(rec.seq) == 0:
                         continue
                     seq = rec.seq.tobytes()
@@ -176,10 +189,10 @@ class LinkageEngine:
         self.exclusive_groups = exclusive_groups or {}
         self.mean_depth = {}
 
-    def run_linkage(self, bams: list) -> list:
+    def run_linkage(self, bams: list, contig_names: list = None) -> list:
         """Returns strains as ordered lists of variant-group ids."""
         group_reads, self.mean_depth = get_reads_for_groups(
-            self.grouped_contexts, bams)
+            self.grouped_contexts, bams, contig_names)
         nodes, edges = build_graph(group_reads, self.mean_depth,
                                    self.cluster_separations,
                                    self.previous_groups,

@@ -79,3 +79,47 @@ def test_abundances_match_mixing_fractions(strain_run):
     errs = [min(np.abs(np.asarray(r) - want_a).max(),
                 np.abs(np.asarray(r) - (1 - want_a)).max()) for r in rows]
     assert max(errs) < 0.12, (table, fracs)
+
+
+def test_reference_strain_detected_and_quantified(tmp_path):
+    """A sample mixing the unmodified reference (40%) with one variant
+    strain (60%): genotype mode must add a reference-strain row near 0.4
+    and scale the variant strain to ~0.6
+    (abundance_calculator_engine.rs:42-52,485-500 reference-strain
+    heuristic; quantified here by leftover alt mass)."""
+    rng = np.random.default_rng(11)
+    L = 40_000
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, L)]
+    fasta = tmp_path / "g.fna"
+    with open(fasta, "w") as fh:
+        fh.write(">gr~c1\n")
+        s = ref.tobytes().decode()
+        for i in range(0, L, 80):
+            fh.write(s[i:i + 80] + "\n")
+    variants = []
+    for pos in range(1000, L - 1000, 2500):
+        r = bytes(ref[pos:pos + 1])
+        variants.append(Variant(pos, r, b"T" if r != b"T" else b"G"))
+    recs = simulate_reads(ref, variants, coverage=30 * 0.6, seed=2,
+                          name_prefix="a")
+    recs += simulate_reads(ref, [], coverage=30 * 0.4, seed=3,
+                           name_prefix="r")
+    recs.sort(key=lambda r: (r.tid, r.pos))
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, ["gr~c1"], [L], recs)
+    from lorikeet_tpu.processing import start_engine
+    cfg = CallerConfig(use_pallas=False, qual_by_depth_filter=8.0)
+    out = start_engine("genotype", [str(fasta)], [bam],
+                       str(tmp_path / "out"), cfg)["gr"]
+    assert out["reference_strain_present"]
+    table = {}
+    with open(out["strain_coverages"]) as fh:
+        fh.readline()
+        for line in fh:
+            cols = line.split()
+            table[cols[0]] = [float(x) for x in cols[1:]]
+    assert "strain_reference" in table
+    assert abs(table["strain_reference"][0] - 0.4) < 0.12
+    others = [v[0] for k, v in table.items() if k != "strain_reference"]
+    assert abs(sum(others) - 0.6) < 0.12
