@@ -58,28 +58,58 @@ def call_structural_variants(long_bam_paths: list, output_prefix: str,
     if not per_sample:
         return None
 
-    # in-process QUAL filter + position sort + merge (bcftools role)
-    merged_header = None
-    records = []
-    for path in per_sample:
+    # in-process QUAL filter + sort + merge (the bcftools role): records
+    # are unified across samples by (contig, pos, ref, alt) with one
+    # genotype column per sample, and sorted in header contig order —
+    # concatenating bodies under one sample's header would misattribute
+    # the other samples' genotype columns
+    meta = None
+    contig_order = {}
+    sample_names = []
+    merged = {}
+    for s_idx, path in enumerate(per_sample):
         header, body = _read_vcf_lines(path)
-        if merged_header is None:
-            merged_header = header
+        names = [ln.rstrip("\n").split("\t")[9:]
+                 for ln in header if ln.startswith("#CHROM")]
+        cols = names[0] if names and names[0] else []
+        sample_names.append(cols[0] if cols else f"sample_{s_idx}")
+        if meta is None:
+            meta = [ln for ln in header if not ln.startswith("#CHROM")]
+            for ln in meta:
+                if ln.startswith("##contig="):
+                    cname = ln.split("ID=")[1].split(",")[0].split(">")[0]
+                    contig_order.setdefault(cname, len(contig_order))
         for line in body:
-            f = line.split("\t")
+            f = line.rstrip("\n").split("\t")
             if len(f) < 8:
                 continue
             try:
                 qual = float(f[5]) if f[5] != "." else 0.0
             except ValueError:
                 qual = 0.0
-            if qual >= min_sv_qual:
-                records.append((f[0], int(f[1]), line))
-    records.sort(key=lambda r: (r[0], r[1]))
+            if qual < min_sv_qual:
+                continue
+            key = (f[0], int(f[1]), f[3], f[4])
+            entry = merged.setdefault(key, {"fixed": f[:9], "qual": qual,
+                                            "gts": {}})
+            entry["qual"] = max(entry["qual"], qual)
+            entry["gts"][s_idx] = f[9] if len(f) > 9 else "./."
     out_path = os.path.join(output_prefix, "structural_variants.vcf.gz")
+    n = len(per_sample)
     with gzip.open(out_path, "wt") as out:
-        for line in merged_header or ["##fileformat=VCFv4.2\n"]:
+        for line in meta or ["##fileformat=VCFv4.2\n"]:
             out.write(line)
-        for _, _, line in records:
-            out.write(line)
+        out.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+                  + "\t".join(sample_names) + "\n")
+        keys = sorted(merged,
+                      key=lambda k: (contig_order.get(k[0], len(contig_order)),
+                                     k[0], k[1]))
+        for key in keys:
+            entry = merged[key]
+            f = entry["fixed"]
+            if len(f) < 9:
+                f = f + ["GT"] * (9 - len(f))
+            f[5] = f"{entry['qual']:g}"
+            gts = [entry["gts"].get(i, "./.") for i in range(n)]
+            out.write("\t".join(f[:9]) + "\t" + "\t".join(gts) + "\n")
     return out_path

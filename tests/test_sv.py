@@ -57,3 +57,46 @@ def test_shell_completion():
     assert proc.returncode == 0
     assert "complete -F _lorikeet_tpu" in proc.stdout
     assert "genotype" in proc.stdout
+
+
+def test_sv_merge_unifies_across_samples(tmp_path, monkeypatch):
+    """bcftools-merge semantics: shared records unify with one genotype
+    column per sample; contig order follows the header, not lexical order
+    (lorikeet_engine.rs:947-989)."""
+    import stat
+    bindir = tmp_path / "bin2"
+    bindir.mkdir()
+    stub = bindir / "svim"
+    stub.write_text(
+        "#!/usr/bin/env python3\n"
+        "import sys, os\n"
+        "d = sys.argv[sys.argv.index('--sequence_alleles') + 1]\n"
+        "bam = sys.argv[sys.argv.index('--sequence_alleles') + 2]\n"
+        "os.makedirs(d, exist_ok=True)\n"
+        "sm = os.path.basename(bam).split('.')[0]\n"
+        "with open(os.path.join(d, 'variants.vcf'), 'w') as out:\n"
+        "    out.write('##fileformat=VCFv4.2\\n')\n"
+        "    out.write('##contig=<ID=contig2,length=100>\\n')\n"
+        "    out.write('##contig=<ID=contig10,length=100>\\n')\n"
+        "    out.write('#CHROM\\tPOS\\tID\\tREF\\tALT\\tQUAL\\tFILTER\\t'\n"
+        "              'INFO\\tFORMAT\\t' + sm + '\\n')\n"
+        "    out.write('contig10\\t100\\tsvim.INS.1\\tN\\t<INS>\\t9\\tPASS\\t'\n"
+        "              'SVTYPE=INS\\tGT\\t0/1\\n')\n"
+        "    if sm == 's1':\n"
+        "        out.write('contig2\\t50\\tsvim.DEL.1\\tN\\t<DEL>\\t8\\tPASS\\t'\n"
+        "                  'SVTYPE=DEL\\tGT\\t1/1\\n')\n")
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{os.environ['PATH']}")
+    out = call_structural_variants(["s0.bam", "s1.bam"],
+                                   str(tmp_path / "sv2"), "ref.fna",
+                                   min_sv_qual=3)
+    lines = gzip.open(out, "rt").read().splitlines()
+    chrom = next(l for l in lines if l.startswith("#CHROM"))
+    assert chrom.split("\t")[9:] == ["s0", "s1"]
+    body = [l.split("\t") for l in lines if not l.startswith("#")]
+    assert len(body) == 2                      # shared INS unified
+    assert body[0][0] == "contig2"             # header order, not lexical
+    ins = next(r for r in body if r[4] == "<INS>")
+    assert ins[9:] == ["0/1", "0/1"]
+    dele = next(r for r in body if r[4] == "<DEL>")
+    assert dele[9:] == ["./.", "1/1"]          # sample-0 has no DEL call
