@@ -28,7 +28,6 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from lorikeet_tpu.models.genotype_alleles import approx_log10_sum_log10_vec
 from lorikeet_tpu.utils.math import approximate_log10_sum_log10
 
 REF_MODEL_DELETION_QUAL = 30
@@ -46,15 +45,17 @@ PROBABILITY_TOLERANCE_FOR_DENSITY_CHECK = 0.1
 
 @functools.lru_cache(maxsize=None)
 def _gl_update_table(ploidy: int) -> np.ndarray:
-    """[255, 2, ploidy+1] GL contribution per (qual, is_alt).
+    """[256, 2, ploidy+1] GL contribution per (qual, is_alt) — all 256
+    possible u8 quals (0xFF = SAM missing-qual sentinel included; indexing
+    a 255-row table with it read out of bounds).
 
     Mirrors update_heterozygous_likelihood: hom terms get lk + log10(ploidy),
     het term i gets approx_log10_sum(ref_lk + log10(ploidy-i), alt_lk + log10(i)).
     """
     n = ploidy + 1
     log10p = np.log10(ploidy)
-    table = np.zeros((255, 2, n))
-    for q in range(255):
+    table = np.zeros((256, 2, n))
+    for q in range(256):
         err_log10 = q / -10.0
         with np.errstate(divide="ignore"):
             prob_log10 = np.log10(1.0 - 10.0 ** (q / -10.0)) if q > 0 else -np.inf
@@ -430,13 +431,14 @@ def extract_regions(probs: np.ndarray, active_prob_threshold: float = 0.002,
     regions = []
     n = len(probs)
     cursor = 0
+    flags_all = probs > active_prob_threshold
     while cursor < n:
         window = probs[cursor:]
-        is_active = window[0] > active_prob_threshold
-        flags = window > active_prob_threshold
-        # find_first_activity_boundary
-        limit = min(len(window), max_region_size)
-        diff = np.nonzero(flags[:limit] != is_active)[0]
+        is_active = bool(flags_all[cursor])
+        # find_first_activity_boundary (bounded window: the full-tail
+        # comparison per region was O(n^2) over a chunk)
+        limit = min(n - cursor, max_region_size)
+        diff = np.nonzero(flags_all[cursor:cursor + limit] != is_active)[0]
         end = int(diff[0]) if diff.size else limit
         if is_active and end == max_region_size:
             end = _find_best_cut_site(window, end, min_region_size)

@@ -77,13 +77,24 @@ class AlleleFrequencyCalculator:
     # ------------------------------------------------------------------
     def _log10_normalized_genotype_posteriors(self, g, log10_allele_frequencies):
         n_alleles = len(log10_allele_frequencies)
+        ploidy = g.ploidy if g.ploidy and g.ploidy > 0 else self.default_ploidy
         if g.has_likelihoods():
             log10_likelihoods = np.asarray(g.log10_likelihoods, np.float64)
+        elif ploidy == 2 and g.gq is not None and g.gq >= 0 and (
+                not g.alleles or all(a.is_ref for a in g.alleles)):
+            # GQ-only hom-ref/no-call: approximate PLs [0, GQ, SCALE*GQ]
+            # with every alt mapped to the biallelic alt
+            # (allele_frequency_calculator.rs:85-121)
+            counts2 = genotype_count_matrix(2, n_alleles)
+            approx = np.array([0.0, float(g.gq),
+                               PLOIDY_2_HOM_VAR_SCALE_FACTOR * float(g.gq)])
+            idx = (2 - counts2[:, 0]).astype(np.int64)
+            log10_likelihoods = approx[idx] / -10.0
         else:
             raise ValueError("genotype lacks likelihoods for AF calculation")
-        counts = genotype_count_matrix(g.ploidy, n_alleles)
+        counts = genotype_count_matrix(ploidy, n_alleles)
         log10_posteriors = (
-            log10_combination_counts(g.ploidy, n_alleles)
+            log10_combination_counts(ploidy, n_alleles)
             + log10_likelihoods
             + counts @ np.asarray(log10_allele_frequencies)
         )
@@ -95,7 +106,9 @@ class AlleleFrequencyCalculator:
         for g in vc.genotypes:
             if not g.usable_for_af_calculation():
                 continue
-            counts = genotype_count_matrix(g.ploidy, n_alleles)
+            ploidy = g.ploidy if g.ploidy and g.ploidy > 0 \
+                else self.default_ploidy
+            counts = genotype_count_matrix(ploidy, n_alleles)
             log10_posteriors = self._log10_normalized_genotype_posteriors(
                 g, log10_allele_frequencies)
             # log10 sum over genotypes of posterior * count, per allele

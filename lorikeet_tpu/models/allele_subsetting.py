@@ -21,15 +21,26 @@ from lorikeet_tpu.models.genotype_alleles import (
 
 def calculate_likelihood_sums(genotypes, ploidy: int,
                               n_alleles: int) -> np.ndarray:
-    counts = genotype_count_matrix(ploidy, n_alleles)   # [G, n_alleles]
     sums = np.zeros(n_alleles)
-    with_l = [g for g in genotypes if g.has_likelihoods()]
-    all_hom_ref = bool(with_l) and all(
-        np.argmax(g.log10_likelihoods) == 0 for g in with_l)
-    for g in with_l:
+    # a genotype WITHOUT likelihoods forces all_hom_ref false
+    # (allele_subsetting_utils.rs:38-44)
+    all_hom_ref = bool(genotypes) and all(
+        g.has_likelihoods() and int(np.argmax(g.log10_likelihoods)) == 0
+        for g in genotypes)
+    counts_by_ploidy = {}
+    for g in genotypes:
+        if not g.has_likelihoods():
+            continue
+        # each genotype's own ploidy keys its allele-count table, falling
+        # back to the site ploidy only when 0 (:128-139)
+        p = g.ploidy if g.ploidy and g.ploidy > 0 else ploidy
+        counts = counts_by_ploidy.setdefault(
+            p, genotype_count_matrix(p, n_alleles))
         gls = np.asarray(g.log10_likelihoods)
         start = 1 if all_hom_ref else 0
         best = start + int(np.argmax(gls[start:]))
+        if best >= len(counts):
+            continue
         diff = abs(float(gls[best] - gls[0]))
         for a in range(1, n_alleles):
             if counts[best, a] > 0:

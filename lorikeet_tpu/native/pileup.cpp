@@ -65,7 +65,8 @@ double count_hq_softclips(const ReadView& r) {
 
 }  // namespace
 
-// table: [255, 2, n_gl] f64 GL contribution per (qual, is_alt).
+// table: [256, 2, n_gl] f64 GL contribution per (qual, is_alt) — one row
+// per possible u8 qual.
 // Outputs accumulated in place: gl [L, n_gl], read_counts/ref_depth/
 // nonref_depth [L] i32, hq_sc_sum [L] f64, hq_sc_n [L] i32.
 extern "C" void pileup_accumulate(
