@@ -24,7 +24,8 @@ def construct_haplotype_mapping(calls: list, hap_events: list) -> dict:
     """call index -> set of haplotype indices carrying its alt allele."""
     mapping = {}
     for idx, call in enumerate(calls):
-        alts = [a for a in call.alternate_alleles if not a.is_symbolic]
+        alts = [a for a in call.alternate_alleles
+                if not a.is_symbolic and not a.is_span_del]
         if len(alts) != 1:
             mapping[idx] = set()
             continue

@@ -91,6 +91,11 @@ def _sc_indel_adjacency(cigar, read_len: int) -> np.ndarray:
                 adj[after] = True               # base just after the element
         if op in "MIS=X":
             cursor += n
+    if read_len:
+        # read position 0 is never "adjacent": the reference's scan breaks
+        # on past_query_pos before any element can flag it
+        # (haplotype_caller_engine.rs:1596-1650)
+        adj[0] = False
     return adj
 
 
@@ -147,7 +152,7 @@ def accumulate_read(profile: RefVsAnyProfile, rec, ref_seq: np.ndarray,
     idx_parts, q_parts, alt_parts = [], [], []
     sc_events = []  # (chunk position, read index) where HQ-SC counting triggers
 
-    for op, n in rec.cigar:
+    for ci, (op, n) in enumerate(rec.cigar):
         if op == "D":
             lo = max(chunk_start - pos, 0)
             hi = min(chunk_end - pos, n)
@@ -157,6 +162,14 @@ def accumulate_read(profile: RefVsAnyProfile, rec, ref_seq: np.ndarray,
                 q_parts.append(np.full(hi - lo, REF_MODEL_DELETION_QUAL,
                                        np.int64))
                 alt_parts.append(np.ones(hi - lo, np.int64))
+                # deletion cells (always alt) count HQ soft clips when a
+                # neighbouring cigar element is a soft clip
+                # (haplotype_caller_engine.rs:1537-1548 qpos=None arm)
+                if ((ci > 0 and rec.cigar[ci - 1][0] == "S")
+                        or (ci + 1 < len(rec.cigar)
+                            and rec.cigar[ci + 1][0] == "S")):
+                    for j in range(lo, hi):
+                        sc_events.append((pos + j - chunk_start, None))
             pos += n
         elif op == "I":
             if chunk_start <= pos < chunk_end:
@@ -222,7 +235,8 @@ def _hq_sc_updates(rec, sc_events) -> list:
     out = []
     n_hq = None
     for p, qpos in sc_events:
-        if sc_adj[qpos]:
+        # qpos None marks a deletion cell already gated at event creation
+        if qpos is None or sc_adj[qpos]:
             if n_hq is None:
                 n_hq = _count_high_quality_soft_clips(rec)
             out.append((p, n_hq))
@@ -293,6 +307,8 @@ def _sc_only_adjacency(cigar, read_len: int) -> np.ndarray:
                 adj[cursor + n] = True
         if op in "MIS=X":
             cursor += n
+    if read_len:
+        adj[0] = False      # same position-0 quirk as _sc_indel_adjacency
     return adj
 
 

@@ -23,7 +23,15 @@ class Allele:
 
     @property
     def is_symbolic(self) -> bool:
-        return self.bases.startswith(b"<") or self.bases == SPAN_DEL_BASES
+        # byte_array_allele.rs:152-158 would_be_symbolic_allele: single-byte
+        # alleles (including the spanning deletion '*') are NOT symbolic
+        if len(self.bases) <= 1:
+            return False
+        return self.bases.startswith(b"<") or self.bases.endswith(b">")
+
+    @property
+    def is_span_del(self) -> bool:
+        return self.bases == SPAN_DEL_BASES
 
     @property
     def is_called(self) -> bool:

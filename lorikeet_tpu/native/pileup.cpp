@@ -44,6 +44,9 @@ void adjacency(const ReadView& r, bool sc_only, std::vector<uint8_t>& adj) {
         if (op == 'M' || op == 'I' || op == 'S' || op == '=' || op == 'X')
             cursor += n;
     }
+    // read position 0 is never adjacent (the reference scan's
+    // past_query_pos break, haplotype_caller_engine.rs:1596-1650)
+    if (r.len > 0) adj[0] = 0;
 }
 
 double count_hq_softclips(const ReadView& r) {
@@ -106,8 +109,14 @@ extern "C" void pileup_accumulate(
             if (op == 'D') {
                 int64_t lo = chunk_start - p; if (lo < 0) lo = 0;
                 int64_t hi = chunk_end - p; if (hi > n) hi = n;
-                for (int64_t j = lo; j < hi; j++)
+                // a deletion neighbouring a soft clip counts HQ soft clips
+                // at every cell (qpos None arm)
+                const bool d_sc = (k > 0 && rv.ops[k - 1] == 'S')
+                    || (k + 1 < rv.n_ops && rv.ops[k + 1] == 'S');
+                for (int64_t j = lo; j < hi; j++) {
                     update(p + j - chunk_start, 30, 1);
+                    if (d_sc) sc_events.push_back({p + j - chunk_start, -1});
+                }
                 p += n;
             } else if (op == 'I') {
                 if (chunk_start <= p && p < chunk_end) {
@@ -147,7 +156,7 @@ extern "C" void pileup_accumulate(
             adjacency(rv, true, sc_adj);
             double n_hq = -1.0;
             for (const auto& ev : sc_events) {
-                if (!sc_adj[ev.qpos]) continue;
+                if (ev.qpos >= 0 && !sc_adj[ev.qpos]) continue;
                 if (n_hq < 0.0) n_hq = count_hq_softclips(rv);
                 hq_sc_sum[ev.p] += n_hq;
                 hq_sc_n[ev.p]++;

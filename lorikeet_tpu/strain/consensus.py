@@ -35,8 +35,8 @@ def apply_consensus_to_contig(ref: np.ndarray, contexts, sample_idx: int) -> np.
         allele = vc.alleles[ci]
         if vc.start < cursor:
             continue  # overlapping an applied deletion
-        if allele.is_symbolic:
-            if allele.bases == b"*":
+        if allele.is_symbolic or allele.is_span_del:
+            if allele.is_span_del:
                 # spanning-deletion consensus: remove the spanned reference
                 # bases start+1..=end (reference_writer.rs:249-258)
                 pieces.append(ref[cursor:vc.start + 1])

@@ -358,6 +358,12 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
                 if vc.start < cursor:
                     continue
                 alt = vc.alternate_alleles[0]
+                if alt.is_span_del:
+                    # spanning deletion: remove the spanned bases
+                    # (reference_writer.rs:249-258)
+                    pieces.append(ref[cursor:vc.start + 1])
+                    cursor = vc.end + 1
+                    continue
                 if alt.is_symbolic:
                     continue
                 pieces.append(ref[cursor:vc.start])

@@ -77,7 +77,8 @@ def vc_tandem_repeat_units(vc, ref_window: bytes, window_start: int):
     ref_allele = vc.alleles[0].bases
     if len(ref_allele) < 1:
         return None
-    alts = [a for a in vc.alleles[1:] if not a.is_symbolic]
+    alts = [a for a in vc.alleles[1:]
+            if not a.is_symbolic and not a.is_span_del]
     if not alts or all(len(a.bases) == len(ref_allele) for a in alts):
         return None
     ctx_start = vc.start + 1 - window_start
