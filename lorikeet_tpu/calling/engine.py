@@ -205,6 +205,41 @@ class RegionWork:
     reads_by_sample: dict
     pairs: list
     index: list
+    given_alleles: list = None  # features-VCF contexts for forced calling
+
+
+# GLs summing above this are treated as non-informative -> forced no-call
+# (variant_context.rs:109 SUM_GL_THRESH_NOCALL)
+SUM_GL_THRESH_NOCALL = -0.1
+
+
+def _subset_to_ref_only(vc: VariantContext, default_ploidy: int) -> list:
+    """Hom-ref genotypes with no annotations, for ref-only output alleles
+    (variant_context.rs:586-618 subset_to_ref_only)."""
+    out = []
+    for g in vc.genotypes:
+        ploidy = g.ploidy if g.ploidy > 0 else default_ploidy
+        out.append(Genotype(g.sample, ploidy, None,
+                            [vc.reference] * ploidy))
+    return out
+
+
+def _informative_best_alleles(mat: np.ndarray):
+    """Per-read best allele index + informative flag for an [A, R] likelihood
+    matrix: the best likelihood must beat the runner-up by more than 0.2
+    log10 (allele_likelihoods.rs:17 LOG_10_INFORMATIVE_THRESHOLD,
+    search_best_allele + BestAllele::is_informative).  Shared by AD
+    (DepthPerAlleleBySample) and BQ so the informativeness rule has one
+    home."""
+    if not mat.shape[1]:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    best = mat.argmax(axis=0)
+    if mat.shape[0] > 1:
+        srt = np.sort(mat, axis=0)
+        informative = (srt[-1] - srt[-2]) > 0.2
+    else:
+        informative = np.ones(mat.shape[1], bool)
+    return best, informative
 
 
 def _gq_log10_from_posteriors(best: int, log10_posteriors) -> float:
@@ -359,33 +394,94 @@ class GenotypingEngine:
         self.af_calc = AlleleFrequencyCalculator.make_calculator(
             cfg.snp_heterozygosity, cfg.indel_heterozygosity,
             cfg.heterozygosity_stdev, cfg.ploidy)
+        # emitted upstream deletions, in traversal order
+        # (genotyping_engine.rs record_deletions / upstream_deletions_loc)
+        self._upstream_dels = []
 
-    def calculate_genotypes(self, vc: VariantContext) -> VariantContext | None:
+    def _forced_alleles(self, vc: VariantContext, given_alleles) -> set:
+        """Alt alleles of vc exactly matching a given (features-VCF) context
+        at the same start (get_alleles_consistent_with_given_alleles,
+        assembly_based_caller_utils.rs:842-902: non-symbolic, (alt, ref)
+        pair equality)."""
+        if not given_alleles:
+            return set()
+        pairs = set()
+        for gvc in given_alleles:
+            if gvc.start != vc.start:
+                continue
+            for alt in gvc.alternate_alleles:
+                if not alt.is_symbolic:
+                    pairs.add((alt.bases, gvc.reference.bases))
+        return {a for a in vc.alternate_alleles
+                if not a.is_symbolic
+                and (a.bases, vc.reference.bases) in pairs}
+
+    def _covered_by_upstream_deletion(self, vc: VariantContext) -> bool:
+        """True when an emitted deletion strictly upstream spans vc.start
+        (genotyping_engine.rs is_vc_covered_by_deletion; same-start
+        deletions deliberately do not count)."""
+        self._upstream_dels = [
+            (tid, s, e) for tid, s, e in self._upstream_dels
+            if tid == vc.tid and e >= vc.start]
+        return any(s < vc.start <= e for _, s, e in self._upstream_dels)
+
+    def _record_deletions(self, vc: VariantContext, out_alleles):
+        """Track emitted deletions for downstream '*' suppression
+        (genotyping_engine.rs:337-370 record_deletions)."""
+        ref_len = len(vc.reference)
+        for a in out_alleles:
+            size = 0 if a.is_symbolic or a.is_span_del else ref_len - len(a)
+            if size > 0:
+                self._upstream_dels.append(
+                    (vc.tid, vc.start, vc.start + size))
+
+    def calculate_genotypes(self, vc: VariantContext,
+                            given_alleles=None) -> VariantContext | None:
         if vc.n_samples == 0 or vc.n_alleles < 2:
             return None
         af = self.af_calc.calculate(vc, self.cfg.ploidy)
+        forced = self._forced_alleles(vc, given_alleles)
 
+        # calculate_output_allele_subset (genotyping_engine.rs:390-455):
+        # '*' alleles and sites covered by an emitted upstream deletion are
+        # spurious and never output; forced (features-VCF) alleles are kept
+        # regardless of the AF threshold
+        covered = self._covered_by_upstream_deletion(vc)
         output_alts = []
         mle_counts = []
         site_is_monomorphic = True
         for a in vc.alternate_alleles:
             plausible = af.passes_threshold(a, self.cfg.stand_min_conf)
-            site_is_monomorphic &= not plausible
-            if plausible:
+            spurious = a.is_span_del or covered
+            site_is_monomorphic &= not (plausible and not spurious)
+            if (plausible or a in forced) and not spurious:
                 output_alts.append(a)
                 mle_counts.append(af.get_allele_count_at_mle(a))
         log10_confidence = (af.log10_prob_only_ref_allele_exists()
                             if not site_is_monomorphic
                             else af.log10_prob_variant_present())
         phred_confidence = -10.0 * log10_confidence + 0.0
-        if site_is_monomorphic or phred_confidence < self.cfg.stand_min_conf \
-                or not output_alts:
+        below_threshold = (site_is_monomorphic
+                           or phred_confidence < self.cfg.stand_min_conf)
+        # forced-calling bypasses the emit threshold
+        # (genotyping_engine.rs:162-180 `&& given_alleles_empty`)
+        if below_threshold and not given_alleles:
+            return None
+        if not output_alts and not given_alleles:
             return None
 
         out_alleles = [vc.reference] + output_alts
-        genotypes = self._subset_and_assign(vc, out_alleles)
+        self._record_deletions(vc, out_alleles)
+        if len(out_alleles) == 1:
+            genotypes = _subset_to_ref_only(vc, self.cfg.ploidy)
+        else:
+            genotypes = self._subset_and_assign(vc, out_alleles)
         call = VariantContext(vc.tid, vc.start, vc.end, out_alleles, genotypes)
         call.log10_p_error = log10_confidence
+        if below_threshold:
+            # forced site between thresholds: emit with the LowQual filter
+            # (genotyping_engine.rs:196-198 passes_call_threshold)
+            call.filters.append("LowQual")
         # QUAL from genotype posteriors when present and requested
         # (genotyping_engine.rs:216-236 use-posteriors-to-calculate-qual)
         if self.cfg.use_posteriors_to_calculate_qual:
@@ -415,7 +511,10 @@ class GenotypingEngine:
                 continue
             gp = np.asarray(gp, float)
             from lorikeet_tpu.utils.math import log10_sum_log10
-            reducer = max(0.0, log10_sum_log10(gp))
+            # the reference clamps in PHRED space (extract_p_no_alt_with
+            # _posteriors: reducer = max(0, phred_sum)); for max-normalized
+            # posteriors phred_sum <= 0, so the log10 mirror is min(0, sum)
+            reducer = min(0.0, log10_sum_log10(gp))
             val = gp[0] - reducer
             total = val if total is None else total + val
         return total
@@ -463,7 +562,10 @@ class GenotypingEngine:
                 alleles = []
                 gq = -1
             elif method == "BestMatchToOriginal":
-                alleles = [a if a in out_alleles else out_alleles[0]
+                # no-call alleles are preserved, everything else not in the
+                # subset becomes reference (variant_context.rs:366-378)
+                alleles = [a if (a in out_alleles or not a.is_called)
+                           else out_alleles[0]
                            for a in g.alleles]
                 gq = -1
             elif method == "UsePosteriorProbabilities":
@@ -481,6 +583,12 @@ class GenotypingEngine:
                 gq_log10 = _gq_log10_from_posteriors(best, norm)
                 gq = int(min(99, round(-10.0 * gq_log10)))
                 gp = norm
+            elif float(gl.sum()) >= SUM_GL_THRESH_NOCALL:
+                # UsePLsToAssign with uninformative (near-flat) likelihoods:
+                # force a no-call with no GQ (variant_context.rs:326-328
+                # is_informative gate)
+                alleles = []
+                gq = -1
             else:                      # UsePLsToAssign (default)
                 best = int(np.argmax(gl))
                 alleles = [out_alleles[a]
@@ -490,8 +598,7 @@ class GenotypingEngine:
                 sorted_pls = np.sort(pls)
                 gq = int(min(99, sorted_pls[1] - sorted_pls[0])) \
                     if len(pls) > 1 else -1
-            ng = Genotype(g.sample, g.ploidy, gl, alleles, gq=gq,
-                          dp=g.dp, ad=g.ad.copy() if g.ad is not None else None)
+            ng = Genotype(g.sample, g.ploidy, gl, alleles, gq=gq, dp=g.dp)
             if gp is not None:
                 # normalized log10 posteriors (GENOTYPE_POSTERIORS_KEY);
                 # _phred_no_variant_posterior consumes this convention
@@ -674,7 +781,7 @@ class HaplotypeCallerEngine:
             return None
         return RegionWork(window_start, active_start, active_end, tid,
                           haplotypes, hap_events, reads_by_sample, pairs,
-                          index)
+                          index, given_alleles)
 
     def genotype_region(self, work, likelihoods) -> list:
         """Device results -> genotyped, annotated, phased calls."""
@@ -722,7 +829,8 @@ class HaplotypeCallerEngine:
                 from lorikeet_tpu.models.allele_subsetting import subset_vc_alleles
                 subset_vc_alleles(merged, self.cfg.ploidy,
                                   self.cfg.max_alt_alleles)
-            call = self.genotyping.calculate_genotypes(merged)
+            call = self.genotyping.calculate_genotypes(merged,
+                                                       work.given_alleles)
             if call is None:
                 continue
             self._annotate(call, allele_lks)
@@ -742,25 +850,26 @@ class HaplotypeCallerEngine:
         for s in allele_lks.samples:
             mat = allele_lks.values[s]            # [A, R]
             gl = genotype_likelihoods_from_read_matrix(mat.T, self.cfg.ploidy)
-            # AD: count INFORMATIVE reads best-supporting each allele — the
-            # best likelihood must beat the runner-up by 0.2 log10
-            # (allele_likelihoods.rs:17 LOG_10_INFORMATIVE_THRESHOLD)
+            # AD: count INFORMATIVE reads best-supporting each allele
+            # (DepthPerAlleleBySample, variant_annotation.rs:237-294)
             ad = np.zeros(n_alleles, np.int64)
-            if mat.shape[1]:
-                best = mat.argmax(axis=0)
-                if mat.shape[0] > 1:
-                    srt = np.sort(mat, axis=0)
-                    informative = (srt[-1] - srt[-2]) > 0.2
-                else:
-                    informative = np.ones(mat.shape[1], bool)
-                for b, ok in zip(best, informative):
-                    if ok:
-                        ad[b] += 1
+            best, informative = _informative_best_alleles(mat)
+            for b, ok in zip(best, informative):
+                if ok:
+                    ad[b] += 1
             genotypes.append(Genotype(s, self.cfg.ploidy, gl,
                                       dp=int(mat.shape[1]), ad=ad))
         return genotypes
 
     def _annotate(self, call: VariantContext, allele_lks: AlleleLikelihoods):
+        # retained-evidence counts, kept for the zero-AD depth fallback
+        evidence_count = {g.sample: max(g.dp, 0) for g in call.genotypes}
+        # per-genotype DP = sum of (informative) AD — the Format-level Depth
+        # annotation overwrites dp with total AD
+        # (variant_annotation.rs:101-122 Depth/Format: genotype.dp=total_ad)
+        for g in call.genotypes:
+            if g.ad is not None:
+                g.dp = int(np.sum(g.ad))
         depth = sum(max(g.dp, 0) for g in call.genotypes)
         call.attributes["DP"] = depth
         an = sum(g.ploidy for g in call.genotypes if g.alleles)
@@ -771,11 +880,24 @@ class HaplotypeCallerEngine:
         call.attributes["AC"] = acs
         call.attributes["AN"] = an
         call.attributes["AF"] = [round(c / an, 4) if an else 0.0 for c in acs]
-        # QD denominator = depth of samples with alt-supporting reads when
-        # any exist (variant_annotation.rs:360-405 get_depth AD restriction)
-        ad_restrict = sum(int(np.sum(g.ad)) for g in call.genotypes
-                          if g.ad is not None and np.sum(g.ad) > g.ad[0])
-        qd_depth = ad_restrict if ad_restrict > 0 else depth
+        # QD denominator (variant_annotation.rs:360-405 get_depth): over
+        # CALLED genotypes, sum total AD (falling back to the retained
+        # evidence count when total AD is zero); restrict to samples with
+        # alt-supporting AD when any exist
+        qd_depth = 0
+        ad_restrict = 0
+        for g in call.genotypes:
+            if not g.alleles:          # no-calls are skipped
+                continue
+            total_ad = int(np.sum(g.ad)) if g.ad is not None else 0
+            if total_ad != 0:
+                if total_ad - int(g.ad[0]) > 0:
+                    ad_restrict += total_ad
+                qd_depth += total_ad
+            else:
+                qd_depth += evidence_count.get(g.sample, 0)
+        if ad_restrict > 0:
+            qd_depth = ad_restrict
         if qd_depth > 0:
             qd = call.phred_scaled_qual / qd_depth
             if qd >= MAX_QD_BEFORE_FIXING:
@@ -796,12 +918,7 @@ class HaplotypeCallerEngine:
             reads = allele_lks.reads_by_sample[s]
             if not mat.shape[1] or not reads:
                 continue
-            best = mat.argmax(axis=0)
-            if mat.shape[0] > 1:
-                srt = np.sort(mat, axis=0)
-                ok = (srt[-1] - srt[-2]) > 0.2
-            else:
-                ok = np.ones(mat.shape[1], bool)
+            best, ok = _informative_best_alleles(mat)
             for r_idx, rec in enumerate(reads):
                 if r_idx >= len(ok) or not ok[r_idx] or rec.mapq == 0:
                     continue

@@ -151,8 +151,13 @@ def events_at_locus(loc: int, hap_events: list, include_spanning: bool = True):
         if vc is not None:
             out.append(vc)
         elif include_spanning:
+            # ANY event starting before loc and overlapping it becomes a
+            # '*' placeholder — deletions, MNPs and block substitutions
+            # alike (replace_with_span_del_vc,
+            # haplotype_caller_genotyping_engine.rs:737-752 has no
+            # ref/alt-length test)
             for start, ev in events.items():
-                if start < loc <= ev.end and len(ev.reference) > len(ev.alternate_alleles[0]):
+                if start < loc <= ev.end:
                     key = (ev.start, ev.end)
                     if key not in seen_span:
                         seen_span.add(key)
@@ -166,9 +171,9 @@ def merge_events(events: list, loc: int) -> VariantContext | None:
     with ref-padded alleles (make_merged_variant_context semantics)."""
     real = [e for e in events if e != "SPAN_DEL"]
     has_span = any(e == "SPAN_DEL" for e in events)
-    if not real and not has_span:
-        return None
     if not real:
+        # SPAN_DEL-only loci are unreachable from the engine (loc is always
+        # an event start) and produce no call either way
         return None
     # the merged reference allele is the longest ref allele
     longest_ref = max((e.reference for e in real), key=len)
@@ -204,9 +209,11 @@ def create_allele_mapper(merged: VariantContext, loc: int, haplotypes: list,
     for h, events in enumerate(hap_events):
         vc = events.get(loc)
         if vc is None:
+            # any event overlapping loc from upstream counts as spanning
+            # (assembly_based_caller_utils.rs:809-825, no length test)
             spanning = None
             for start, ev in events.items():
-                if start < loc <= ev.end and len(ev.reference) > len(ev.alternate_alleles[0]):
+                if start < loc <= ev.end:
                     spanning = ev
                     break
             if spanning is not None:
