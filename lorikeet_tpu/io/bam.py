@@ -183,10 +183,11 @@ def _decode_tags(buf: bytes, p: int, end: int) -> dict:
         elif typ == "B":
             sub = chr(buf[p]); n = struct.unpack_from("<i", buf, p + 1)[0]
             size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
-            fmt = "<" + str(n) + sub.lower() if sub != "f" else "<" + str(n) + "f"
-            if sub in "CSI":
-                fmt = "<" + str(n) + {"C": "B", "S": "H", "I": "I"}[sub]
-            tags[tag] = list(struct.unpack_from(fmt, buf, p + 5))
+            # SAM subtype -> struct char (c/s are SIGNED int8/int16, not
+            # struct's char/bytes codes)
+            code = {"c": "b", "C": "B", "s": "h", "S": "H",
+                    "i": "i", "I": "I", "f": "f"}[sub]
+            tags[tag] = list(struct.unpack_from(f"<{n}{code}", buf, p + 5))
             p += 5 + n * size
         else:
             raise ValueError(f"unknown tag type {typ!r}")

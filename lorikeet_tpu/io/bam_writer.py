@@ -62,10 +62,24 @@ def _encode_record(rec: BamRecord) -> bytes:
     packed = ((seq_codes[0::2] << 4) | seq_codes[1::2]).astype(np.uint8).tobytes()
     tags_b = b""
     for tag, val in rec.tags.items():
-        if isinstance(val, int):
-            tags_b += tag.encode() + b"i" + struct.pack("<i", val)
-        elif isinstance(val, float):
-            tags_b += tag.encode() + b"f" + struct.pack("<f", val)
+        if isinstance(val, (bool, np.bool_)):
+            continue
+        if isinstance(val, (int, np.integer)):
+            tags_b += tag.encode() + b"i" + struct.pack("<i", int(val))
+        elif isinstance(val, (float, np.floating)):
+            tags_b += tag.encode() + b"f" + struct.pack("<f", float(val))
+        elif isinstance(val, (list, tuple, np.ndarray)):
+            # B array round-trip (decoded as a list by _decode_tags);
+            # int32 for integer elements, float32 otherwise
+            vals = list(val)
+            if all(isinstance(x, (int, np.integer)) for x in vals):
+                tags_b += (tag.encode() + b"Bi"
+                           + struct.pack(f"<i{len(vals)}i", len(vals),
+                                         *[int(x) for x in vals]))
+            else:
+                tags_b += (tag.encode() + b"Bf"
+                           + struct.pack(f"<i{len(vals)}f", len(vals),
+                                         *[float(x) for x in vals]))
         elif isinstance(val, str) and len(val) == 1 and tag in ("XT",):
             tags_b += tag.encode() + b"A" + val.encode()
         elif isinstance(val, str):

@@ -95,25 +95,33 @@ def read_pair_passes(r1, r2, th: AlignmentThresholds) -> bool:
 
 
 def apply_alignment_thresholds(reads: list, th: AlignmentThresholds) -> list:
-    """Filter a sample's reads: proper pairs with both mates in hand use the
-    pair predicate (both kept or both dropped), everything else the single
-    predicate.  No-op when all thresholds are 0."""
+    """Filter a sample's reads.  No-op when all thresholds are 0.
+
+    Pair mode mirrors the reference's pair path exactly
+    (filter.rs:101-215): only PRIMARY proper-pair records participate in
+    name-pairing (secondary/supplementary records are skipped outright,
+    :121-123), unmatched mates and non-proper pairs are dropped, and when
+    single thresholds are also active BOTH mates must pass the single
+    predicate in addition to the pair predicate (:177-195)."""
     if not th.active:
         return reads
+    if not th.filtering_pairs:
+        return [r for r in reads if single_read_passes(r, th)]
     by_name = {}
     for r in reads:
-        if r.is_paired:
+        if (r.is_paired and r.is_proper_pair
+                and not r.is_secondary and not r.is_supplementary):
             by_name.setdefault(r.name, []).append(r)
-    out = []
-    for r in reads:
-        mates = by_name.get(r.name) if r.is_paired else None
-        if mates is not None and len(mates) == 2:
-            if th.filtering_pairs:
-                if read_pair_passes(mates[0], mates[1], th):
-                    out.append(r)
-            elif not th.filtering_single or single_read_passes(r, th):
-                out.append(r)
-        else:
-            if not th.filtering_single or single_read_passes(r, th):
-                out.append(r)
-    return out
+    keep = set()
+    for mates in by_name.values():
+        # pair sequential occurrences, as the reference's first_set does
+        for i in range(0, len(mates) - 1, 2):
+            r1, r2 = mates[i], mates[i + 1]
+            ok = ((not th.filtering_single
+                   or (single_read_passes(r1, th)
+                       and single_read_passes(r2, th)))
+                  and read_pair_passes(r1, r2, th))
+            if ok:
+                keep.add(id(r1))
+                keep.add(id(r2))
+    return [r for r in reads if id(r) in keep]

@@ -31,7 +31,7 @@ MAPPER_PRESETS = {
     "minimap2-no-preset": ["minimap2", "-a"],
     "bwa-mem": ["bwa", "mem"],
     "bwa-mem2": ["bwa-mem2", "mem"],
-    "ngmlr-ont": ["ngmlr", "-x", "ont", "-r"],
+    "ngmlr-ont": ["ngmlr", "-x", "ont"],
 }
 
 
@@ -50,6 +50,10 @@ def build_mapper_command(mapper: str, reference: str, read1: str,
     if params:
         cmd += params.split()
     cmd += ["-t", str(threads)]
+    if mapper.startswith("ngmlr"):
+        # ngmlr takes no positional operands: -r REF -q READS
+        cmd += ["-r", reference, "-q", read1]
+        return cmd
     if mapper.startswith("bwa") and interleaved:
         cmd.append("-p")
     cmd.append(reference)
@@ -60,9 +64,13 @@ def build_mapper_command(mapper: str, reference: str, read1: str,
 
 
 def ensure_index(mapper: str, reference: str):
-    """bwa needs an on-disk index (mapping_index_maintenance.rs:218);
-    minimap2/ngmlr index on the fly."""
-    if mapper.startswith("bwa") and not os.path.exists(reference + ".bwt"):
+    """bwa needs an on-disk index (mapping_index_maintenance.rs:166-218:
+    bwa checks .bwt, bwa-mem2 checks .bwt.2bit.64); minimap2/ngmlr index
+    on the fly."""
+    if not mapper.startswith("bwa"):
+        return
+    marker = ".bwt" if mapper == "bwa-mem" else ".bwt.2bit.64"
+    if not os.path.exists(reference + marker):
         prog = "bwa" if mapper == "bwa-mem" else "bwa-mem2"
         subprocess.run([prog, "index", reference], check=True,
                        capture_output=True)
@@ -162,8 +170,16 @@ def map_reads_to_bam(mapper: str, reference: str, out_bam: str,
                 "(external_command_checker parity)")
     proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE, text=True)
+    # drain stderr concurrently: mappers log progress there and block once
+    # the OS pipe buffer fills, which would deadlock a stdout-first read
+    import threading
+    stderr_chunks = []
+    drainer = threading.Thread(
+        target=lambda: stderr_chunks.append(proc.stderr.read()), daemon=True)
+    drainer.start()
     refs, lengths, records, header = parse_sam_stream(proc.stdout)
-    stderr = proc.stderr.read()
+    drainer.join()
+    stderr = stderr_chunks[0] if stderr_chunks else ""
     if proc.wait() != 0:
         raise RuntimeError(f"mapper failed ({cmd[0]}): {stderr[-2000:]}")
     if discard_unmapped:

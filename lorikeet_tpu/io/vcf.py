@@ -129,7 +129,11 @@ def read_vcf(path: str):
                 continue
             f = line.split("\t")
             chrom, pos, _, ref, alts, qual, filt, info = f[:8]
-            tid = contigs.index(chrom) if chrom in contigs else 0
+            if chrom not in contigs:
+                # legal VCFs may omit ##contig headers; register the
+                # chromosome instead of collapsing it onto tid 0
+                contigs.append(chrom)
+            tid = contigs.index(chrom)
             alleles = [Allele(ref.encode(), True)] + [
                 Allele(a.encode(), False) for a in alts.split(",") if a != "."]
             start = int(pos) - 1

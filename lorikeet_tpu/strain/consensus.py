@@ -75,13 +75,13 @@ def generate_consensus(reference: str, vcf_path: str, output_dir: str,
     for vc in contexts:
         cname = vcf_contigs[vc.tid] if vc.tid < len(vcf_contigs) else None
         by_contig.setdefault(cname, []).append(vc)
+    ref_by_name = {name: fasta.fetch(name) for name in names}
     paths = []
     for s_idx, sample in enumerate(samples):
         out_contigs = {}
         for name in names:
-            ref = fasta.fetch(name)
             out_contigs[name] = apply_consensus_to_contig(
-                ref, by_contig.get(name, []), s_idx)
+                ref_by_name[name], by_contig.get(name, []), s_idx)
         path = os.path.join(output_dir, f"consensus_{sample}_{genome}.fna")
         _write_fasta(path, out_contigs)
         paths.append(path)

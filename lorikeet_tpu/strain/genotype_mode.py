@@ -169,20 +169,18 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
 
 
 def abundance_em(variant_weights: np.ndarray, membership: list,
-                 eps: float = 1e-4, max_iters: int = 1000,
-                 ref_weights: np.ndarray = None,
-                 n_strains: int = None) -> np.ndarray:
+                 eps: float = 1e-4, max_iters: int = 1000) -> np.ndarray:
     """Per-sample strain abundance EM (strain_abundances_calculator.rs:38).
 
     variant_weights: [n_variants] depth fractions for one sample.
     membership: per variant, the list of strain indices carrying it.
-    ``ref_weights`` (per-variant reference-allele fractions) are assigned
-    to every strain NOT carrying the variant — including a trailing
-    reference strain when ``n_strains`` exceeds the membership's maximum
-    (abundance_calculator_engine.rs:190-215).  Returns theta [n_strains].
+    Returns theta [n_strains].  Reference-strain mass is handled by the
+    caller's leftover-alt-mass estimator (run_genotype), not by
+    duplicating reference fractions into the EM as the reference does
+    (abundance_calculator_engine.rs:190-215) — see the deviation note at
+    the call site.
     """
-    member_max = max((s for m in membership for s in m), default=-1) + 1
-    n_strains = member_max if n_strains is None else n_strains
+    n_strains = max((s for m in membership for s in m), default=-1) + 1
     if n_strains == 0:
         return np.zeros(0)
     n_vars = len(membership)
@@ -193,12 +191,8 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
         for s in m:
             M[s, v] = True
     alt = variant_weights[None, :].astype(np.float64)
-    if ref_weights is not None:
-        W = np.where(M, alt, ref_weights[None, :].astype(np.float64))
-        has_vars = np.ones(n_strains, bool)
-    else:
-        W = np.where(M, alt, 0.0)
-        has_vars = M.any(axis=1)
+    W = np.where(M, alt, 0.0)
+    has_vars = M.any(axis=1)
     theta = np.ones(n_strains)
     tiny = np.finfo(float).eps
     omega = 1.0

@@ -1,7 +1,9 @@
 """Alignment thresholding filters (filter.rs:236-330)."""
 import numpy as np
 
-from lorikeet_tpu.io.bam import BamRecord, FLAG_PAIRED, FLAG_PROPER_PAIR
+from lorikeet_tpu.io.bam import (
+    BamRecord, FLAG_PAIRED, FLAG_PROPER_PAIR, FLAG_SUPPLEMENTARY,
+)
 from lorikeet_tpu.io.filter import (
     AlignmentThresholds, apply_alignment_thresholds, read_pair_passes,
     single_read_passes,
@@ -42,12 +44,35 @@ def test_pair_filter_uses_summed_lengths():
 
 
 def test_apply_thresholds_drops_pair_together():
+    """Pair mode is strict (filter.rs:101-215): non-proper pairs and
+    unpaired reads are dropped, a failing pair is dropped as a unit."""
     th = AlignmentThresholds(min_percent_identity_pair=0.97)
-    p1 = _rec("p", [("M", 100)], nm=5, flag=FLAG_PAIRED)
-    p2 = _rec("p", [("M", 100)], nm=5, flag=FLAG_PAIRED)
-    s1 = _rec("s", [("M", 100)], nm=0)
-    out = apply_alignment_thresholds([p1, p2, s1], th)
-    assert out == [s1]
+    pp = FLAG_PAIRED | FLAG_PROPER_PAIR
+    p1 = _rec("p", [("M", 100)], nm=5, flag=pp)     # 95% combined
+    p2 = _rec("p", [("M", 100)], nm=5, flag=pp)
+    q1 = _rec("q", [("M", 100)], nm=1, flag=pp)     # 99% combined
+    q2 = _rec("q", [("M", 100)], nm=1, flag=pp)
+    improper = _rec("i", [("M", 100)], nm=0, flag=FLAG_PAIRED)
+    single = _rec("s", [("M", 100)], nm=0)
+    out = apply_alignment_thresholds([p1, p2, q1, q2, improper, single], th)
+    assert out == [q1, q2]
+
+
+def test_pair_mode_skips_supplementary_records():
+    """A kept supplementary alignment must not break name-pairing: the two
+    primaries are judged as a pair; the supplementary itself is dropped
+    (filter.rs:121-123 skips secondary/supplementary outright)."""
+    th = AlignmentThresholds(min_percent_identity_pair=0.97)
+    pp = FLAG_PAIRED | FLAG_PROPER_PAIR
+    r1 = _rec("n", [("M", 100)], nm=1, flag=pp)
+    r2 = _rec("n", [("M", 100)], nm=1, flag=pp)
+    sup = _rec("n", [("M", 50), ("S", 50)], nm=0,
+               flag=pp | FLAG_SUPPLEMENTARY)
+    out = apply_alignment_thresholds([r1, sup, r2], th)
+    assert out == [r1, r2]
+    # and a failing pair is dropped even with the supplementary present
+    th2 = AlignmentThresholds(min_percent_identity_pair=0.995)
+    assert apply_alignment_thresholds([r1, sup, r2], th2) == []
 
 
 def test_inactive_thresholds_noop():

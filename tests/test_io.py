@@ -90,3 +90,38 @@ def test_simulated_cigars_consume_correctly():
         # reads not crossing any variant must be a single match op
         if r.reference_end < 380 or r.pos > 1450:
             assert len(r.cigar) == 1 and r.cigar[0][0] == "M"
+
+
+def test_tag_array_roundtrip(tmp_path):
+    """B-array and numpy-int tags survive a write/read round trip, with
+    signed subtypes decoded as integers (SAM spec 'c'/'s' are int8/int16,
+    not struct's char/bytes codes)."""
+    fr = FastaReader(os.path.join(DATA, "7seqs.fna"))
+    recs = simulate_reads(fr.fetch("genome2~seq1"), [], coverage=2,
+                          seed=3, tid=2)
+    recs[0].tags["XB"] = [1000, -2000, 7]
+    recs[0].tags["XN"] = np.int64(42)
+    recs[0].tags["XF"] = [0.5, -1.25]
+    path = str(tmp_path / "tags.bam")
+    write_bam(path, fr.names, [fr.length(n) for n in fr.names], recs)
+    got = {(r.name, r.flag, r.pos): r for r in BamReader(path).fetch()}
+    r0 = got[(recs[0].name, recs[0].flag, recs[0].pos)]
+    assert r0.tags["XB"] == [1000, -2000, 7]
+    assert r0.tags["XN"] == 42
+    assert r0.tags["XF"] == [0.5, -1.25]
+
+
+def test_read_vcf_registers_undeclared_contigs(tmp_path):
+    """CHROMs missing from ##contig headers get their own tids instead of
+    collapsing onto tid 0 (legal per VCF 4.2)."""
+    from lorikeet_tpu.io.vcf import read_vcf
+    p = tmp_path / "x.vcf"
+    p.write_text(
+        "##fileformat=VCFv4.2\n"
+        "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n"
+        "ctgA\t10\t.\tA\tT\t50\t.\t.\n"
+        "ctgB\t20\t.\tC\tG\t50\t.\t.\n"
+        "ctgA\t30\t.\tG\tC\t50\t.\t.\n")
+    contexts, contigs, _ = read_vcf(str(p))
+    assert contigs == ["ctgA", "ctgB"]
+    assert [vc.tid for vc in contexts] == [0, 1, 0]

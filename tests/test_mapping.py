@@ -121,3 +121,27 @@ def test_cli_raw_reads_end_to_end(tmp_path):
     assert any(int(l.split("\t")[1]) == 301 for l in body)
     # mapped BAM cached under {out}/bams
     assert os.path.exists(tmp_path / "out" / "bams" / "reads_R1.bam")
+
+
+def test_ngmlr_command_uses_r_and_q():
+    """ngmlr takes no positional operands: -r REF -q READS."""
+    c = build_mapper_command("ngmlr-ont", "ref.fna", "reads.fq", threads=2)
+    assert c[:3] == ["ngmlr", "-x", "ont"]
+    assert c[c.index("-r") + 1] == "ref.fna"
+    assert c[c.index("-q") + 1] == "reads.fq"
+
+
+def test_bwa_mem2_index_marker(tmp_path, monkeypatch):
+    """bwa-mem2 writes .bwt.2bit.64, not .bwt — an existing index must not
+    be rebuilt (mapping_index_maintenance.rs:166-186)."""
+    from lorikeet_tpu.io import mapping
+    ref = tmp_path / "ref.fna"
+    ref.write_text(">a\nACGT\n")
+    (tmp_path / "ref.fna.bwt.2bit.64").write_bytes(b"x")
+    calls = []
+    monkeypatch.setattr(mapping.subprocess, "run",
+                        lambda *a, **k: calls.append(a))
+    mapping.ensure_index("bwa-mem2", str(ref))
+    assert calls == []
+    mapping.ensure_index("bwa-mem", str(ref))   # .bwt missing -> index
+    assert len(calls) == 1 and calls[0][0][0] == "bwa"
