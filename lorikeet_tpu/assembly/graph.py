@@ -37,17 +37,27 @@ from lorikeet_tpu.utils.cigar import calculate_cigar
 PRUNE_FACTOR_COVERAGE_THRESHOLD = 10.0
 MAX_KMER_ITERATIONS_TO_ATTEMPT = 6
 _DOT_LOCK = threading.Lock()
-KMER_SIZE_ITERATION_INCREASE = 2
+KMER_SIZE_ITERATION_INCREASE = 13
+# dangling-end SW alignments with more elements are untrusted
+# (read_threading_graph.rs:69)
+MAX_CIGAR_COMPLEXITY = 3
 
 
 class Edge:
     __slots__ = ("multiplicity", "is_ref", "current_sample", "samples")
 
-    def __init__(self, is_ref=False, num_pruning_samples=1):
-        self.multiplicity = 0
+    def __init__(self, is_ref=False, num_pruning_samples=1, initial=0):
+        """``initial`` is the creation multiplicity: it seeds the kept
+        per-sample list as its own entry AND counts toward the current
+        sample (MultiSampleEdge::set pushes it and sets current,
+        multi_sample_edge.rs:57-67), so it is deliberately represented
+        twice.  Threading creates edges with the stretch count
+        (read_threading_graph.rs:764); the reference's own unit test
+        creates with 0."""
+        self.multiplicity = initial
         self.is_ref = is_ref
-        self.current_sample = 0
-        self.samples = []          # kept top multiplicities (len <= num_pruning_samples)
+        self.current_sample = initial
+        self.samples = [initial]   # kept top multiplicities (len <= num_pruning_samples)
 
     def inc(self, n=1):
         self.multiplicity += n
@@ -56,14 +66,17 @@ class Edge:
     def flush_sample(self, cap=1):
         s = self.samples
         s.append(self.current_sample)
-        if len(s) > 1:
+        if len(s) > cap:
             s.sort(reverse=True)
             del s[cap:]
         self.current_sample = 0
 
     def pruning_multiplicity(self, cap=1):
-        vals = sorted(self.samples + [self.current_sample], reverse=True)[:cap]
-        return vals[-1] if vals else 0
+        """Minimum of the kept top-``cap`` values — the heap peek of
+        {creation multiplicity} + per-sample totals, never 0-padded for
+        samples beyond those flushed (multi_sample_edge.rs:94-96)."""
+        vals = sorted(self.samples, reverse=True)[:cap]
+        return vals[-1] if vals else self.current_sample
 
 
 def read_stretches(rec, min_base_quality: int):
@@ -185,12 +198,17 @@ class ReadThreadingGraph:
             self.kmer_to_vertex[kmer] = vid
         return vid
 
-    def _edge(self, u: int, v: int, is_ref: bool) -> Edge:
+    def _edge(self, u: int, v: int, is_ref: bool, count: int = 0) -> Edge:
+        """Get-or-create the edge u->v; a NEW edge takes ``count`` as its
+        creation multiplicity (seeding the pruning heap), an existing one
+        is incremented by it."""
         e = self.out_edges[u].get(v)
         if e is None:
-            e = Edge(is_ref, self.num_pruning_samples)
+            e = Edge(is_ref, self.num_pruning_samples, count)
             self.out_edges[u][v] = e
             self.in_edges[v][u] = e
+        elif count:
+            e.inc(count)
         if is_ref:
             e.is_ref = True
         return e
@@ -207,8 +225,11 @@ class ReadThreadingGraph:
         self.cycle_checked = None
         self.native_pruned = False
         # native C++ builder when the toolchain is present (same thread
-        # order, reference first; stable sort keeps sample grouping)
-        self.pending.sort(key=lambda t: not t[3])
+        # order, reference first; stable sort keeps sample grouping).  A
+        # prepacked operand set is already ref-first, so only sort when the
+        # native call will actually consume self.pending
+        if prepacked is None:
+            self.pending.sort(key=lambda t: not t[3])
         from lorikeet_tpu.native.graph_native import build_graph_native2
         native = build_graph_native2(self.pending, k,
                                      self.num_pruning_samples,
@@ -330,8 +351,7 @@ class ReadThreadingGraph:
         vid = self.kmer_to_vertex.get(kmer)
         if vid is None:
             vid = self._new_vertex(kmer)
-        e = self._edge(prev, vid, is_ref)
-        e.inc(count)
+        self._edge(prev, vid, is_ref, count)
         return vid
 
     # ---------------- queries ----------------
@@ -670,8 +690,16 @@ class ReadThreadingGraph:
         dangling_seq = self._seq_of(fwd)[k1:]
         ref_seq = self._seq_of(ref_fwd)[k1:]
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
-        # the alignment must END in a match run (cigar_is_okay_to_merge)
-        if not cigar or cigar[-1][0] != "M":
+        # strip an uninteresting trailing deletion before gating
+        # (AlignmentUtils::remove_trailing_deletions at helper creation,
+        # read_threading_graph.rs:1416-1421)
+        if cigar and cigar[-1][0] == "D":
+            cigar = cigar[:-1]
+        # cigar_is_okay_to_merge: <= 3 elements and the alignment must END
+        # in a match run (abstract_read_threading_graph.rs:91-125,
+        # MAX_CIGAR_COMPLEXITY = 3)
+        if not cigar or len(cigar) > MAX_CIGAR_COMPLEXITY \
+                or cigar[-1][0] != "M":
             return
         matching_suffix = self._matching_suffix(cigar, ref_seq, dangling_seq,
                                                 min_matching)
@@ -696,7 +724,7 @@ class ReadThreadingGraph:
         join_ref = ref_fwd[ref_index]
         if join_ref in self.out_edges[join_dang]:
             return False
-        self._edge(join_dang, join_ref, False).inc(1)
+        self._edge(join_dang, join_ref, False, 1)
         return True
 
     def _recover_head(self, source, ref_set, min_len, min_matching,
@@ -720,17 +748,24 @@ class ReadThreadingGraph:
         # align reversed sequences so the head behaves like a tail
         ref_seq = self._seq_of(ref_back)[::-1]
         cigar, _ = align(ref_seq, dangling_seq, STANDARD_NGS, OverhangStrategy.LEADING_INDEL)
-        if not cigar or cigar[0][0] != "M":
+        # strip trailing deletion, then gate on complexity + leading M
+        # (remove_trailing_deletions + cigar_is_okay_to_merge(first=True),
+        # read_threading_graph.rs:944 / abstract_read_threading_graph.rs:91)
+        if cigar and cigar[-1][0] == "D":
+            cigar = cigar[:-1]
+        if not cigar or len(cigar) > MAX_CIGAR_COMPLEXITY \
+                or cigar[0][0] != "M":
             return
         # merge-point selection on the branch-first (reversed) strings
         # (read_threading_graph.rs merge_dangling_head{,_legacy}):
         n = min(len(ref_seq), len(dangling_seq))
         if min_matching is None or min_matching < 0:
             # legacy: last mismatch within the leading M run, capped at
-            # max(1, branch_len // kmer_size) mismatches; a mismatch must
-            # exist (best_prefix_match_legacy :1106-1131 +
+            # max(1, leading_M_len // kmer_size) mismatches; a mismatch must
+            # exist (best_prefix_match_legacy :1058-1062 is called with the
+            # FIRST cigar element's length, which also seeds
             # get_max_mismatches_legacy :1142-1152)
-            max_mm = max(1, len(dangling_seq) // self.kmer_size)
+            max_mm = max(1, cigar[0][1] // self.kmer_size)
             limit = min(cigar[0][1], n)
             mism = [i for i in range(limit)
                     if ref_seq[i] != dangling_seq[i]]
@@ -795,14 +830,14 @@ class ReadThreadingGraph:
             prev = succ
             for i in range(num, 0, -1):
                 nv = self._new_vertex(seq_ext[i:i + self.kmer_size])
-                self._edge(nv, prev, False).inc(old_edge.multiplicity)
+                self._edge(nv, prev, False, old_edge.multiplicity)
                 dp.append(nv)
                 prev = nv
         join_ref = rp[ref_merge + 1]
         join_dang = dp[idx]
         if join_dang in self.out_edges[join_ref]:
             return False
-        self._edge(join_ref, join_dang, False).inc(1)
+        self._edge(join_ref, join_dang, False, 1)
         return True
 
 
@@ -817,13 +852,17 @@ class _PQItem:
     path: list = field(compare=False)
 
 
-def find_best_haplotypes(graph: ReadThreadingGraph, max_paths: int = 128):
-    """K-best source->sink paths scored by sum of log10(mult/total_out) at
-    branches (graph_based_k_best_haplotype_finder.rs:64).
+def k_best_paths(src, snk, out_edges_of, render, max_paths: int = 128):
+    """Shared k-best source->sink search scored by sum of
+    log10(mult/total_out) at branches
+    (graph_based_k_best_haplotype_finder.rs:64) — the single home for the
+    pop cap, bounded-cycle guard, scoring, and sequence dedup used by both
+    the kmer-graph and sequence-graph haplotype finders.
 
-    Returns [(score, vertex_path)] best-first, deduplicated by sequence.
+    ``out_edges_of(vertex)`` yields a {target: edge} dict; ``render(path)``
+    produces the hashable sequence used for dedup.  Returns
+    [(score, vertex_path, rendered)] best-first.
     """
-    src, snk = graph.ref_source, graph.ref_sink
     if src is None or snk is None:
         return []
     results = []
@@ -837,14 +876,12 @@ def find_best_haplotypes(graph: ReadThreadingGraph, max_paths: int = 128):
         pops += 1
         last = item.path[-1]
         if last == snk:
-            seq = graph._seq_of(item.path)
+            seq = render(item.path)
             if seq not in seen_seqs:
                 seen_seqs.add(seq)
-                results.append((-item.neg_score, item.path))
+                results.append((-item.neg_score, item.path, seq))
             continue
-        outs = graph.out_edges[last]
-        if not outs:
-            continue
+        outs = out_edges_of(last)
         total = sum(e.multiplicity for e in outs.values())
         for target, e in outs.items():
             if item.path.count(target) > 2:
@@ -856,6 +893,14 @@ def find_best_haplotypes(graph: ReadThreadingGraph, max_paths: int = 128):
             counter += 1
             heapq.heappush(heap, _PQItem(score, counter, item.path + [target]))
     return results
+
+
+def find_best_haplotypes(graph: ReadThreadingGraph, max_paths: int = 128):
+    """K-best paths over the kmer graph; [(score, vertex_path)] best-first,
+    deduplicated by sequence."""
+    return [(score, path) for score, path, _ in k_best_paths(
+        graph.ref_source, graph.ref_sink,
+        lambda v: graph.out_edges[v], graph._seq_of, max_paths)]
 
 
 # ---------------------------------------------------------------------------
@@ -978,17 +1023,28 @@ def assemble_region(
     from lorikeet_tpu.native.graph_native import pack_pending
     packed = pack_pending(base_pending)
 
+    n_results = 0
+
     def _retry_larger_k(k):
-        """Append a larger odd kmer size (read_threading_assembler.rs:
-        419-450 retry on cycles / non-unique ref kmers)."""
+        """Append a larger kmer size (read_threading_assembler.rs:419-450):
+        only when NO base size produced a result, flat +13 steps with the
+        first bumped to odd, at most 6 attempts."""
         nonlocal attempts
-        if allow_kmer_extension and attempts < MAX_KMER_ITERATIONS_TO_ATTEMPT \
-           and k == sizes[-1]:
-            sizes.append(k + KMER_SIZE_ITERATION_INCREASE * (attempts + 1) + (k % 2 == 0))
+        if (allow_kmer_extension and n_results == 0
+                and attempts < MAX_KMER_ITERATIONS_TO_ATTEMPT
+                and k == sizes[-1]):
+            nk = k + KMER_SIZE_ITERATION_INCREASE
+            if attempts == 0 and nk % 2 == 0:
+                nk += 1
+            sizes.append(nk)
             attempts += 1
 
     for k in sizes:
         if len(ref_bytes) < k + 2:
+            # the reference records a Failed AssemblyResult here
+            # (create_graph :935-938), which still counts as a result and
+            # suppresses kmer expansion
+            n_results += 1
             continue
         # non-unique ref kmers fail this kmer size unless explicitly allowed
         # (--allow-non-unique-kmers-in-ref; read_threading_assembler
@@ -1045,6 +1101,7 @@ def assemble_region(
         # drop heading/trailing paths only AFTER recovery had its chance
         # (read_threading_assembler.rs:1134 remove_paths_not_connected_to_ref)
         graph.remove_paths_not_connected_to_ref()
+        n_results += 1
         if generate_seq_graph:
             # kmer graph -> sequence graph -> simplify -> k-best
             # (read_threading_assembler.rs:272-298 seq-graph pipeline)

@@ -426,44 +426,13 @@ class SeqGraph:
         return self
 
 
-@dataclass(order=True)
-class _Item:
-    neg_score: float
-    order: int
-    path: list = field(compare=False)
-
-
 def find_best_haplotypes_seq(sg: SeqGraph, max_paths: int = 128):
     """K-best ref-source -> ref-sink paths over a sequence graph; returns
-    [(score, bases)] (graph_based_k_best_haplotype_finder.rs:64)."""
-    src = sg.ref_source()
-    snk = sg.ref_sink()
-    if src is None or snk is None:
-        return []
-    results = []
-    seen = set()
-    heap = [_Item(0.0, 0, [src])]
-    counter = 0
-    pops = 0
-    while heap and len(results) < max_paths and pops < max_paths * 40:
-        item = heapq.heappop(heap)
-        pops += 1
-        last = item.path[-1]
-        if last == snk:
-            bases = b"".join(sg.seqs[v] for v in item.path)
-            if bases not in seen:
-                seen.add(bases)
-                results.append((-item.neg_score, bases))
-            continue
-        outs = sg.out_edges[last]
-        total = sum(e.multiplicity for e in outs.values())
-        for t, e in outs.items():
-            if item.path.count(t) > 2:
-                continue
-            if total > 0 and e.multiplicity > 0:
-                score = item.neg_score - np.log10(e.multiplicity / total)
-            else:
-                score = item.neg_score + 6.0
-            counter += 1
-            heapq.heappush(heap, _Item(score, counter, item.path + [t]))
-    return results
+    [(score, bases)].  Delegates to the shared k_best_paths search so the
+    scoring/cap/cycle rules have a single home (graph.py)."""
+    from lorikeet_tpu.assembly.graph import k_best_paths
+    return [(score, bases) for score, _, bases in k_best_paths(
+        sg.ref_source(), sg.ref_sink(),
+        lambda v: sg.out_edges[v],
+        lambda path: b"".join(sg.seqs[v] for v in path),
+        max_paths)]

@@ -23,6 +23,8 @@ struct EdgeRec {
     int32_t mult;
     uint8_t is_ref;
     int32_t cur = 0;               // multiplicity within the current sample
+    int32_t born = 0;              // flush counter at creation
+    int32_t flushed = 0;           // flushes in which this edge was touched
     std::vector<int32_t> kept;     // top num_pruning_samples per-sample counts
 };
 
@@ -71,15 +73,24 @@ struct Builder {
     std::vector<int32_t> touched;  // edges hit within the current sample
     int nps = 1;
 
+    int flush_count = 0;
+
     void bump(int32_t ei, int32_t count) {
         EdgeRec& e = edges[ei];
+        if (e.kept.empty() && e.mult == 0 && e.cur == 0) {
+            // the creation multiplicity seeds the per-sample heap as its
+            // own entry (MultiSampleEdge::set, multi_sample_edge.rs:57-67)
+            e.kept.push_back(count);
+            e.born = flush_count;
+        }
         e.mult += count;
         if (e.cur == 0) touched.push_back(ei);
         e.cur += count;
     }
 
     // roll per-sample multiplicities at a sample boundary
-    // (multi_sample_edge.rs flush_single_sample_multiplicity)
+    // (multi_sample_edge.rs flush_single_sample_multiplicity; untouched
+    // edges' zero-flushes are accounted lazily in pruning_mult)
     void flush_sample() {
         for (const int32_t ei : touched) {
             EdgeRec& e = edges[ei];
@@ -87,14 +98,21 @@ struct Builder {
             std::sort(e.kept.begin(), e.kept.end(), std::greater<int32_t>());
             if ((int)e.kept.size() > nps) e.kept.resize(nps);
             e.cur = 0;
+            e.flushed++;
         }
         touched.clear();
+        flush_count++;
     }
 
-    // num_pruning_samples-th largest per-sample count, 0-padded
-    // (multi_sample_edge.rs get_pruning_multiplicity)
+    // heap minimum of {seed} + per-sample totals, where samples that never
+    // touched the edge flushed a 0 (multi_sample_edge.rs
+    // get_pruning_multiplicity peeks the capped min-heap)
     int32_t pruning_mult(const EdgeRec& e) const {
-        return (int)e.kept.size() >= nps ? e.kept[nps - 1] : 0;
+        if ((int)e.kept.size() >= nps) return e.kept[nps - 1];
+        // fewer positive values than capacity: a zero-flush survives if any
+        const int zero_flushes = (flush_count - e.born) - e.flushed;
+        if (zero_flushes > 0) return 0;
+        return e.kept.empty() ? 0 : e.kept.back();
     }
 
     int32_t extend(int32_t prev, const uint8_t* seq, int64_t kmer_start,

@@ -174,9 +174,14 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
 def vmem_safe_block(Rpad: int, requested: int) -> int:
     """Largest block <= requested that fits the ~16MB scoped-VMEM budget:
     ~20 live [block, Rpad] f32 arrays put the ceiling at block*Rpad ~= 32k
-    (block 256 at Rpad 128 measured 16.18M/16M OOM at Rpad 256)."""
+    (block 256 at Rpad 128 measured 16.18M/16M OOM at Rpad 256).
+
+    Rounded down to a power of two so the block always divides the
+    B_SLAB-multiple batch — a non-divisor grid (e.g. 51 at Rpad 640)
+    would leave the trailing B % block rows of every slab unwritten."""
     cap = max(32, (256 * 128) // Rpad)
-    return min(requested, cap)
+    block = min(requested, cap)
+    return 1 << (block.bit_length() - 1)
 
 
 @functools.partial(jax.jit, static_argnames=("nchunks", "block_b", "interpret"))

@@ -125,3 +125,35 @@ def test_kbest_scores_ordered():
     assert scores == sorted(scores, reverse=True)  # best (least negative) first
     # the majority (ref) haplotype must score best
     assert g._seq_of(results[0][1]) == ref.tobytes()
+
+
+def test_kmer_retry_schedule_matches_reference():
+    """Expansion sizes follow read_threading_assembler.rs:419-450: start at
+    max(kmer_sizes)+13 bumped to odd, then flat +13 steps, at most 6."""
+    from lorikeet_tpu.assembly.graph import (
+        KMER_SIZE_ITERATION_INCREASE, MAX_KMER_ITERATIONS_TO_ATTEMPT,
+    )
+    assert KMER_SIZE_ITERATION_INCREASE == 13
+    assert MAX_KMER_ITERATIONS_TO_ATTEMPT == 6
+    base = 25
+    k = base + KMER_SIZE_ITERATION_INCREASE
+    if k % 2 == 0:
+        k += 1
+    sizes = [k]
+    for _ in range(MAX_KMER_ITERATIONS_TO_ATTEMPT - 1):
+        sizes.append(sizes[-1] + KMER_SIZE_ITERATION_INCREASE)
+    assert sizes == [39, 52, 65, 78, 91, 104]
+
+
+def test_pruning_multiplicity_seeded_by_creation():
+    """A single-sample edge under num_pruning_samples=2 floors at its
+    creation multiplicity, not 0 (multi_sample_edge.rs:57-96)."""
+    from lorikeet_tpu.assembly.graph import Edge
+    e = Edge(False, 2, initial=1)
+    for _ in range(4):
+        e.inc(1)
+    e.flush_sample(2)
+    assert e.pruning_multiplicity(2) == 1   # {1 (seed), 5} -> min = 1
+    # a second sample that never touches the edge flushes a 0
+    e.flush_sample(2)
+    assert e.pruning_multiplicity(2) == 1   # {1, 5, 0} -> keep {5, 1}

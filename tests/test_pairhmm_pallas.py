@@ -97,3 +97,13 @@ def test_pallas_interpret_long_reads_multilane():
     got = np.asarray(pairhmm_forward_pallas(haps, hl, reads, rl, quals,
                                             iqs, dqs, gcps, interpret=True))
     np.testing.assert_allclose(got[:B], want[:B], atol=2e-3)
+
+
+def test_vmem_block_always_divides_slab():
+    """A non-divisor block would leave trailing slab rows unwritten (the
+    Rpad=640 case produced block 51 over a 1024-row slab)."""
+    from lorikeet_tpu.ops.pairhmm_pallas import B_SLAB, vmem_safe_block
+    for rpad in range(128, 2049, 128):
+        b = vmem_safe_block(rpad, 64)
+        assert b > 0 and B_SLAB % b == 0, (rpad, b)
+    assert vmem_safe_block(640, 64) == 32
