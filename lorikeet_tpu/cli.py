@@ -558,10 +558,10 @@ def main(argv=None) -> int:
         print(json.dumps({"mode": "summarise", "outputs": out}))
         return 0
 
-    limit = None
-    if args.limiting_interval:
-        lo, hi = args.limiting_interval.split("-")
-        limit = (int(lo), int(hi))
+    # shared parser (interval_utils.rs parity: a bare number is ignored)
+    from lorikeet_tpu.utils.intervals import parse_limiting_interval
+    iv = parse_limiting_interval(args.limiting_interval)
+    limit = (iv.start, iv.end) if iv is not None else None
 
     if not args.reference and not args.genome_fasta_directory:
         print("supply -r and/or -d", file=sys.stderr)
@@ -581,17 +581,32 @@ def main(argv=None) -> int:
         from lorikeet_tpu.io.mapping import map_reads_to_bam
         cache = args.bam_file_cache_directory or os.path.join(
             args.output_directory, "bams")
-        ref = (args.reference or [None])[0]
-        params = (args.minimap2_params if "minimap2" in args.mapper
-                  else args.bwa_params)
+        ref = _mapping_reference(args, cache)
+        if ref is None:
+            print("raw reads need -r and/or -d references", file=sys.stderr)
+            return 2
 
-        def _map(r1, r2=None, interleaved=False, mapper=None, tag="s"):
+        def _params_for(mapper):
+            return (args.minimap2_params if "minimap2" in mapper
+                    else args.bwa_params if "bwa" in mapper else "")
+
+        used_stems = {}
+
+        def _map(r1, r2=None, interleaved=False, mapper=None):
+            mapper = mapper or args.mapper
             stem = os.path.splitext(os.path.basename(r1))[0]
+            # same-named FASTQs from different directories must not share
+            # one cached BAM
+            if used_stems.setdefault(stem, r1) != r1:
+                import hashlib
+                stem = f"{stem}_" + hashlib.md5(
+                    os.path.abspath(r1).encode()).hexdigest()[:8]
             out = os.path.join(cache, f"{stem}.bam")
             if not os.path.exists(out) or args.force:
-                map_reads_to_bam(mapper or args.mapper, ref, out, r1, r2,
+                map_reads_to_bam(mapper, ref, out, r1, r2,
                                  interleaved=interleaved,
-                                 threads=args.threads, params=params,
+                                 threads=args.threads,
+                                 params=_params_for(mapper),
                                  sample_name=stem,
                                  discard_unmapped=not args.keep_unmapped,
                                  reference_is_index=
@@ -645,7 +660,9 @@ def main(argv=None) -> int:
                                bam_cache_dir=args.bam_file_cache_directory)
 
     for genome, out in results.items():
-        if out.get("cached"):
+        if out.get("cached") or "vcf" not in out:
+            # failed genomes carry {'error': ...}; leave them reported
+            # rather than crashing the post-run annotations
             continue
         gdir = os.path.join(args.output_directory, genome)
         if args.calculate_dnds:
@@ -674,6 +691,51 @@ def main(argv=None) -> int:
     print(json.dumps({"mode": args.command, "outputs": flat},
                      default=str))
     return 0
+
+
+def _mapping_reference(args, cache: str) -> str | None:
+    """Reference FASTA for raw-read mapping.  Multiple genomes (several -r
+    files and/or -d) are concatenated into one mapping+calling reference
+    with '<genome_stem>~<contig>' names
+    (mapping_index_maintenance.rs:250-340
+    generate_concatenated_fasta_file); downstream genome discovery then
+    splits on '~'.  Returns None when no references were supplied."""
+    import glob as _glob
+    refs = list(args.reference or [])
+    if args.genome_fasta_directory:
+        refs.extend(sorted(_glob.glob(os.path.join(
+            args.genome_fasta_directory,
+            f"*.{args.genome_fasta_extension}"))))
+    if not refs:
+        return None
+    if len(refs) == 1:
+        return refs[0]
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in refs]
+    if len(set(stems)) != len(stems):
+        raise ValueError("multiple reference files share a genome name "
+                         "(file stem); rename them to be distinct")
+    os.makedirs(cache, exist_ok=True)
+    concat = os.path.join(cache, "concatenated_reference.fna")
+    if not os.path.exists(concat) or args.force:
+        tmp = concat + ".tmp"
+        with open(tmp, "w") as out_fh:
+            for path, stem in zip(refs, stems):
+                with open(path) as in_fh:
+                    line = "\n"
+                    for line in in_fh:
+                        if line.startswith(">"):
+                            contig = line[1:].strip().split(" ")[0]
+                            out_fh.write(f">{stem}~{contig}\n")
+                        else:
+                            out_fh.write(line)
+                    if not line.endswith("\n"):
+                        out_fh.write("\n")
+        os.replace(tmp, concat)
+    # the concatenated file becomes the calling reference too, so mapped
+    # contig names and genome discovery stay consistent
+    args.reference = [concat]
+    args.genome_fasta_directory = None
+    return concat
 
 
 def _fasta_for_genome(args, genome: str) -> str:

@@ -133,6 +133,10 @@ def call_contig(
     n_samples = len(bams)
     lo, hi = (0, length) if limit is None else (max(0, limit[0]),
                                                 min(length, limit[1]))
+    if hi <= lo:
+        # limiting interval starts past this contig's end: nothing to call
+        # (same empty shape as the min-contig-size skip)
+        return ContigResult(tid=0)
     chunk_size = max(250_000 // max(n_samples, 1),
                      5 * cfg.max_assembly_region_size)
     if hi - lo <= chunk_size:
@@ -458,6 +462,11 @@ def discover_genomes(references: list, genome_dir: str = None,
     return specs
 
 
+# config fields that only steer execution, not results — excluded from the
+# checkpoint fingerprint so resuming with e.g. a different -t reuses work
+_EXECUTION_ONLY_CFG = frozenset({"threads", "checkpoint", "graph_output"})
+
+
 def _cfg_fingerprint(cfg) -> str:
     """Stable digest of the calling-relevant config (object-typed knobs
     contribute their class name + public attrs)."""
@@ -465,6 +474,8 @@ def _cfg_fingerprint(cfg) -> str:
     import hashlib
     parts = []
     for f in dataclasses.fields(cfg):
+        if f.name in _EXECUTION_ONLY_CFG:
+            continue
         v = getattr(cfg, f.name)
         if isinstance(v, (int, float, str, bool, tuple, list, type(None))):
             parts.append(f"{f.name}={v!r}")
@@ -568,6 +579,11 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
         finally:
             local_fasta.close()
 
+    # the shared engine carries per-traversal genotyping state
+    # (GenotypingEngine._upstream_dels for spanning-deletion suppression),
+    # so concurrent contigs must each get their own engine
+    engine = None
+
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(n_workers) as ex:
         return list(ex.map(work, spec.contigs))
@@ -632,11 +648,15 @@ def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
             tids = sorted(rdr.tid(c) for c in spec.contigs
                           if c in rdr.references)
             recs = [r for t in tids for r in rdr.fetch(t)]
-            write_bam(dest, rdr.references, rdr.lengths, recs,
+            # write atomically: an interrupted run must not leave a
+            # truncated BAM that later runs silently reuse
+            tmp = dest + ".tmp"
+            write_bam(tmp, rdr.references, rdr.lengths, recs,
                       header_text=(rdr.header_text + "\n"
                                    if rdr.header_text
                                    and not rdr.header_text.endswith("\n")
                                    else rdr.header_text) or None)
+            os.replace(tmp, dest)
     return out
 
 

@@ -59,7 +59,7 @@ class ProgressTree:
     def __init__(self, total: int, enabled: bool = True):
         self.total = total
         self.done = 0
-        self.enabled = enabled and sys.stderr.isatty() is not None
+        self.enabled = enabled and sys.stderr.isatty()
 
     def update(self, genome: str, message: str):
         if self.enabled:

@@ -147,3 +147,63 @@ def test_man_pages(tmp_path, capsys):
     assert main(["man", "call"]) == 0
     out = capsys.readouterr().out
     assert "variant calling" in out
+
+
+def test_mapping_reference_concatenates_multiple_genomes(tmp_path):
+    """Several -r FASTAs become one coverm-style concatenated mapping
+    reference with genome~contig names
+    (mapping_index_maintenance.rs:250-340)."""
+    import argparse
+    from lorikeet_tpu.cli import _mapping_reference
+    g1 = tmp_path / "gA.fna"
+    g2 = tmp_path / "gB.fna"
+    g1.write_text(">ctg1 desc\nACGT\n")
+    g2.write_text(">ctg1\nTTTT\n>ctg2\nGGGG\n")
+    args = argparse.Namespace(
+        reference=[str(g1), str(g2)], genome_fasta_directory=None,
+        genome_fasta_extension="fna", force=False)
+    cache = str(tmp_path / "cache")
+    ref = _mapping_reference(args, cache)
+    text = open(ref).read()
+    assert ">gA~ctg1\n" in text and ">gB~ctg1\n" in text \
+        and ">gB~ctg2\n" in text
+    # the concatenated file becomes the calling reference
+    assert args.reference == [ref]
+    # single reference passes through untouched
+    args2 = argparse.Namespace(
+        reference=[str(g1)], genome_fasta_directory=None,
+        genome_fasta_extension="fna", force=False)
+    assert _mapping_reference(args2, cache) == str(g1)
+
+
+def test_limit_past_contig_end_is_empty(tmp_path):
+    """A --limiting-interval starting beyond a short contig yields an empty
+    result instead of crashing on a negative span."""
+    import numpy as np
+    from lorikeet_tpu.calling.engine import CallerConfig
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.io.bam import BamReader
+    from lorikeet_tpu.io.fasta import FastaReader
+    from lorikeet_tpu.processing import call_contig
+    from lorikeet_tpu.testkit.simulate import simulate_reads
+    ref = tmp_path / "r.fna"
+    seq = "ACGTACGGTACGCATCGCAT" * 100
+    ref.write_text(f">c1\n{seq}\n")
+    fr = FastaReader(str(ref))
+    recs = simulate_reads(fr.fetch("c1"), [], coverage=3, seed=1, tid=0)
+    bam = str(tmp_path / "r.bam")
+    write_bam(bam, ["c1"], [len(seq)], recs)
+    result = call_contig(FastaReader(str(ref)), [BamReader(bam)], "c1",
+                         CallerConfig(use_pallas=False),
+                         limit=(5000, 9000))
+    assert result.calls == []
+
+
+def test_cfg_fingerprint_ignores_execution_knobs():
+    from lorikeet_tpu.calling.engine import CallerConfig
+    from lorikeet_tpu.processing import _cfg_fingerprint
+    a = _cfg_fingerprint(CallerConfig(threads=1))
+    b = _cfg_fingerprint(CallerConfig(threads=16))
+    c = _cfg_fingerprint(CallerConfig(ploidy=3))
+    assert a == b
+    assert a != c
