@@ -90,11 +90,19 @@ def test_cli_genotype_and_summarise(sim_bam):
     # summarise computes Hudson Fst from the VCF alone
     # (lorikeet_engine.rs:1294-1301)
     assert os.path.exists(tables["fst"])
+    from lorikeet_tpu.strain.ani import read_ani_table
     with open(tables["consensus_ani"]) as fh:
         lines = fh.read().splitlines()
-    assert lines[1].startswith("SampleID")
-    # single sample: self-ANI = 1
-    assert float(lines[2].split("\t")[1]) == 1.0
+    # reference table format: ##source, ##sample lines, then the matrix
+    # (ani_calculator.rs:354-405)
+    assert lines[0].startswith("##source=lorikeet-v")
+    assert lines[1].startswith("##sample=<ID=1")
+    assert lines[2].startswith("SampleID")
+    names, mat = read_ani_table(tables["consensus_ani"])
+    assert len(names) == 1 and mat.shape == (1, 1)
+    # the diagonal compares the sample against the reference genome itself
+    # (ani_calculator.rs:293-327): hom-alt variants push self-ANI below 1
+    assert 0.0 < mat[0, 0] < 1.0
 
 
 def test_cli_limiting_interval(sim_bam):

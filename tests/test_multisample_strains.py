@@ -74,13 +74,18 @@ def test_both_samples_called_with_correct_genotypes(two_sample_run):
 
 def test_ani_discriminates_samples(two_sample_run):
     out, *_ = two_sample_run
-    lines = open(out["ani"]["consensus_ani"]).read().splitlines()
-    names = lines[1].split("\t")[1:]
-    rows = {l.split("\t")[0]: [float(x) for x in l.split("\t")[1:]]
-            for l in lines[2:]}
-    a, b = names
-    assert rows[a][names.index(a)] == 1.0
-    assert rows[a][names.index(b)] < 1.0          # 4 differing sites
+    from lorikeet_tpu.strain.ani import read_ani_table
+    names, mat = read_ani_table(out["ani"]["consensus_ani"])
+    assert len(names) == 2 and mat.shape == (2, 2)
+    # the cross-sample cell accumulates both strains' differing sites, and
+    # each diagonal compares that sample against the reference genome itself
+    # (ani_calculator.rs:293-327) — all strictly below 1 here (the diagonal
+    # denominator is that sample's own passing-base count, so no ordering
+    # between diagonal and off-diagonal cells is implied)
+    assert mat[0, 1] == mat[1, 0]
+    assert 0.99 < mat[0, 1] < 1.0
+    assert 0.99 < mat[0, 0] < 1.0
+    assert 0.99 < mat[1, 1] < 1.0
 
 
 def test_two_strains_resolved(two_sample_run):
