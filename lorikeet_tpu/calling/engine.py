@@ -903,16 +903,16 @@ class HaplotypeCallerEngine:
             if qd >= MAX_QD_BEFORE_FIXING:
                 qd = IDEAL_HIGH_QD          # deterministic (no jitter)
             call.attributes["QD"] = round(qd, 2)
-        mapqs = [r.mapq for s in allele_lks.samples
-                 for r in allele_lks.reads_by_sample[s]]
-        if mapqs:
-            call.attributes["MQ"] = round(
-                float(np.sqrt(np.mean(np.square(mapqs)))), 2)
-        # BQ (Number=R): median phred base quality at the site per allele,
-        # over informative mapq>0 reads (variant_annotation.rs:347
-        # BaseQuality via get_read_base_quality_at_reference_coordinate)
+        # MQ and BQ (both Number=R): per-allele MEDIAN over informative,
+        # mapq!=0, best-allele-assigned reads, default 30 for alleles with
+        # no usable reads (variant_annotation.rs:188-236; is_usable_read
+        # :356-358; MQ value = read mapq :346, BQ value = base quality at
+        # the site :347 via get_read_base_quality_at_reference_coordinate).
+        # The reference's MQ header says "RMS" but the statistic it stores
+        # is this median — the description string is wrong upstream.
         from lorikeet_tpu.utils.cigar import read_offset_at
         quals_by_allele = {}
+        mapqs_by_allele = {}
         for s in allele_lks.samples:
             mat = allele_lks.values[s]
             reads = allele_lks.reads_by_sample[s]
@@ -922,20 +922,27 @@ class HaplotypeCallerEngine:
             for r_idx, rec in enumerate(reads):
                 if r_idx >= len(ok) or not ok[r_idx] or rec.mapq == 0:
                     continue
+                mapqs_by_allele.setdefault(
+                    int(best[r_idx]), []).append(int(rec.mapq))
                 off = read_offset_at(call.start, rec.pos, rec.cigar)
                 if off is not None and off < len(rec.qual):
                     quals_by_allele.setdefault(
                         int(best[r_idx]), []).append(int(rec.qual[off]))
-        if quals_by_allele:
-            lk_alleles = list(allele_lks.alleles)
-            bq = []
-            for a in call.alleles:
-                try:
-                    q = quals_by_allele.get(lk_alleles.index(a), [])
-                except ValueError:
-                    q = []
-                bq.append(int(round(float(np.median(q)))) if q else 0)
-            call.attributes["BQ"] = bq
+        lk_alleles = list(allele_lks.alleles)
+        bq, mq = [], []
+        for a in call.alleles:
+            try:
+                a_idx = lk_alleles.index(a)
+            except ValueError:
+                a_idx = -1
+            # upper median (math_utils.rs:41-45: sorted[len/2]), not the
+            # even-length average
+            q = sorted(quals_by_allele.get(a_idx, []))
+            m = sorted(mapqs_by_allele.get(a_idx, []))
+            bq.append(q[len(q) // 2] if q else 30)
+            mq.append(m[len(m) // 2] if m else 30)
+        call.attributes["BQ"] = bq
+        call.attributes["MQ"] = mq
         # QF: variant qualifies for ANI analyses
         # (variant_context_utils.rs:99-148 check_thresholds: QD >= filter
         #  and QUAL >= qual-threshold, default 150 -> log10_p_error <= -15;

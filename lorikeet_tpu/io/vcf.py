@@ -18,7 +18,7 @@ INFO_HEADER = [
     ('DP', '1', 'Integer', 'Approximate read depth; some reads may have been filtered'),
     ('MLEAC', 'A', 'Integer', 'Maximum likelihood expectation (MLE) for the allele counts'),
     ('MLEAF', 'A', 'Float', 'Maximum likelihood expectation (MLE) for the allele frequency'),
-    ('MQ', '1', 'Float', 'RMS Mapping Quality'),
+    ('MQ', 'R', 'Float', 'RMS Mapping Quality'),
     ('NDA', '1', 'Integer', 'Number of alternate alleles discovered (but not necessarily genotyped) at this site'),
     ('BQ', 'R', 'Integer', 'Median PHRED-scaled Base Quality of the variant'),
     ('QD', '1', 'Float', 'Variant Confidence/Quality by Depth'),
