@@ -31,9 +31,27 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lorikeet_tpu.ops.pairhmm import TRISTATE_CORRECTION, _NBASE
+from lorikeet_tpu.ops.pairhmm import TRISTATE_CORRECTION
 
 _LANES = 128
+
+# One-hot base-bit encoding (host LUT).  The kernel's N-aware base match
+# ((r == h) | r == N | h == N, pair_hmm.rs:536-545) collapses to a single
+# AND+compare when every base maps to a bit and N maps to all bits.  IUPAC
+# ambiguity codes get distinct bits (the reference matches by *byte
+# equality*, not IUPAC intersection); lowercase folds to uppercase (decoders
+# upstream emit uppercase); all remaining byte values share one "unknown"
+# bit — two *different* unknown bytes would spuriously match, but such bytes
+# cannot reach the kernel through the BAM/FASTA decoders.
+_BASE_BITS = np.zeros(256, np.int32)
+for _i, _ch in enumerate(b"ACGT"):
+    _BASE_BITS[_ch] = 1 << _i
+for _i, _ch in enumerate(b"RYSWKMBDHVU="):
+    _BASE_BITS[_ch] = 1 << (4 + _i)
+_BASE_BITS[_BASE_BITS == 0] = 1 << 20
+for _ch in b"acgtryswkmbdhvu":
+    _BASE_BITS[_ch] = _BASE_BITS[_ch - 32]
+_BASE_BITS[ord("N")] = _BASE_BITS[ord("n")] = (1 << 21) - 1
 
 # Diagonals per renormalisation group (unrolled in the kernel body).  8 steps
 # decay at most ~1e-44, above the f32 denormal floor; must divide 128.  Module
@@ -66,6 +84,8 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     hap_len = jnp.broadcast_to(col(lens_v, 1), (TB, Rpad))
     boundary = lane == 0
     is_end_row = lane == read_len
+    rl_p1 = read_len + 1                                      # loop-invariant
+    hap_len_u = hap_len.astype(jnp.uint32)
     b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)            # [TB,Rpad]
 
     tmm = t_mm[...]
@@ -77,14 +97,16 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     pm = p_match[...]
     px = p_mis[...]
     rp = read_pad[...]
-    rp_is_n = rp == _NBASE  # loop-invariant
 
     zeros = jnp.zeros((TB, Rpad), f32)
 
-    def shift(x):
-        # out[:, i] = x[:, i-1]; out[:, 0] = 0
-        rolled = pltpu.roll(x, 1, 1)
-        return jnp.where(boundary, 0.0, rolled)
+    # State shifts are PLAIN cyclic rolls — no boundary-zeroing select.  The
+    # wrapped lane-(Rpad-1) value lands in lane 0, where every consumer is
+    # multiplied by a coefficient the host packs as zero: prior (pm = px = 0
+    # on lane 0) kills it in m_new, and tmi = tii = 0 on lane 0 kill it in
+    # i_new; d_new's lane 0 is overwritten by the boundary select.  This
+    # saves three selects per diagonal (~8% of the op budget).
+    shift = lambda x: pltpu.roll(x, 1, 1)
 
     _GROUP = GROUP  # diagonals per renormalisation
 
@@ -109,19 +131,22 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
             hapd = jnp.where(boundary, window, pltpu.roll(hapd, 1, 1))
             window = pltpu.roll(window, Rpad - 1, 1)
 
-            base_match = (rp == hapd) | rp_is_n | (hapd == _NBASE)
+            # one-hot bit match: bases are _BASE_BITS codes, N = all bits
+            base_match = (rp & hapd) != 0
             prior = jnp.where(base_match, pm, px)
 
-            # shift() zeroes lane 0, so m_new/i_new are already 0 on the
-            # boundary row — no explicit select needed there
+            # prior / tmi / tii are 0 on lane 0, so m_new/i_new are already
+            # 0 on the boundary row — no explicit select needed there
             m_new = prior * (sm * tmm + (si + sd) * tim)
             new_sm = shift(m1)
             new_si = shift(i1)
             i_new = new_sm * tmi + new_si * tii
             d_new = jnp.where(boundary, bval, m1 * tmd + d1 * tdd)
 
-            j_here = d - read_len                              # [TB,Rpad]
-            valid = (j_here >= 1) & (j_here <= hap_len) & is_end_row
+            # hap column j = d - read_len; in-range 1..hap_len via a single
+            # unsigned compare of j-1 (negatives wrap huge)
+            j0u = (d - rl_p1).astype(jnp.uint32)               # [TB,Rpad]
+            valid = (j0u < hap_len_u) & is_end_row
             acc = acc + jnp.where(valid, m_new + i_new, 0.0)
             sm, si, sd = new_sm, new_si, shift(d1)
             m1, i1, d1 = m_new, i_new, d_new
@@ -242,13 +267,21 @@ def pack_pallas_inputs(
     t_im = 1.0 - eg
     p_match = 1.0 - eps
     p_mis = eps / TRISTATE_CORRECTION
+    # Lane 0 (boundary row) and lanes beyond each read's length carry no DP
+    # cells; zeroing the mismatch prior there (a) keeps garbage out of the
+    # state and (b) makes the kernel's plain-roll state shifts safe: the
+    # wrap into lane 0 is annihilated by prior == 0 (see kernel comment).
+    p_mis[:, 0] = 0.0
+    rl_all = np.ones(Bpad, np.int64)
+    rl_all[:B] = np.asarray(read_lens)
+    p_mis[np.arange(Rpad)[None, :] > rl_all[:, None]] = 0.0
 
     read_pad = np.zeros((Bpad, Rpad), np.int32)
-    read_pad[:B, 1:Rmax + 1] = reads
+    read_pad[:B, 1:Rmax + 1] = _BASE_BITS[np.asarray(reads, np.uint8)]
     # hap_stream[:, k] == hap[k]: entering base for diagonal d=k+1
     Spad = nchunks * _LANES
     hap_stream = np.zeros((Bpad, Spad), np.int32)
-    hap_stream[:B, :Hmax] = haps
+    hap_stream[:B, :Hmax] = _BASE_BITS[np.asarray(haps, np.uint8)]
     lens = np.zeros((Bpad, _LANES), np.int32)
     lens[:B, 0] = read_lens
     lens[:B, 1] = hap_lens
