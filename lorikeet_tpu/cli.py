@@ -329,6 +329,14 @@ def build_parser() -> argparse.ArgumentParser:
     ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
     ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
     ssum.add_argument("--calculate-fst", action="store_true")
+    # site-qualification knobs (cli.rs:3560-3577 summarise parity)
+    ssum.add_argument("--qual-by-depth-filter", type=float, default=25.0)
+    ssum.add_argument("--qual-threshold", type=float, default=150.0,
+                      help="accepted for reference parity; the reference's "
+                           "log10_p_error comparison is trivially true "
+                           "(see strain/ani.py)")
+    ssum.add_argument("--depth-per-sample-filter", type=int, default=5)
+    ssum.add_argument("-t", "--threads", type=int, default=8)
 
     scomp = sub.add_parser("shell-completion",
                            help="emit a shell completion script "
@@ -554,7 +562,9 @@ def main(argv=None) -> int:
     if args.command == "summarise":
         from lorikeet_tpu.strain.ani import run_summarise
         out = run_summarise(args.vcfs, args.output_directory,
-                            calculate_fst=args.calculate_fst)
+                            calculate_fst=args.calculate_fst,
+                            qual_by_depth_filter=args.qual_by_depth_filter,
+                            depth_per_sample_filter=args.depth_per_sample_filter)
         print(json.dumps({"mode": "summarise", "outputs": out}))
         return 0
 

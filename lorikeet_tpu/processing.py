@@ -624,7 +624,11 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
     write_vcf(vcf_path, all_calls, spec.contigs, contig_lengths, sample_names)
     ani_paths = run_ani(all_calls, os.path.join(genome_dir, spec.name),
                         sample_names, spec.name, genome_size,
-                        passing_sites=passing_rle)
+                        passing_sites=passing_rle,
+                        qual_by_depth_filter=getattr(
+                            cfg, "qual_by_depth_filter", 25.0),
+                        depth_per_sample_filter=getattr(
+                            cfg, "depth_per_sample_filter", 5))
     return {"vcf": vcf_path, "ani": ani_paths, "n_calls": len(all_calls)}
 
 

@@ -128,10 +128,11 @@ class ANICalculator:
         self.subpopANI = np.zeros((n_samples, n_samples), np.float32)
         self.n = n_samples
 
-    def consume(self, contexts, depth_filter=DEPTH_PER_SAMPLE_FILTER):
+    def consume(self, contexts, depth_filter=DEPTH_PER_SAMPLE_FILTER,
+                qual_by_depth_filter=QUAL_BY_DEPTH_FILTER):
         """ani_calculator.rs:176-327 calculate_from_contexts (counting pass)."""
         for vc in contexts:
-            if not site_passes(vc):
+            if not site_passes(vc, qual_by_depth_filter):
                 continue
             cons = [consensus_allele_index(vc, s) or 0 for s in range(self.n)]
             present = [alleles_present_in_sample(vc, s, depth_filter)
@@ -231,16 +232,21 @@ def read_ani_table(path: str):
 
 
 def run_ani(contexts, output_prefix, sample_names, reference_name,
-            genome_size, passing_sites=None):
+            genome_size, passing_sites=None,
+            qual_by_depth_filter=QUAL_BY_DEPTH_FILTER,
+            depth_per_sample_filter=DEPTH_PER_SAMPLE_FILTER):
     calc = ANICalculator(len(sample_names))
-    calc.consume(contexts)
+    calc.consume(contexts, depth_filter=depth_per_sample_filter,
+                 qual_by_depth_filter=qual_by_depth_filter)
     cb = calculate_compared_bases(passing_sites, genome_size,
                                   len(sample_names))
     return calc.write_tables(output_prefix, sample_names, reference_name, cb)
 
 
 def run_summarise(vcf_paths: list, output_dir: str,
-                  calculate_fst: bool = False) -> dict:
+                  calculate_fst: bool = False,
+                  qual_by_depth_filter: float = QUAL_BY_DEPTH_FILTER,
+                  depth_per_sample_filter: int = DEPTH_PER_SAMPLE_FILTER) -> dict:
     """`summarise` mode: ANI tables (and optionally Hudson Fst) from
     existing VCFs (lorikeet_engine.rs:1224-1305)."""
     from lorikeet_tpu.io.vcf import read_vcf
@@ -263,9 +269,12 @@ def run_summarise(vcf_paths: list, output_dir: str,
         name = os.path.splitext(os.path.basename(path))[0]
         prefix = os.path.join(output_dir, name)
         outputs[name] = run_ani(contexts, prefix, samples, name,
-                                max(genome_size, 1))
+                                max(genome_size, 1),
+                                qual_by_depth_filter=qual_by_depth_filter,
+                                depth_per_sample_filter=depth_per_sample_filter)
         if calculate_fst:
             from lorikeet_tpu.strain.fst import write_fst
-            outputs[name]["fst"] = write_fst(contexts, len(samples), samples,
-                                             output_dir, name)
+            outputs[name]["fst"] = write_fst(
+                contexts, len(samples), samples, output_dir, name,
+                depth_filter=depth_per_sample_filter)
     return outputs

@@ -65,9 +65,10 @@ def calculate_fst(contexts, n_samples: int,
 
 
 def write_fst(contexts, n_samples: int, sample_names, output_dir: str,
-              genome_name: str) -> str:
+              genome_name: str,
+              depth_filter: int = DEPTH_PER_SAMPLE_FILTER) -> str:
     os.makedirs(output_dir, exist_ok=True)
-    mat = calculate_fst(contexts, n_samples)
+    mat = calculate_fst(contexts, n_samples, depth_filter=depth_filter)
     path = os.path.join(output_dir, f"{genome_name}_sample_fst_values.tsv")
     with open(path, "w") as out:
         out.write("SampleID\t" + "\t".join(sample_names) + "\n")

@@ -103,6 +103,14 @@ def test_cli_genotype_and_summarise(sim_bam):
     # the diagonal compares the sample against the reference genome itself
     # (ani_calculator.rs:293-327): hom-alt variants push self-ANI below 1
     assert 0.0 < mat[0, 0] < 1.0
+    # qualification knobs gate sites (cli.rs:3560-3577 summarise args):
+    # an impossible QD threshold disqualifies everything -> self-ANI 1.0
+    out3 = _run_cli(["summarise", "-i", vcf, "-o", tmp + "/sum_strict",
+                     "--qual-by-depth-filter", "1e9",
+                     "--depth-per-sample-filter", "100000"])
+    strict = list(out3["outputs"].values())[0]
+    _, mat3 = read_ani_table(strict["consensus_ani"])
+    assert mat3[0, 0] == 1.0
 
 
 def test_cli_limiting_interval(sim_bam):
