@@ -20,18 +20,22 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     def add_common(sp):
-        sp.add_argument("-r", "--reference", nargs="+", default=None,
+        sp.add_argument("--full-help", "--full-help-roff", nargs=0,
+                        action=_FullHelpAction, help=argparse.SUPPRESS)
+        sp.add_argument("-r", "--reference", "-f", "--genome-fasta-files",
+                        nargs="+", default=None,
                         help="reference FASTA file(s); contigs named "
-                             "genome~contig group into genomes")
+                             "genome~contig group into genomes "
+                             "(-f/--genome-fasta-files: cli.rs parity alias)")
         sp.add_argument("-d", "--genome-fasta-directory", default=None,
                         help="directory of genome FASTAs")
         sp.add_argument("-x", "--genome-fasta-extension", default="fna")
         sp.add_argument("-b", "--bam-files", nargs="+", default=None,
                         help="sorted BAM files, one per sample")
-        sp.add_argument("-1", dest="read1", nargs="+", default=None,
-                        help="forward FASTQ files (with -2)")
-        sp.add_argument("-2", dest="read2", nargs="+", default=None,
-                        help="reverse FASTQ files (with -1)")
+        sp.add_argument("-1", "--read1", dest="read1", nargs="+",
+                        default=None, help="forward FASTQ files (with -2)")
+        sp.add_argument("-2", "--read2", dest="read2", nargs="+",
+                        default=None, help="reverse FASTQ files (with -1)")
         sp.add_argument("-c", "--coupled", nargs="+", default=None,
                         help="forward/reverse FASTQ files alternating "
                              "(f1 r1 f2 r2 ...)")
@@ -326,6 +330,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     ssum = sub.add_parser("summarise", help="re-analyse existing VCFs (ANI)",
                           description="re-analyse existing VCFs (ANI)")
+    ssum.add_argument("--full-help", "--full-help-roff", nargs=0,
+                      action=_FullHelpAction, help=argparse.SUPPRESS)
     ssum.add_argument("-i", "--vcfs", nargs="+", required=True)
     ssum.add_argument("-o", "--output-directory", default="./lorikeet_out")
     ssum.add_argument("--calculate-fst", action="store_true")
@@ -363,6 +369,24 @@ def _man_page(parser: argparse.ArgumentParser, cmd: str) -> str:
     definition (the role of the bird_tool_utils-man roff output at
     cli.rs:702-1016 + build_manuals.sh)."""
     sp = parser._subparsers._group_actions[0].choices[cmd]
+    return _man_page_from_sub(sp, cmd)
+
+
+class _FullHelpAction(argparse.Action):
+    """--full-help / --full-help-roff on every analysis subcommand
+    (cli.rs:702-1016): print the extended page and exit, bypassing
+    required-argument checks exactly like --help."""
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        cmd = parser.prog.split()[-1]
+        if option_string == "--full-help-roff":
+            print(_man_page_from_sub(parser, cmd))
+        else:
+            print(parser.format_help())
+        parser.exit(0)
+
+
+def _man_page_from_sub(sp: argparse.ArgumentParser, cmd: str) -> str:
     import datetime
     lines = [
         f'.TH "LORIKEET\\-TPU\\-{cmd.upper()}" "1" '

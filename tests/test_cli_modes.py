@@ -165,6 +165,25 @@ def test_man_pages(tmp_path, capsys):
     assert "variant calling" in out
 
 
+def test_full_help_and_aliases(capsys):
+    """--full-help/--full-help-roff print and exit without required args
+    (cli.rs:702-1016); -f/--genome-fasta-files and --read1/--read2 are
+    accepted aliases (cli.rs:1192-1242)."""
+    import pytest
+    from lorikeet_tpu.cli import build_parser, main
+    for flag, marker in (("--full-help", "usage: lorikeet-tpu call"),
+                         ("--full-help-roff", '.TH "LORIKEET\\-TPU\\-CALL"')):
+        with pytest.raises(SystemExit) as exc:
+            main(["call", flag])
+        assert exc.value.code == 0
+        assert marker in capsys.readouterr().out
+    p = build_parser()
+    ns = p.parse_args(["call", "-f", "a.fna", "b.fna",
+                       "--read1", "r1.fq", "--read2", "r2.fq", "-o", "x"])
+    assert ns.reference == ["a.fna", "b.fna"]
+    assert ns.read1 == ["r1.fq"] and ns.read2 == ["r2.fq"]
+
+
 def test_mapping_reference_concatenates_multiple_genomes(tmp_path):
     """Several -r FASTAs become one coverm-style concatenated mapping
     reference with genome~contig names
