@@ -205,6 +205,9 @@ def build_parser() -> argparse.ArgumentParser:
                         default=25, help=argparse.SUPPRESS)
         sp.add_argument("--min-observations-for-kmers-to-be-solid", type=int,
                         default=20, help=argparse.SUPPRESS)
+        # the reference defines BOTH spellings (cli.rs:1736,1749); both inert
+        sp.add_argument("--min-observation-for-kmer-to-be-solid", type=int,
+                        default=20, help=argparse.SUPPRESS)
         sp.add_argument("--exclude-genomes-from-deshard", default=None,
                         help=argparse.SUPPRESS)
         sp.add_argument("--debug-graph-output", default=None,
