@@ -53,8 +53,9 @@ def main():
         np.asarray(out)
         return time.time() - t0
 
-    # best-of-3 measurement passes: tunnel load adds ~+-5% run-to-run noise,
-    # and min-time is the standard unbiased throughput estimator
+    # best-of-3 measurement passes: tunnel load adds ~+-5% run-to-run noise;
+    # min-time is the noise-robust estimator (biased toward the quiet-tunnel
+    # case by construction — see docs/benchmarks.md methodology note)
     t1 = min(run_n(1) for _ in range(2))
     per_call = min((run_n(21) - t1) / 20 for _ in range(3))
     gcups = B * R * H / per_call / 1e9

@@ -188,9 +188,15 @@ def build_parser() -> argparse.ArgumentParser:
                              "--calculate-dnds has no --gff-file")
         sp.add_argument("--minimap2-reference-is-index", action="store_true",
                         help="treat -r as a prebuilt minimap2 .mmi index")
+        sp.add_argument("--high-memory", action="store_true",
+                        help="decode whole BAMs into RAM up front instead "
+                             "of streaming region fetches through the .bai "
+                             "index (hidden no-op in the reference, "
+                             "cli.rs:1420; functional here)")
         # accepted for reference CLI parity; declared but never read by the
-        # reference either (cli.rs defines them; no non-CLI use sites)
-        for inert in ("--high-memory", "--sharded", "--no-zeros",
+        # reference either (cli.rs defines them; no non-CLI use sites).
+        # Using one prints a warning so the inertness is never silent.
+        for inert in ("--sharded", "--no-zeros",
                       "--error-correct-reads", "--use-linked-debruijn-graph",
                       "--enable-legacy-graph-cycle-detection",
                       "--debug-graph-transformations", "--disable-avx"):
@@ -490,6 +496,7 @@ def _caller_config(args):
     cfg.max_prob_propagation_distance = args.max_prob_propagation_distance
     cfg.min_contig_size = args.min_contig_size
     cfg.do_not_call_svs = args.do_not_call_svs
+    cfg.high_memory = args.high_memory
     from lorikeet_tpu.io.filter import FlagFilter
     cfg.flag_filter = FlagFilter(
         include_improper_pairs=args.allow_improper_pairs,
@@ -551,6 +558,33 @@ def _base_config(args):
     )
 
 
+#: flags accepted only for reference CLI drop-in compatibility (inert in the
+#: reference too); (dest, default) pairs checked after parsing
+_INERT_FLAGS = (
+    ("sharded", False), ("no_zeros", False), ("error_correct_reads", False),
+    ("use_linked_debruijn_graph", False),
+    ("enable_legacy_graph_cycle_detection", False),
+    ("debug_graph_transformations", False), ("disable_avx", False),
+    ("min_covered_fraction", 0.0), ("trim_min", 0.05), ("trim_max", 0.95),
+    ("contig_end_exclusion", 0.0),
+    ("kmer_length_for_read_error_correction", 25),
+    ("min_observations_for_kmers_to_be_solid", 20),
+    ("min_observation_for_kmer_to_be_solid", 20),
+    ("exclude_genomes_from_deshard", None), ("debug_graph_output", None),
+)
+
+
+def _warn_inert_flags(args) -> None:
+    """Non-default inert flags get a stderr warning: the flag parses (CLI
+    drop-in parity with the reference, which also ignores them —
+    cli.rs hidden Args with no non-CLI use sites) but changes nothing."""
+    for dest, default in _INERT_FLAGS:
+        if getattr(args, dest, default) != default:
+            print(f"[lorikeet-tpu] warning: --{dest.replace('_', '-')} is "
+                  "accepted for reference CLI parity but has no effect",
+                  file=sys.stderr)
+
+
 def main(argv=None) -> int:
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                           os.path.expanduser("~/.cache/lorikeet_tpu_jax"))
@@ -560,6 +594,7 @@ def main(argv=None) -> int:
     os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
     parser = build_parser()
     args = parser.parse_args(argv)
+    _warn_inert_flags(args)
 
     if args.command == "man":
         cmds = ([args.subcommand] if args.subcommand
@@ -591,7 +626,8 @@ def main(argv=None) -> int:
         out = run_summarise(args.vcfs, args.output_directory,
                             calculate_fst=args.calculate_fst,
                             qual_by_depth_filter=args.qual_by_depth_filter,
-                            depth_per_sample_filter=args.depth_per_sample_filter)
+                            depth_per_sample_filter=args.depth_per_sample_filter,
+                            threads=args.threads)
         print(json.dumps({"mode": "summarise", "outputs": out}))
         return 0
 

@@ -246,13 +246,15 @@ def run_ani(contexts, output_prefix, sample_names, reference_name,
 def run_summarise(vcf_paths: list, output_dir: str,
                   calculate_fst: bool = False,
                   qual_by_depth_filter: float = QUAL_BY_DEPTH_FILTER,
-                  depth_per_sample_filter: int = DEPTH_PER_SAMPLE_FILTER) -> dict:
+                  depth_per_sample_filter: int = DEPTH_PER_SAMPLE_FILTER,
+                  threads: int = 1) -> dict:
     """`summarise` mode: ANI tables (and optionally Hudson Fst) from
-    existing VCFs (lorikeet_engine.rs:1224-1305)."""
+    existing VCFs (lorikeet_engine.rs:1224-1305).  ``threads`` parallelizes
+    across VCFs (each VCF's work is independent: parse + numpy ANI/Fst)."""
     from lorikeet_tpu.io.vcf import read_vcf
     os.makedirs(output_dir, exist_ok=True)
-    outputs = {}
-    for path in vcf_paths:
+
+    def one(path):
         contexts, contigs, samples = read_vcf(path)
         if not samples:
             samples = ["sample0"]
@@ -268,13 +270,19 @@ def run_summarise(vcf_paths: list, output_dir: str,
                     break
         name = os.path.splitext(os.path.basename(path))[0]
         prefix = os.path.join(output_dir, name)
-        outputs[name] = run_ani(contexts, prefix, samples, name,
-                                max(genome_size, 1),
-                                qual_by_depth_filter=qual_by_depth_filter,
-                                depth_per_sample_filter=depth_per_sample_filter)
+        out = run_ani(contexts, prefix, samples, name,
+                      max(genome_size, 1),
+                      qual_by_depth_filter=qual_by_depth_filter,
+                      depth_per_sample_filter=depth_per_sample_filter)
         if calculate_fst:
             from lorikeet_tpu.strain.fst import write_fst
-            outputs[name]["fst"] = write_fst(
+            out["fst"] = write_fst(
                 contexts, len(samples), samples, output_dir, name,
                 depth_filter=depth_per_sample_filter)
-    return outputs
+        return name, out
+
+    if threads > 1 and len(vcf_paths) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(min(threads, len(vcf_paths))) as ex:
+            return dict(ex.map(one, vcf_paths))
+    return dict(one(p) for p in vcf_paths)

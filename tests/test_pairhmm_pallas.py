@@ -99,6 +99,46 @@ def test_pallas_interpret_long_reads_multilane():
     np.testing.assert_allclose(got[:B], want[:B], atol=2e-3)
 
 
+def test_pallas_interpret_ambiguous_bases():
+    """N bases (all match bits) and IUPAC codes (distinct bits; byte-equality
+    match like the reference, pair_hmm.rs:536-545) through the kernel's
+    _BASE_BITS one-hot match, checked against the exact numpy reference —
+    previously only the on-TPU golden runs exercised non-ACGT bytes."""
+    rng = np.random.default_rng(23)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    # case 1: N in both read and hap (N matches everything)
+    hap = bases[rng.integers(0, 4, 40)]
+    read = hap[3:3 + 20].copy()
+    hap[10] = ord("N")
+    read[4] = ord("N")
+    # case 2: IUPAC 'R' in hap vs 'A' in read (distinct bits: mismatch)
+    hap2 = bases[rng.integers(0, 4, 36)]
+    read2 = hap2[2:2 + 18].copy()
+    hap2[8] = ord("R")
+    read2[6] = ord("A")
+    # case 3: IUPAC 'R' vs 'R' (byte equality: match) and 'R' vs 'N' (match)
+    hap3 = bases[rng.integers(0, 4, 36)]
+    read3 = hap3[1:1 + 18].copy()
+    hap3[5] = ord("R")
+    read3[4] = ord("R")
+    hap3[12] = ord("N")
+    read3[11] = ord("R")
+    for h, r in [(hap, read), (hap2, read2), (hap3, read3)]:
+        R = len(r)
+        pairs.append((h, r,
+                      rng.integers(10, 40, R).astype(np.uint8),
+                      rng.integers(30, 46, R).astype(np.uint8),
+                      rng.integers(30, 46, R).astype(np.uint8),
+                      np.full(R, 10, np.uint8)))
+    from lorikeet_tpu.ops.pairhmm import pack_pairhmm_batch
+    batch = pack_pairhmm_batch(pairs)
+    got = np.asarray(pairhmm_forward_pallas(**batch, interpret=True))
+    for k, p in enumerate(pairs):
+        want = pairhmm_forward_np(*p)
+        assert abs(got[k] - want) < 2e-3, (k, want, got[k])
+
+
 def test_vmem_block_always_divides_slab():
     """A non-divisor block would leave trailing slab rows unwritten (the
     Rpad=640 case produced block 51 over a 1024-row slab)."""
