@@ -15,6 +15,7 @@ flags, tid/pos/mapq, CIGAR, seq, quals, mate info, tags.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from dataclasses import dataclass, field
 
@@ -194,12 +195,42 @@ def _decode_tags(buf: bytes, p: int, end: int) -> dict:
     return tags
 
 
+def open_bam(path: str, high_memory: bool = False, streaming: bool = None):
+    """Reader factory: whole-file eager decode for small files (fast, the
+    common test/cohort case), indexed streaming for large ones (memory
+    O(window); the reference's IndexedNamedBamReader role,
+    bam_generator.rs:48).  ``high_memory`` (the --high-memory flag) forces
+    eager decode; ``streaming`` overrides the size heuristic outright.
+    A missing .bai is built on the spot (index_bams.rs finish_bams role)."""
+    if streaming is None:
+        if high_memory:
+            streaming = False
+        else:
+            import os as _os
+            threshold = int(_os.environ.get("LORIKEET_EAGER_BAM_MAX",
+                                            str(256 * 1024 * 1024)))
+            try:
+                streaming = _os.path.getsize(path) > threshold
+            except OSError:
+                streaming = False
+    if streaming:
+        return StreamingBamReader(path)
+    return BamReader(path)
+
+
 class BamReader:
     """Whole-file BAM reader with per-contig fetch.
 
     Decodes the full file on first use (fine for per-genome split BAMs; the
     reference similarly re-reads whole BAMs per genome task).
     """
+
+    #: eager readers hold every record; window preparation is a no-op
+    is_streaming = False
+
+    def prepare_span(self, tid: int, start: int, end: int):
+        """Hint that the caller is about to work inside [start, end) on tid
+        (streaming readers decode that window; eager readers no-op)."""
 
     def __init__(self, path: str):
         self.path = path
@@ -540,6 +571,185 @@ class BamReader:
                     if fieldv.startswith("SM:"):
                         samples.append(fieldv[3:])
         return samples
+
+
+class StreamingBamReader(BamReader):
+    """Indexed, streaming BAM reader: decodes only the BGZF blocks covering
+    the requested window (bam_generator.rs:48 IndexedNamedBamReader /
+    haplotype_caller_engine.rs:675-725 per-chunk fetch semantics).
+
+    ``prepare_span(tid, lo, hi)`` decodes one window and exposes the full
+    BamReader API over it — filter_mask / columnar / fetch_indices /
+    records_at indices are WINDOW-relative (the pipeline only ever uses
+    indices against the same window it got them from).  Memory is
+    O(window), never O(file).
+    """
+
+    is_streaming = True
+
+    def __init__(self, path: str, bai_path: str = None):
+        from lorikeet_tpu.io.bai import BgzfFile, build_bai, read_bai
+        self.path = path
+        self._native = False
+        self._bgzf = BgzfFile(path)
+        self._read_header()
+        bai_path = bai_path or path + ".bai"
+        if not os.path.exists(bai_path):
+            build_bai(path, bai_path)
+        self._bai = read_bai(bai_path)
+        if len(self._bai) != len(self.references):
+            raise ValueError(f"{bai_path}: indexes {len(self._bai)} refs, "
+                             f"BAM has {len(self.references)}")
+        self._window = None           # (tid, lo, hi) currently decoded
+        self._by_tid = {}
+
+    def _read_header(self):
+        """Parse magic + header text + reference dictionary from the leading
+        BGZF blocks only."""
+        buf = bytearray()
+        blocks = self._bgzf.blocks_from(0)
+
+        def need(n):
+            while len(buf) < n:
+                _, payload = next(blocks)
+                buf.extend(payload)
+
+        need(8)
+        if bytes(buf[:4]) != b"BAM\x01":
+            raise ValueError(f"{self.path}: not a BAM file")
+        l_text = struct.unpack_from("<i", buf, 4)[0]
+        need(8 + l_text + 4)
+        self.header_text = bytes(buf[8:8 + l_text]).rstrip(b"\0").decode()
+        p = 8 + l_text
+        n_ref = struct.unpack_from("<i", buf, p)[0]
+        p += 4
+        self.references = []
+        self.lengths = []
+        for _ in range(n_ref):
+            need(p + 8)
+            l_name = struct.unpack_from("<i", buf, p)[0]
+            need(p + 8 + l_name)
+            self.references.append(
+                bytes(buf[p + 4:p + 4 + l_name - 1]).decode())
+            self.lengths.append(struct.unpack_from("<i", buf,
+                                                   p + 4 + l_name)[0])
+            p += 8 + l_name
+
+    def _ensure_decoded(self):
+        if self._window is None:
+            raise RuntimeError(
+                "StreamingBamReader: call prepare_span()/fetch() with a "
+                "region before index-based access")
+
+    def prepare_span(self, tid: int, start: int, end: int):
+        """Decode the window covering [start, end) on tid and (re)build the
+        whole BamReader surface over it."""
+        if self._window == (tid, start, end):
+            return
+        # reset per-window caches built lazily by the inherited methods
+        for attr in ("_columnar_cache", "_filter_mask_cache", "_ops_np",
+                     "_meanq_file", "_raw_cols", "_op_cols"):
+            self.__dict__.pop(attr, None)
+        data = b""
+        chunks = self._bai[tid].query(start, end) \
+            if 0 <= tid < len(self._bai) else []
+        if chunks:
+            data = self._bgzf.read_voffset_range(chunks[0][0],
+                                                 chunks[-1][1])
+        self._window = (tid, start, end)
+        if not data:
+            self._by_tid = {}
+            self._starts, self._ends, self._ends_cummax = {}, {}, {}
+            self._cols_by_tid = {}
+            self._raw_cols = None
+            return
+        buf = np.frombuffer(data, np.uint8)
+        try:
+            from lorikeet_tpu.native import bam_native  # noqa: F401
+            self._native = True
+            self._decode_native(buf, 0)
+        except Exception:  # noqa: BLE001 — fall back to the Python decoder
+            self._native = False
+            self._decode_python_window(data)
+        # the decoded byte range may include same-tid records outside every
+        # candidate bin only at its edges; overlap filtering happens in
+        # fetch_indices exactly as on the eager reader
+
+    def _decode_python_window(self, data: bytes):
+        by_tid = {}
+        p, n = 0, len(data)
+        while p < n:
+            block_size = struct.unpack_from("<i", data, p)[0]
+            rec = _decode_record(data, p + 4, p + 4 + block_size)
+            by_tid.setdefault(rec.tid, []).append(rec)
+            p += 4 + block_size
+        for t in by_tid:
+            by_tid[t].sort(key=lambda r: r.pos)
+        self._by_tid = by_tid
+        self._starts = {t: np.array([r.pos for r in recs], np.int64)
+                        for t, recs in by_tid.items()}
+        self._ends = {t: [r.reference_end for r in recs]
+                      for t, recs in by_tid.items()}
+        self._ends_cummax = {
+            t: np.maximum.accumulate(np.array(e, np.int64))
+            if e else np.zeros(0, np.int64)
+            for t, e in self._ends.items()}
+        self._cols_by_tid = None
+        self._raw_cols = None
+
+    def _window_covers(self, tid: int, start, end) -> bool:
+        if self._window is None:
+            return False
+        wt, wlo, whi = self._window
+        return (wt == tid and start is not None and end is not None
+                and wlo <= start and end <= whi)
+
+    def fetch_indices(self, tid: int, start: int = None, end: int = None,
+                      mask=None) -> np.ndarray:
+        if not self._window_covers(tid, start, end):
+            if start is None:
+                raise RuntimeError("StreamingBamReader: whole-tid "
+                                   "fetch_indices needs prepare_span")
+            self.prepare_span(tid, start, end)
+        return super().fetch_indices(tid, start, end, mask)
+
+    def fetch(self, tid: int = None, start: int = None, end: int = None,
+              mask=None):
+        if tid is None:
+            for t in range(len(self.references)):
+                yield from self._stream_tid(t)
+            return
+        if start is None:
+            yield from self._stream_tid(t=tid)
+            return
+        if not self._window_covers(tid, start, end):
+            self.prepare_span(tid, start, end)
+        yield from super().fetch(tid, start, end, mask)
+
+    def _stream_tid(self, t: int):
+        """Sequentially decode every record of one reference (position
+        order), without touching the window state."""
+        r = self._bai[t]
+        v_beg = r.off_beg or min((c[0] for cs in r.bins.values()
+                                  for c in cs), default=0)
+        v_end = r.off_end or max((c[1] for cs in r.bins.values()
+                                  for c in cs), default=0)
+        if not v_beg or v_end <= v_beg:
+            return
+        data = self._bgzf.read_voffset_range(v_beg, v_end)
+        p, n = 0, len(data)
+        while p < n:
+            block_size = struct.unpack_from("<i", data, p)[0]
+            rec = _decode_record(data, p + 4, p + 4 + block_size)
+            if rec.tid == t:
+                yield rec
+            p += 4 + block_size
+
+    def count(self) -> int:
+        return sum(r.n_mapped + r.n_unmapped for r in self._bai)
+
+    def close(self):
+        self._bgzf.close()
 
 
 class _LazyTags(dict):

@@ -36,16 +36,27 @@ class BgzfWriter:
         self._fh = open(path, "wb")
         self._buf = bytearray()
         self._block_size = block_size
+        self._coffset = 0             # compressed bytes flushed so far
 
     def write(self, data: bytes):
         self._buf += data
         while len(self._buf) >= self._block_size:
-            self._fh.write(_bgzf_block(bytes(self._buf[:self._block_size])))
+            blk = _bgzf_block(bytes(self._buf[:self._block_size]))
+            self._fh.write(blk)
+            self._coffset += len(blk)
             del self._buf[:self._block_size]
+
+    def tell_virtual(self) -> int:
+        """BGZF virtual offset (coffset<<16 | uoffset) of the next byte
+        written — valid between whole-record writes (SAM spec §4.1.1);
+        feeds the .bai built by write_bam."""
+        return (self._coffset << 16) | len(self._buf)
 
     def close(self):
         if self._buf:
-            self._fh.write(_bgzf_block(bytes(self._buf)))
+            blk = _bgzf_block(bytes(self._buf))
+            self._fh.write(blk)
+            self._coffset += len(blk)
             self._buf.clear()
         self._fh.write(_BGZF_EOF)
         self._fh.close()
@@ -108,8 +119,9 @@ def _reg2bin(beg: int, end: int) -> int:
 
 
 def write_bam(path: str, references: list, lengths: list, records,
-              header_text: str = None):
-    """Write a BAM.  ``records`` must be coordinate-sorted by (tid, pos)."""
+              header_text: str = None, index: bool = True):
+    """Write a BAM (+ its .bai when ``index``, the index_bams.rs:17-80
+    finish_bams role).  ``records`` must be coordinate-sorted by (tid, pos)."""
     if header_text is None:
         header_text = "@HD\tVN:1.6\tSO:coordinate\n" + "".join(
             f"@SQ\tSN:{n}\tLN:{l}\n" for n, l in zip(references, lengths))
@@ -121,6 +133,24 @@ def write_bam(path: str, references: list, lengths: list, records,
         nb = n.encode() + b"\0"
         head += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l)
     w.write(head)
+    if not index:
+        for rec in records:
+            w.write(_encode_record(rec))
+        w.close()
+        return
+    from lorikeet_tpu.io.bai import RefIndex, write_bai
+    refs = [RefIndex() for _ in references]
+    n_no_coor = 0
     for rec in records:
+        v_beg = w.tell_virtual()
         w.write(_encode_record(rec))
+        v_end = w.tell_virtual()
+        if rec.tid < 0 or rec.pos < 0:
+            n_no_coor += 1
+        else:
+            refs[rec.tid].add(rec.pos, max(rec.reference_end, rec.pos + 1),
+                              v_beg, v_end, unmapped=rec.is_unmapped)
     w.close()
+    for r in refs:
+        r.finalize()
+    write_bai(path + ".bai", refs, n_no_coor)

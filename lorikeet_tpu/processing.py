@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from lorikeet_tpu.calling.engine import CallerConfig, HaplotypeCallerEngine
-from lorikeet_tpu.io.bam import BamReader
+from lorikeet_tpu.io.bam import BamReader, open_bam
 from lorikeet_tpu.io.fasta import FastaReader
 from lorikeet_tpu.io.vcf import write_vcf
 from lorikeet_tpu.models.activity import (
@@ -162,7 +162,8 @@ def call_contig(
                 max_workers=min(chunk_processes, len(spans)),
                 mp_context=ctx) as pool:
             parts = list(pool.map(_span_task, payloads))
-    elif chunk_threads > 1 and len(spans) > 1:
+    elif chunk_threads > 1 and len(spans) > 1 \
+            and not any(getattr(b, "is_streaming", False) for b in bams):
         for b in bams:
             b._ensure_decoded()
         contig_seq = fasta.fetch(contig_name)
@@ -239,7 +240,8 @@ def _span_task(payload):
     if state is None:
         from lorikeet_tpu.calling.engine import HaplotypeCallerEngine
         state = (FastaReader(fasta_path),
-                 [BamReader(p) for p in bam_paths],
+                 [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
+                  for p in bam_paths],
                  HaplotypeCallerEngine(cfg))
         _SPAN_WORKER_CACHE.clear()
         _SPAN_WORKER_CACHE[key] = state
@@ -289,6 +291,10 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     for s, bam in enumerate(bams):
         if tid_per_bam[s] < 0:
             continue
+        # streaming readers decode exactly this span's BGZF window here
+        # (haplotype_caller_engine.rs:675-725 per-chunk indexed fetch);
+        # all index-based access below is window-relative and self-consistent
+        bam.prepare_span(tid_per_bam[s], lo, hi)
         rt = read_types[s] if s < len(read_types) else "short"
         mask = bam.filter_mask(
             tid_per_bam[s], cfg.mapq_threshold, read_type=rt,
@@ -520,7 +526,9 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
 
     cfg_fp = _cfg_fingerprint(cfg) if checkpoint_dir else None
 
-    def _one(local_fasta, contig, chunk_threads=1, chunk_processes=1):
+    def _one(local_fasta, contig, chunk_threads=1, chunk_processes=1,
+             local_bams=None):
+        local_bams = bams if local_bams is None else local_bams
         # contigs below --min-contig-size are skipped outright
         # (haplotype_caller_engine.rs:340,418 min_contig_length gate)
         if min_size and local_fasta.length(contig) < min_size:
@@ -540,7 +548,7 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
                         return pickle.load(fh)
                 except Exception:  # noqa: BLE001 — corrupt: recompute
                     pass
-        result = call_contig(local_fasta, bams, contig, cfg, engine,
+        result = call_contig(local_fasta, local_bams, contig, cfg, engine,
                              limit=limit, chunk_threads=chunk_threads,
                              chunk_processes=chunk_processes)
         if ck_path is not None:
@@ -552,6 +560,7 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
             os.replace(tmp, ck_path)
         return result
 
+    streaming = any(getattr(b, "is_streaming", False) for b in bams)
     if n_workers <= 1 or len(spec.contigs) <= 1:
         # chunk-level threading exists (call_contig chunk_threads) but the
         # chunk hot path is GIL-bound Python — measured SLOWER threaded
@@ -569,13 +578,18 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
             procs = requested
         return [_one(fasta, c, chunk_threads=inner, chunk_processes=procs)
                 for c in spec.contigs]
-    for b in bams:
-        b._ensure_decoded()
+    if not streaming:
+        for b in bams:
+            b._ensure_decoded()
 
     def work(contig):
         local_fasta = FastaReader(spec.fasta)
+        # a streaming reader holds ONE decoded window, so concurrent contigs
+        # must not share it — each worker opens its own indexed handle
+        local_bams = ([open_bam(b.path, streaming=True) for b in bams]
+                      if streaming else bams)
         try:
-            return _one(local_fasta, contig)
+            return _one(local_fasta, contig, local_bams=local_bams)
         finally:
             local_fasta.close()
 
@@ -661,6 +675,8 @@ def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
                                    and not rdr.header_text.endswith("\n")
                                    else rdr.header_text) or None)
             os.replace(tmp, dest)
+            if os.path.exists(tmp + ".bai"):
+                os.replace(tmp + ".bai", dest + ".bai")
     return out
 
 
@@ -700,7 +716,8 @@ def start_engine(mode: str, references: list, bam_paths: list,
     all_paths = list(bam_paths) + list(long_bam_paths)
     cfg.read_types = (["short"] * len(bam_paths)
                       + ["long"] * len(long_bam_paths))
-    bams = [BamReader(p) for p in all_paths]
+    bams = [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
+            for p in all_paths]
     bam_paths = all_paths
     if sample_names is None:
         sample_names = []
@@ -726,7 +743,9 @@ def start_engine(mode: str, references: list, bam_paths: list,
         """Per-genome task (lorikeet_engine.rs:82,100 scoped threadpool
         role; host-bound stages overlap, device dispatches serialize)."""
         if split_map is not None:
-            genome_bams = [BamReader(split_map[(p, spec.name)])
+            genome_bams = [open_bam(split_map[(p, spec.name)],
+                                    high_memory=getattr(cfg, "high_memory",
+                                                        False))
                            for p in bam_paths]
         else:
             genome_bams = bams
@@ -778,7 +797,8 @@ def _genome_task(payload):
      cfg, sample_names, limit, force) = payload
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     from lorikeet_tpu.utils.progress import ProgressTree, StageTimer, log
-    bams = [BamReader(p) for p in genome_bam_paths]
+    bams = [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
+            for p in genome_bam_paths]
     progress = ProgressTree(1, enabled=False)
     results = {}
     _process_genome(spec, mode, bams, bam_paths, long_bam_paths,
@@ -858,7 +878,8 @@ def run_call(reference: str, bam_paths: list, output_dir: str,
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
     fasta = FastaReader(reference)
-    bams = [BamReader(p) for p in bam_paths]
+    bams = [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
+            for p in bam_paths]
     if sample_names is None:
         sample_names = []
         for k, b in enumerate(bams):

@@ -222,7 +222,7 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     """Cluster variants into variant groups, link groups into strains via
     read linkage (linkage_engine.rs:73), estimate abundances, write strain
     FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
-    from lorikeet_tpu.io.bam import BamReader
+    from lorikeet_tpu.io.bam import open_bam
     from lorikeet_tpu.io.vcf import write_vcf
     from lorikeet_tpu.strain.linkage import LinkageEngine
 
@@ -248,7 +248,7 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     grouped = {g: [vc for vc, lab in zip(split, labels) if lab == g]
                for g in groups}
     if bam_paths:
-        bams = [BamReader(p) for p in bam_paths]
+        bams = [open_bam(p) for p in bam_paths]
         # vc.tid indexes the VCF's contig list; each BAM resolves its own
         # tid by contig name inside the linkage fetch (headers may differ)
         engine = LinkageEngine(grouped, separations)

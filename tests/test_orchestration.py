@@ -96,7 +96,10 @@ def test_start_engine_split_bams_equivalent(tmp_path, sim_bam_7seqs):
     assert all("error" not in v for v in rb.values())
     # split BAMs were materialized, one per (bam, genome)
     splits = os.listdir(os.path.join(out_b, "split_bams"))
-    assert len(splits) == 6
+    bams = [f for f in splits if f.endswith(".bam")]
+    assert len(bams) == 6
+    # every split BAM ships with its .bai (index_bams.rs finish_bams role)
+    assert all(f + ".bai" in splits for f in bams)
     for g in ra:
         with open(ra[g]["vcf"]) as fa, open(rb[g]["vcf"]) as fb:
             body_a = [l for l in fa if not l.startswith("##")]
