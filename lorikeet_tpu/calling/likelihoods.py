@@ -509,15 +509,24 @@ def _pallas_bucket(pairs) -> tuple:
     return Rpad, nchunks
 
 
+#: force interpret-mode Pallas (CPU testing of the mesh path); set before
+#: first use or monkeypatch the module attribute
+import os as _os
+PALLAS_INTERPRET = _os.environ.get("LORIKEET_PALLAS_INTERPRET", "") == "1"
+
+
 def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray:
     """log10 likelihood per packed pair — ONE device dispatch for the whole
-    batch (cross-region batching rides this)."""
+    batch (cross-region batching rides this).  When a device mesh is active
+    (parallel.sharding.configure_mesh / --devices), the batch axis shards
+    over it: each chip sweeps B_SLAB/n rows per slab."""
     if not pairs:
         return np.zeros(0)
     if use_pallas is None:
         import jax
         use_pallas = jax.default_backend() not in ("cpu",)
-    if use_pallas:
+    interpret = PALLAS_INTERPRET
+    if use_pallas and not interpret:
         global _cells_seen
         bucket = _pallas_bucket(pairs)
         _cells_seen += sum(len(h) * len(r) for h, r, *_ in pairs)
@@ -537,8 +546,21 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         # bucket read/hap lengths so TPU compiles are shared across regions
         # (the batch axis is slab-fixed inside the kernel wrapper)
         batch = pack_pairhmm_batch(pairs, r_pad_to=32, h_pad_to=128)
-        from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_pallas
-        raw = np.asarray(pairhmm_forward_pallas(**batch))
+        from lorikeet_tpu.ops.pairhmm_pallas import (
+            pack_pallas_inputs, pairhmm_forward_packed,
+            pairhmm_forward_sharded,
+        )
+        from lorikeet_tpu.parallel.sharding import get_mesh
+        mesh = get_mesh()
+        sharded = mesh is not None and mesh.devices.size > 1
+        slabs, nchunks, B = pack_pallas_inputs(**batch,
+                                               to_device=not sharded)
+        if sharded:
+            raw = np.asarray(pairhmm_forward_sharded(
+                slabs, nchunks, B, mesh, interpret=interpret))
+        else:
+            raw = np.asarray(pairhmm_forward_packed(
+                slabs, nchunks, B, interpret=interpret))
         lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)
     else:
         # exact f64 host kernel: beats device compile amortization for small

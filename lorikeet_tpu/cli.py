@@ -316,6 +316,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="per-sample read cap per assembly region")
         sp.add_argument("--force-cpu", action="store_true",
                         help="use the host pair-HMM even when a TPU is present")
+        sp.add_argument("--devices", default="auto",
+                        help="TPU chips to shard pair batches over "
+                             "('auto' = all visible, N = first N, 1 = "
+                             "single-chip)")
         sp.add_argument("--pallas-sw", action="store_true",
                         help="batch realignment Smith-Waterman on device "
                              "(bit-identical; wins at high region depth)")
@@ -497,6 +501,7 @@ def _caller_config(args):
     cfg.min_contig_size = args.min_contig_size
     cfg.do_not_call_svs = args.do_not_call_svs
     cfg.high_memory = args.high_memory
+    cfg.devices = args.devices
     from lorikeet_tpu.io.filter import FlagFilter
     cfg.flag_filter = FlagFilter(
         include_improper_pairs=args.allow_improper_pairs,

@@ -209,9 +209,11 @@ def vmem_safe_block(Rpad: int, requested: int) -> int:
     return 1 << (block.bit_length() - 1)
 
 
-@functools.partial(jax.jit, static_argnames=("nchunks", "block_b", "interpret"))
-def _pairhmm_pallas_jit(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
-                        read_pad, hap_stream, lens, nchunks, block_b, interpret):
+def _pallas_call(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
+                 read_pad, hap_stream, lens, nchunks, block_b, interpret):
+    """Raw pallas_call (unjitted) — wrapped by the single-chip jit below and
+    by the shard_map body in parallel.sharding (each device runs this on its
+    local rows; the kernel itself is unchanged under sharding)."""
     B, Rpad = t_mm.shape
     block_b = vmem_safe_block(Rpad, block_b)
     grid = (B // block_b,)
@@ -230,9 +232,64 @@ def _pairhmm_pallas_jit(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
       read_pad, hap_stream, lens)
 
 
+_pairhmm_pallas_jit = functools.partial(
+    jax.jit, static_argnames=("nchunks", "block_b", "interpret"))(_pallas_call)
+
+
+@functools.lru_cache(maxsize=None)
+def make_sharded_pairhmm(mesh, axis: str, nchunks: int, block_b: int,
+                         interpret: bool):
+    """Jitted shard_map over the Pallas kernel: the batch axis is sharded
+    over the mesh, each chip sweeps its local rows (the reference's rayon
+    region fan-out, assembly_region_walker.rs:139-141, as a device mesh).
+    Cached per (mesh, shape bucket) — one compile per bucket per mesh."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_rep=False,
+        in_specs=tuple([P(axis)] * 11), out_specs=P(axis))
+    def step(*ops):
+        return _pallas_call(*ops, nchunks=nchunks, block_b=block_b,
+                            interpret=interpret)
+
+    return jax.jit(step)
+
+
+def pairhmm_forward_sharded(slabs, nchunks, B, mesh, axis: str = "data",
+                            block_b: int = 64,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Run prepacked B_SLAB slabs over a device mesh: each slab's batch axis
+    is split B_SLAB/n rows per chip (one dispatch per slab, every chip
+    sweeping its shard — the reference's rayon region fan-out on ICI).  The
+    per-shard compile shape is FIXED per mesh size, so Mosaic compiles once
+    per (Rpad, nchunks) bucket exactly like the single-chip path.  Falls
+    back to single-device dispatch when the mesh cannot split a slab."""
+    n = mesh.devices.size
+    if n <= 1 or B_SLAB % n:
+        return pairhmm_forward_packed(slabs, nchunks, B, block_b, interpret)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sharding = NamedSharding(mesh, P(axis))
+    step = make_sharded_pairhmm(mesh, axis, nchunks, block_b, interpret)
+    devices = list(mesh.devices.flat)
+    per = B_SLAB // n
+    outs = []
+    for slab in slabs:
+        global_ops = [
+            jax.make_array_from_single_device_arrays(
+                (B_SLAB,) + tuple(op.shape[1:]), sharding,
+                [jax.device_put(op[d * per:(d + 1) * per], dev)
+                 for d, dev in enumerate(devices)])
+            for op in slab]
+        outs.append(step(*global_ops))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(
+        [jnp.asarray(o) for o in outs], axis=0)
+    return np.asarray(out)[:B, 0]
+
+
 def pack_pallas_inputs(
     haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
-    block_b: int = 64,
+    block_b: int = 64, to_device: bool = True,
 ):
     """Host-side numpy precompute of the kernel operands (transition probs,
     priors, hap stream).  Returns (operand_tuple, nchunks, B).  Pack once,
@@ -290,9 +347,12 @@ def pack_pallas_inputs(
 
     # Slab split happens HERE, on host numpy: device-side slicing per call
     # costs ~10x in steady-state dispatch (measured 2 vs 20 GCUPS at B=8192).
+    # ``to_device=False`` keeps numpy slabs for the mesh path, which
+    # device_puts per-shard slices itself (no default-device detour).
     host_ops = (t_mm, t_im, ei, eg, ed, eg, p_match, p_mis,
                 read_pad, hap_stream, lens)
-    slabs = [tuple(jnp.asarray(op[lo:lo + B_SLAB]) for op in host_ops)
+    conv = jnp.asarray if to_device else (lambda x: x)
+    slabs = [tuple(conv(op[lo:lo + B_SLAB]) for op in host_ops)
              for lo in range(0, Bpad, B_SLAB)]
     return slabs, nchunks, B
 

@@ -217,6 +217,26 @@ def call_contig(
     return result
 
 
+def _configure_devices(cfg):
+    """Activate the device mesh for pair-batch sharding (--devices knob;
+    'auto' = all visible chips when an accelerator backend is up).  The
+    mesh is process-global: calling.likelihoods routes every batch through
+    it (assembly_region_walker.rs:139-141 region fan-out, on ICI)."""
+    from lorikeet_tpu.parallel.sharding import configure_mesh
+    spec = getattr(cfg, "devices", None) or "auto"
+    if getattr(cfg, "use_pallas", None) is False:
+        configure_mesh(None)
+        return
+    import jax
+    if spec == "auto" and jax.default_backend() == "cpu" \
+            and os.environ.get("LORIKEET_PALLAS_INTERPRET") != "1":
+        # CPU backend runs the host kernel; a virtual mesh would only slow
+        # it down (interpret-mode testing opts in via the env knob)
+        configure_mesh(None)
+        return
+    configure_mesh(spec)
+
+
 def _cpu_only_backend(cfg) -> bool:
     """True when no accelerator is in play (worker processes then cannot
     contend for a chip; mirrors the genome-pool gate)."""
@@ -694,6 +714,7 @@ def start_engine(mode: str, references: list, bam_paths: list,
     (lorikeet_engine.rs:135-157)."""
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
+    _configure_devices(cfg)
     specs = discover_genomes(references, genome_dir, extension)
     # multi-host pod slice: each host takes its genome subset
     # (SURVEY §2.4 row 1; outputs are per-genome disjoint directories)
@@ -877,6 +898,7 @@ def run_call(reference: str, bam_paths: list, output_dir: str,
     (Single-genome convenience wrapper; start_engine is the full driver.)"""
     cfg = cfg or CallerConfig()
     os.makedirs(output_dir, exist_ok=True)
+    _configure_devices(cfg)
     fasta = FastaReader(reference)
     bams = [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
             for p in bam_paths]

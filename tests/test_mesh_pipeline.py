@@ -1,0 +1,120 @@
+"""Production mesh path: pair batches shard over the device mesh and the
+VCF is identical to the single-device run (VERDICT r1 item 1; the
+reference's region fan-out, assembly_region_walker.rs:139-141, as ICI
+data parallelism)."""
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from lorikeet_tpu.calling.engine import CallerConfig
+from lorikeet_tpu.io.bam_writer import write_bam
+from lorikeet_tpu.ops.pairhmm_pallas import (
+    B_SLAB, pack_pallas_inputs, pairhmm_forward_packed,
+    pairhmm_forward_sharded,
+)
+from lorikeet_tpu.parallel.sharding import get_mesh, make_mesh, set_mesh
+from lorikeet_tpu.processing import run_call
+from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+
+def test_sharded_kernel_matches_single():
+    """Slab-sharded dispatch == single-device dispatch, bitwise."""
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    B, R, H = B_SLAB + 100, 40, 80          # 2 slabs
+    haps = bases[rng.integers(0, 4, (B, H))]
+    reads = np.ascontiguousarray(haps[:, :R])
+    args = dict(haps=haps, hap_lens=np.full(B, H, np.int32),
+                reads=reads, read_lens=np.full(B, R, np.int32),
+                quals=rng.integers(10, 40, (B, R)).astype(np.uint8),
+                ins_quals=np.full((B, R), 45, np.uint8),
+                del_quals=np.full((B, R), 45, np.uint8),
+                gcps=np.full((B, R), 10, np.uint8))
+    slabs, nchunks, Bn = pack_pallas_inputs(**args, to_device=False)
+    single = np.asarray(pairhmm_forward_packed(
+        [tuple(np.asarray(o) for o in s) for s in slabs], nchunks, Bn,
+        interpret=True))
+    mesh = make_mesh(jax.devices()[:4])
+    sharded = np.asarray(pairhmm_forward_sharded(slabs, nchunks, Bn, mesh,
+                                                 interpret=True))
+    np.testing.assert_array_equal(single, sharded)
+
+
+@pytest.fixture
+def tiny_fixture(tmp_path):
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[np.random.default_rng(3).integers(0, 4, 900)]
+    variants = [Variant(450, bytes(ref[450:451]),
+                        b"A" if ref[450] != ord("A") else b"G")]
+    recs = simulate_reads(ref, variants, coverage=12, read_length=60,
+                          seed=7, tid=0)
+    recs.sort(key=lambda r: r.pos)
+    fasta = str(tmp_path / "ref.fna")
+    with open(fasta, "w") as fh:
+        fh.write(">c0\n" + ref.tobytes().decode() + "\n")
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, ["c0"], [900], recs)
+    return fasta, bam
+
+
+def test_run_call_mesh_vcf_identical(tiny_fixture, tmp_path, monkeypatch):
+    """run_call over an 8-device mesh == 1-device, byte-identical VCF
+    (interpret-mode Pallas on the CPU conftest mesh)."""
+    import lorikeet_tpu.calling.likelihoods as lk
+    monkeypatch.setattr(lk, "PALLAS_INTERPRET", True)
+    fasta, bam = tiny_fixture
+    try:
+        cfg1 = CallerConfig(use_pallas=True)
+        cfg1.devices = 1
+        v1 = run_call(fasta, [bam], str(tmp_path / "o1"), cfg1)
+        assert get_mesh() is None
+        cfg8 = CallerConfig(use_pallas=True)
+        cfg8.devices = "8"
+        v8 = run_call(fasta, [bam], str(tmp_path / "o8"), cfg8)
+        assert get_mesh() is not None and get_mesh().devices.size == 8
+    finally:
+        set_mesh(None)
+    b1 = [l for l in open(v1) if not l.startswith("##")]
+    b8 = [l for l in open(v8) if not l.startswith("##")]
+    assert b1 == b8
+    assert any(l.split("\t")[1] == "451" for l in b1), b1
+
+
+def test_run_call_mesh_matches_host_calls(tiny_fixture, tmp_path,
+                                          monkeypatch):
+    """The mesh-called variants match the exact-f64 host kernel's calls at
+    the site level (same loci, alleles and genotypes; QUAL within GL->PL
+    rounding)."""
+    import lorikeet_tpu.calling.likelihoods as lk
+    monkeypatch.setattr(lk, "PALLAS_INTERPRET", True)
+    fasta, bam = tiny_fixture
+    try:
+        cfg = CallerConfig(use_pallas=True)
+        cfg.devices = "8"
+        vm = run_call(fasta, [bam], str(tmp_path / "mesh"), cfg)
+    finally:
+        set_mesh(None)
+    vh = run_call(fasta, [bam], str(tmp_path / "host"),
+                  CallerConfig(use_pallas=False))
+    sites_m = [(l.split("\t")[1], l.split("\t")[3], l.split("\t")[4],
+                l.split("\t")[9].split(":")[0])
+               for l in open(vm) if not l.startswith("#")]
+    sites_h = [(l.split("\t")[1], l.split("\t")[3], l.split("\t")[4],
+                l.split("\t")[9].split(":")[0])
+               for l in open(vh) if not l.startswith("#")]
+    assert sites_m == sites_h
+
+
+def test_configure_mesh_specs():
+    from lorikeet_tpu.parallel.sharding import configure_mesh
+    try:
+        assert configure_mesh(None) is None
+        assert configure_mesh(1) is None
+        m = configure_mesh(4)
+        assert m is not None and m.devices.size == 4
+        m = configure_mesh("auto")
+        assert m is not None and m.devices.size == len(jax.devices())
+    finally:
+        set_mesh(None)

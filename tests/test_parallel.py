@@ -56,7 +56,7 @@ def test_region_batch_step_depth_psum(mesh):
     assert lk.shape == (64,)
     assert np.all(np.asarray(lk) <= 0)
     # psum'd depth equals the host-side reduction
-    sample_ids, depths = args[9], args[10]
+    sample_ids, depths = args[8], args[9]
     expect = np.zeros((3, depths.shape[1]), np.float32)
     for sid, row in zip(sample_ids, depths):
         expect[sid] += row
