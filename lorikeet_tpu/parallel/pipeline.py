@@ -79,6 +79,97 @@ def active_probabilities_jax(gls, ploidy: int,
     return jnp.where(plausible & emit_ok, prob, 0.0).astype(jnp.float32)
 
 
+@functools.lru_cache(maxsize=None)
+def _activity_jit(ploidy, snp_het, het_std, conf, prop, n_iters):
+    """Single-device jitted activity chain: EM active probabilities ->
+    HQ-soft-clip state expansion -> band-pass convolution (the device form
+    of models.activity.active_probabilities + band_pass_smooth)."""
+    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+
+    @jax.jit
+    def fn(gls, hq_mean):
+        probs = active_probabilities_jax(gls, ploidy, snp_het, het_std,
+                                         conf, n_iters)
+        from lorikeet_tpu.models.activity import (
+            AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD as HQ_T)
+        n_clips = jnp.minimum(hq_mean, float(prop))
+        mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
+                         2.0 * jnp.floor(n_clips) + 1.0, 1.0)
+        return jnp.convolve(probs * mult, kernel,
+                            mode="same").astype(jnp.float32)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _activity_sharded(mesh, axis, ploidy, snp_het, het_std, conf, prop,
+                      n_iters):
+    """Position-sharded version: local EM per shard, ICI halo exchange for
+    the band-pass convolution (SURVEY §5 halo design)."""
+    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+    halo = (len(kernel) - 1) // 2
+    n = mesh.devices.size
+
+    @functools.partial(
+        shard_map, mesh=mesh, check_rep=False,
+        in_specs=(P(None, axis, None), P(axis)), out_specs=P(axis))
+    def step(gls, hq_mean):
+        probs = active_probabilities_jax(gls, ploidy, snp_het, het_std,
+                                         conf, n_iters)
+        from lorikeet_tpu.models.activity import (
+            AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD as HQ_T)
+        n_clips = jnp.minimum(hq_mean, float(prop))
+        mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
+                         2.0 * jnp.floor(n_clips) + 1.0, 1.0)
+        probs = probs * mult
+        from_right = jax.lax.ppermute(
+            probs[:halo], axis, [(i, (i - 1) % n) for i in range(n)])
+        from_left = jax.lax.ppermute(
+            probs[-halo:], axis, [(i, (i + 1) % n) for i in range(n)])
+        idx = jax.lax.axis_index(axis)
+        from_left = jnp.where(idx == 0, 0.0, from_left)
+        from_right = jnp.where(idx == n - 1, 0.0, from_right)
+        padded = jnp.concatenate([from_left, probs, from_right])
+        return jnp.convolve(padded, kernel,
+                            mode="same")[halo:-halo].astype(jnp.float32)
+
+    return jax.jit(step)
+
+
+def smoothed_activity_device(gls: np.ndarray, hq_mean: np.ndarray,
+                             ploidy: int,
+                             snp_heterozygosity: float = 0.001,
+                             heterozygosity_stdev: float = 0.01,
+                             stand_min_conf: float = 25.0,
+                             max_prob_propagation: int = 50,
+                             n_iters: int = 100) -> np.ndarray:
+    """Production device path for HOT LOOPs 1-2's downstream
+    (haplotype_caller_engine.rs:1053-1106): the per-position ref-vs-any EM +
+    band-pass run on-device (position-sharded over the active mesh when one
+    is configured), returning the smoothed [L] profile as numpy.  The
+    position axis pads to power-of-two buckets so jit compiles a handful of
+    shapes per run."""
+    from lorikeet_tpu.parallel.sharding import get_mesh
+    S, L, G = gls.shape
+    mesh = get_mesh()
+    use_mesh = mesh is not None and mesh.devices.size > 1
+    unit = (mesh.devices.size * 256) if use_mesh else 1024
+    Lpad = max(unit, 1 << int(np.ceil(np.log2(max(L, 2)))))
+    Lpad = -(-Lpad // unit) * unit
+    g = np.zeros((S, Lpad, G), np.float32)
+    g[:, :L] = gls
+    h = np.zeros(Lpad, np.float32)
+    h[:L] = hq_mean
+    key = (ploidy, float(snp_heterozygosity), float(heterozygosity_stdev),
+           float(stand_min_conf), int(max_prob_propagation), int(n_iters))
+    if use_mesh:
+        fn = _activity_sharded(mesh, "data", *key)
+    else:
+        fn = _activity_jit(*key)
+    out = np.asarray(fn(jnp.asarray(g), jnp.asarray(h)))
+    return out[:L]
+
+
 def sharded_activity_step(mesh: Mesh, ploidy: int = 2, axis: str = "data"):
     """Position-sharded activity profiling: local EM + ICI halo exchange +
     band-pass convolution + psum'd per-sample depth totals.

@@ -217,6 +217,19 @@ def call_contig(
     return result
 
 
+def _device_activity(cfg) -> bool:
+    """Route activity profiling through the device (XLA) chain when an
+    accelerator is in play.  LORIKEET_DEVICE_ACTIVITY=1/0 overrides (the
+    CPU conformance tests force it on; --force-cpu runs force it off)."""
+    env = os.environ.get("LORIKEET_DEVICE_ACTIVITY")
+    if env in ("0", "1"):
+        return env == "1"
+    if getattr(cfg, "use_pallas", None) is False:
+        return False
+    import jax
+    return jax.default_backend() != "cpu"
+
+
 def _configure_devices(cfg):
     """Activate the device mesh for pair-batch sharding (--devices knob;
     'auto' = all visible chips when an accelerator backend is up).  The
@@ -356,16 +369,25 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                                        DEPTH_PER_SAMPLE_FILTER))
                     [core_lo - lo:core_hi - lo]) for p in profiles]
     gls = np.stack([p.finalize_gls(cfg.ploidy) for p in profiles])
-    raw_probs = active_probabilities(gls, cfg.ploidy,
-                                     cfg.snp_heterozygosity,
-                                     cfg.heterozygosity_stdev,
-                                     cfg.stand_min_conf)
     hq_n = sum(p.hq_sc_n for p in profiles)
     hq_sum = sum(p.hq_sc_sum for p in profiles)
     hq_mean = np.where(hq_n > 0, hq_sum / np.maximum(hq_n, 1), 0.0)
-    smoothed = band_pass_smooth(
-        raw_probs, hq_mean,
-        max_prob_propagation=getattr(cfg, "max_prob_propagation_distance", 50))
+    prop = getattr(cfg, "max_prob_propagation_distance", 50)
+    if _device_activity(cfg):
+        # HOT LOOP 2 on device: EM + band-pass as one jitted chain,
+        # position-sharded over the mesh when one is active
+        from lorikeet_tpu.parallel.pipeline import smoothed_activity_device
+        smoothed = smoothed_activity_device(
+            gls, hq_mean, cfg.ploidy, cfg.snp_heterozygosity,
+            cfg.heterozygosity_stdev, cfg.stand_min_conf,
+            max_prob_propagation=prop)
+    else:
+        raw_probs = active_probabilities(gls, cfg.ploidy,
+                                         cfg.snp_heterozygosity,
+                                         cfg.heterozygosity_stdev,
+                                         cfg.stand_min_conf)
+        smoothed = band_pass_smooth(raw_probs, hq_mean,
+                                    max_prob_propagation=prop)
     # forced-calling feature VCF: regions carrying given alleles are called
     # even when inactive (haplotype_caller_engine.rs:1166-1177) — realised
     # here by forcing the activity probability at given starts

@@ -107,6 +107,53 @@ def test_run_call_mesh_matches_host_calls(tiny_fixture, tmp_path,
     assert sites_m == sites_h
 
 
+def test_device_activity_matches_host():
+    """smoothed_activity_device (single-device and 8-device mesh) ==
+    active_probabilities + band_pass_smooth on the host, incl. the HQ
+    soft-clip state expansion."""
+    from lorikeet_tpu.models.activity import (
+        active_probabilities, band_pass_smooth,
+    )
+    from lorikeet_tpu.parallel.pipeline import smoothed_activity_device
+
+    rng = np.random.default_rng(4)
+    S, L, ploidy = 3, 700, 2
+    gls = rng.normal(-0.5, 0.4, (S, L, ploidy + 1))
+    gls[:, 100] = np.array([-28.0, -4.0, 0.0])
+    gls[:, 401] = np.array([-35.0, -6.0, -0.5])
+    hq_mean = np.zeros(L)
+    hq_mean[95:105] = 9.0                     # triggers the state expansion
+    host = band_pass_smooth(active_probabilities(gls, ploidy), hq_mean)
+    try:
+        set_mesh(None)
+        dev1 = smoothed_activity_device(gls, hq_mean, ploidy)
+        set_mesh(make_mesh(jax.devices()[:8]))
+        dev8 = smoothed_activity_device(gls, hq_mean, ploidy)
+    finally:
+        set_mesh(None)
+    assert np.allclose(dev1, host, atol=2e-3), np.abs(dev1 - host).max()
+    assert np.allclose(dev8, host, atol=2e-3), np.abs(dev8 - host).max()
+    # the planted sites survive at the same positions
+    assert host[100] > 0.3
+    assert dev1[100] > 0.3 and dev8[100] > 0.3
+    assert int(np.argmax(dev1[:200])) == int(np.argmax(host[:200]))
+
+
+def test_run_call_device_activity_vcf(tiny_fixture, tmp_path, monkeypatch):
+    """run_call with the device activity chain finds the same variants as
+    the host chain (CPU backend, forced via LORIKEET_DEVICE_ACTIVITY)."""
+    fasta, bam = tiny_fixture
+    cfg = CallerConfig(use_pallas=False)
+    monkeypatch.setenv("LORIKEET_DEVICE_ACTIVITY", "0")
+    vh = run_call(fasta, [bam], str(tmp_path / "host"), cfg)
+    monkeypatch.setenv("LORIKEET_DEVICE_ACTIVITY", "1")
+    vd = run_call(fasta, [bam], str(tmp_path / "dev"), cfg)
+    bh = [l for l in open(vh) if not l.startswith("##")]
+    bd = [l for l in open(vd) if not l.startswith("##")]
+    assert bh == bd
+    assert any(l.split("\t")[1] == "451" for l in bh)
+
+
 def test_configure_mesh_specs():
     from lorikeet_tpu.parallel.sharding import configure_mesh
     try:
