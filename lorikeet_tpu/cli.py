@@ -291,6 +291,12 @@ def build_parser() -> argparse.ArgumentParser:
                         default=10,
                         help="minimum summed alt depth for an allele to "
                              "enter strain genotyping")
+        sp.add_argument("--abundance-mode", default="leftover",
+                        choices=["leftover", "reference"],
+                        help="strain abundance estimator: 'leftover' "
+                             "(improved alt-mass estimator, default) or "
+                             "'reference' (Lorikeet's ref-mass-duplication "
+                             "EM, abundance_calculator_engine.rs:190-215)")
         sp.add_argument("--mapping-quality-threshold-for-genotyping",
                         type=int, default=20,
                         help="mapq gate on reads entering per-region "
@@ -473,6 +479,7 @@ def _caller_config(args):
     cfg.pruning_seeding_log_odds_threshold = \
         args.pruning_seeding_log_odds_threshold
     cfg.qual_by_depth_filter = args.qual_by_depth_filter
+    cfg.abundance_mode = getattr(args, "abundance_mode", "leftover")
     cfg.depth_per_sample_filter = args.depth_per_sample_filter
     cfg.graph_output = args.graph_output
     cfg.threads = args.threads

@@ -905,7 +905,9 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
                         qual_by_depth_filter=getattr(
                             cfg, "qual_by_depth_filter", 25.0),
                         min_variant_depth=getattr(
-                            cfg, "min_variant_depth_for_genotyping", 10)))
+                            cfg, "min_variant_depth_for_genotyping", 10),
+                        abundance_mode=getattr(
+                            cfg, "abundance_mode", "leftover")))
             out["timings"] = timer.timings()
             results[spec.name] = out
         except Exception as exc:  # noqa: BLE001

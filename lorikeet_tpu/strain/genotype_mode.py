@@ -214,16 +214,129 @@ def abundance_em(variant_weights: np.ndarray, membership: list,
     return theta
 
 
+def abundance_em_reference(alt_frac: np.ndarray, ref_frac: np.ndarray,
+                           membership: list, n_strains: int,
+                           present: np.ndarray, eps: float = 1e-2,
+                           max_iters: int = 1000) -> np.ndarray:
+    """One sample's strain abundances under the REFERENCE's exact semantics
+    (selectable via ``--abundance-mode reference``): ref-allele mass is
+    duplicated into every strain NOT carrying the variant
+    (abundance_calculator_engine.rs:190-215 — weight ``ad[0]/total_depth``
+    pushed per non-carrying strain), then the centrifuge-style EM of
+    strain_abundances_calculator.rs:38-160 runs over the per-strain entry
+    lists.  The default ``leftover`` estimator instead scales EM thetas by
+    total alt mass and assigns the residue to the reference strain (see
+    run_genotype); the two agree in the single-strain-plus-reference case
+    and diverge on multi-strain mixtures (tests/test_abundance_modes.py).
+
+    alt_frac/ref_frac: [V] per-variant alt / ref depth fractions.
+    membership: per variant, list of carrying strain indices (never the
+      reference strain — it carries no variants by construction).
+    present: [n_strains] bool, per-sample strain presence
+      (determine_if_strain_is_present, abundance_calculator_engine.rs:503).
+    Returns abundance weights [n_strains] (NOT normalised — the reference
+    prints raw ``abundance_weight`` values).
+    """
+    weights = [[] for _ in range(n_strains)]     # per-strain entry weights
+    gids = [[] for _ in range(n_strains)]        # per-entry pooled-strain ids
+    for v, m in enumerate(membership):
+        if not m:
+            continue
+        w_alt = float(alt_frac[v]) / len(m)
+        if w_alt > 0.0:
+            pooled = [t for t in m if present[t]]
+            for s in m:
+                if present[s]:
+                    weights[s].append(w_alt)
+                    gids[s].append(pooled)
+        w_ref = float(ref_frac[v])
+        if w_ref > 0.0:
+            non_carrying = [t for t in range(n_strains) if t not in m]
+            pooled = [t for t in non_carrying if present[t]]
+            # pushed to every non-carrying strain regardless of its own
+            # presence (abundance_calculator_engine.rs:192-271)
+            for s in non_carrying:
+                weights[s].append(w_ref)
+                gids[s].append(pooled)
+    weights = [np.asarray(w, np.float64) for w in weights]
+
+    f64eps = np.finfo(np.float64).eps
+    aw = np.ones(n_strains)
+    theta = np.ones(n_strains)
+    omega, iters = 1.0, 0
+    while omega > eps and iters < max_iters:
+        iters += 1
+        theta_prev = theta.copy()
+        # denominator over the PREVIOUS iteration's weights, constant within
+        # an iteration (updates apply after the strain loop,
+        # strain_abundances_calculator.rs:104-140)
+        denominator = float(sum(w.sum() for w in weights))
+        new_weights = [None] * n_strains
+        updated = np.zeros(n_strains)
+        for i in range(n_strains):
+            if abs(aw[i] - eps) <= f64eps or np.isinf(aw[i]):
+                continue
+            pooled = np.array([sum(theta[g] for g in gid) or 1.0
+                               for gid in gids[i]])
+            pooled = np.where(pooled <= f64eps, 1.0, pooled)
+            w_new = weights[i] * aw[i] / pooled
+            with np.errstate(invalid="ignore", divide="ignore"):
+                a = float(w_new.sum() / denominator) if denominator else np.nan
+            if not np.isfinite(a) or a < eps:
+                a = 0.0
+            updated[i] = a
+            new_weights[i] = w_new
+        for i, w_new in enumerate(new_weights):
+            if w_new is not None:
+                weights[i] = w_new
+                aw[i] = updated[i]
+                theta[i] = updated[i]
+        omega = float(np.abs(theta - theta_prev).sum())
+    return aw
+
+
+def run_abundance_reference(X: np.ndarray, R: np.ndarray, membership: list,
+                            n_groups_strains: int, reference_present: bool,
+                            eps: float = 1e-2):
+    """Reference-parity abundance driver (run_abundance_calculator,
+    abundance_calculator_engine.rs:42-365): appends the reference strain
+    when present, builds per-sample strain presence, runs one EM pass per
+    sample, and culls strains whose weight is <= eps in EVERY sample (the
+    engine's removal loop executes once — ``something_removed`` is
+    hard-false at :296, so the loop always breaks after the first pass).
+
+    X/R: [V, S] alt / ref depth fractions; membership: [V] carrying strain
+    ids.  Returns (thetas: [S][n_strains] raw weights, kept_ids, ref_index).
+    """
+    n_samples = X.shape[1] if X.ndim > 1 else 0
+    n_strains = n_groups_strains + (1 if reference_present else 0)
+    ref_index = n_strains - 1 if reference_present else None
+    thetas = []
+    for s in range(n_samples):
+        present = np.zeros(n_strains, bool)
+        for v, m in enumerate(membership):
+            if X[v, s] > 0:
+                for t in m:
+                    present[t] = True
+        if reference_present:
+            present[ref_index] = True
+        thetas.append(abundance_em_reference(
+            X[:, s], R[:, s], membership, n_strains, present, eps=eps))
+    kept_ids = [i for i in range(n_strains)
+                if any(np.isfinite(th[i]) and th[i] > eps for th in thetas)]
+    return thetas, kept_ids, ref_index
+
+
 def run_genotype(reference: str, vcf_path: str, output_dir: str,
                  bam_paths: list = None, contigs: list = None,
                  genome_name: str = None,
                  qual_by_depth_filter: float = 25.0,
-                 min_variant_depth: int = 10) -> dict:
+                 min_variant_depth: int = 10,
+                 abundance_mode: str = "leftover") -> dict:
     """Cluster variants into variant groups, link groups into strains via
     read linkage (linkage_engine.rs:73), estimate abundances, write strain
     FASTAs + coverage tables, and rewrite the VCF with VG/ST annotations."""
     from lorikeet_tpu.io.bam import open_bam
-    from lorikeet_tpu.io.vcf import write_vcf
     from lorikeet_tpu.strain.linkage import LinkageEngine
 
     os.makedirs(output_dir, exist_ok=True)
@@ -287,6 +400,27 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
     reference_present = bool(len(split)) and bool(
         (ref_counts >= int(len(split) * 0.97)).any())
     coverage_path = os.path.join(output_dir, f"{genome}_strain_coverages.tsv")
+    if abundance_mode == "reference" and len(split):
+        # reference-parity mode: ref-mass duplication EM + one-pass culling
+        # (abundance_calculator_engine.rs:42-365); raw weights, culled
+        # strains omitted from the TSV like the reference's removal loop
+        thetas_ref, kept_ids, ref_index = run_abundance_reference(
+            X, R, membership, len(strain_groups), reference_present)
+        with open(coverage_path, "w") as out:
+            out.write("strainID\t" + "\t".join(samples) + "\n")
+            for s_idx in kept_ids:
+                name = ("strain_reference" if s_idx == ref_index
+                        else f"strain_{s_idx}")
+                out.write(name + "\t" + "\t".join(
+                    f"{thetas_ref[s][s_idx]:.6f}"
+                    for s in range(len(samples))) + "\n")
+        outputs["strain_coverages"] = coverage_path
+        outputs["reference_strain_present"] = bool(
+            reference_present and ref_index in kept_ids)
+        outputs["abundance_mode"] = "reference"
+        return _finish_genotype_outputs(
+            outputs, strain_groups, grouped, contig_names, vcf_contigs,
+            fasta, output_dir, genome, split, filtered, samples, vcf_path)
     with open(coverage_path, "w") as out:
         out.write("strainID\t" + "\t".join(samples) + "\n")
         thetas = [abundance_em(X[:, s] if len(split) else np.zeros(0),
@@ -332,7 +466,16 @@ def run_genotype(reference: str, vcf_path: str, output_dir: str,
                       + "\t".join(f"{v:.6f}" for v in ref_row) + "\n")
     outputs["strain_coverages"] = coverage_path
     outputs["reference_strain_present"] = reference_present
+    return _finish_genotype_outputs(
+        outputs, strain_groups, grouped, contig_names, vcf_contigs,
+        fasta, output_dir, genome, split, filtered, samples, vcf_path)
 
+
+def _finish_genotype_outputs(outputs, strain_groups, grouped, contig_names,
+                             vcf_contigs, fasta, output_dir, genome,
+                             split, filtered, samples, vcf_path):
+    """Shared tail of run_genotype: strain FASTAs + annotated VCF."""
+    from lorikeet_tpu.io.vcf import write_vcf
     # --- strain FASTAs: apply each strain's variants to the reference
     #     (reference_writer.rs:31 generate_strains) ---
     strain_paths = []
