@@ -147,3 +147,62 @@ def test_vmem_block_always_divides_slab():
         b = vmem_safe_block(rpad, 64)
         assert b > 0 and B_SLAB % b == 0, (rpad, b)
     assert vmem_safe_block(640, 64) == 32
+
+
+@pytest.mark.slow
+def test_pallas_interpret_ambiguous_bases():
+    """N (read and hap sides), an IUPAC byte, and an unknown byte through
+    the one-hot _BASE_BITS match in interpret mode vs the exact numpy
+    reference — CPU-verifiable coverage for the non-ACGT buckets
+    (pair_hmm.rs:536-545: match when equal or either side is N; non-N
+    IUPAC codes compare by exact byte equality, not intersection)."""
+    from lorikeet_tpu.ops.pairhmm import (pack_pairhmm_batch,
+                                          pairhmm_forward_np)
+    rng = np.random.default_rng(11)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+
+    # (a) N scattered through the READ: matches every hap base
+    hap = bases[rng.integers(0, 4, 48)]
+    read = hap[4:36].copy()
+    read[[3, 10, 20]] = ord("N")
+    # (b) N scattered through the HAP: matches every read base
+    hap_n = bases[rng.integers(0, 4, 40)]
+    hap_n[[7, 19]] = ord("N")
+    read_b = hap_n[2:30].copy()
+    read_b[5] = bases[2]
+    # (c) IUPAC byte 'R': exact-equality match where both sides carry it,
+    # mismatch against a plain base
+    hap_r = bases[rng.integers(0, 4, 44)]
+    hap_r[12] = ord("R")
+    read_c = hap_r[6:34].copy()          # read[6] == 'R' aligns over hap 'R'
+    read_c[15] = ord("R")                # 'R' over a plain base: mismatch
+    # (d) unknown byte 'X' on both sides (same unknown byte == match) and
+    # lowercase base (decoders upfold; kernel folds too)
+    hap_x = bases[rng.integers(0, 4, 36)]
+    hap_x[9] = ord("X")
+    read_d = hap_x[3:27].copy()          # read[6] == 'X' over hap 'X'
+
+    for hp, rd in [(hap, read), (hap_n, read_b), (hap_r, read_c),
+                   (hap_x, read_d)]:
+        R = len(rd)
+        pairs.append((hp, rd,
+                      rng.integers(10, 40, R).astype(np.uint8),
+                      rng.integers(30, 46, R).astype(np.uint8),
+                      rng.integers(30, 46, R).astype(np.uint8),
+                      np.full(R, 10, np.uint8)))
+
+    batch = pack_pairhmm_batch(pairs)
+    got = np.asarray(pairhmm_forward_pallas(**batch, interpret=True,
+                                            block_b=8))
+    for k, p in enumerate(pairs):
+        want = pairhmm_forward_np(*p)
+        assert abs(got[k] - want) < 2e-3, (k, want, got[k])
+    # the N-in-read pair must actually beat the same pair with mismatching
+    # plain bases (sanity that N matched rather than mismatched)
+    plain = list(pairs[0])
+    rd = plain[1].copy()
+    rd[[3, 10, 20]] = np.where(plain[0][[7, 14, 24]] == ord("A"),
+                               ord("C"), ord("A")).astype(np.uint8)
+    plain[1] = rd
+    assert pairhmm_forward_np(*pairs[0]) > pairhmm_forward_np(*plain)
