@@ -102,3 +102,19 @@ def test_native_matches_python():
                 continue
             got = align(ref, read, ORIGINAL_DEFAULT, strategy)
             assert got == want, (ref.tobytes(), read.tobytes(), strategy, got, want)
+
+
+def test_parameter_set_values_match_reference():
+    """Pin the four named parameter sets to the reference's values
+    (smith_waterman_aligner.rs:11-25)."""
+    from lorikeet_tpu.ops.smith_waterman import (
+        ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS)
+
+    def tup(p):
+        return (p.match_value, p.mismatch_penalty, p.gap_open_penalty,
+                p.gap_extend_penalty)
+
+    assert tup(ORIGINAL_DEFAULT) == (3, -1, -4, -3)
+    assert tup(STANDARD_NGS) == (25, -50, -110, -6)
+    assert tup(NEW_SW_PARAMETERS) == (200, -150, -260, -11)
+    assert tup(ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS) == (10, -15, -30, -5)
