@@ -110,6 +110,27 @@ def _rle_encode(mask: np.ndarray) -> list:
     return (runs * signs).tolist()
 
 
+def _chunk_size(n_samples: int, cfg) -> int:
+    """Outer-chunk sizing: ~250kb/total_samples, floored so a chunk always
+    holds several regions (haplotype_caller_engine.rs:417 sizing)."""
+    return max(250_000 // max(n_samples, 1),
+               5 * cfg.max_assembly_region_size)
+
+
+def _contig_spans(lo: int, hi: int, chunk_size: int, cfg) -> list:
+    """(fetch_lo, fetch_hi, core_lo, core_hi) spans covering [lo, hi).
+
+    Halo: regions can reach MAX size + padding past a boundary, and the
+    band-pass filter needs +/-50bp of context (SURVEY §5 haloing)."""
+    halo = cfg.max_assembly_region_size + cfg.assembly_region_padding + 50
+    spans = []
+    for core_lo in range(lo, hi, chunk_size):
+        core_hi = min(core_lo + chunk_size, hi)
+        spans.append((max(lo, core_lo - halo), min(hi, core_hi + halo),
+                      core_lo, core_hi))
+    return spans
+
+
 def call_contig(
     fasta: FastaReader,
     bams: list,                 # one BamReader per sample
@@ -137,18 +158,10 @@ def call_contig(
         # limiting interval starts past this contig's end: nothing to call
         # (same empty shape as the min-contig-size skip)
         return ContigResult(tid=0)
-    chunk_size = max(250_000 // max(n_samples, 1),
-                     5 * cfg.max_assembly_region_size)
+    chunk_size = _chunk_size(n_samples, cfg)
     if hi - lo <= chunk_size:
         return _call_span(fasta, bams, contig_name, cfg, engine, lo, hi)
-    # halo: regions can reach MAX size + padding past a boundary, and the
-    # band-pass filter needs +/-50bp of context (SURVEY §5 haloing)
-    halo = cfg.max_assembly_region_size + cfg.assembly_region_padding + 50
-    spans = []
-    for core_lo in range(lo, hi, chunk_size):
-        core_hi = min(core_lo + chunk_size, hi)
-        spans.append((max(lo, core_lo - halo), min(hi, core_hi + halo),
-                      core_lo, core_hi))
+    spans = _contig_spans(lo, hi, chunk_size, cfg)
     if chunk_processes > 1 and len(spans) > 1:
         # one PROCESS per chunk wave (rayon-chunk analogue with real
         # multi-core scaling; each worker decodes the BAMs once and caches
@@ -650,20 +663,32 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
     """Call one genome's contigs; write `{genome}.vcf` + ANI tables.
 
     Mirrors the per-genome task of lorikeet_engine.rs:77-520 (VCF at
-    haplotype_caller_engine.rs:1948-1957, ANI at ani_calculator.rs:55)."""
-    from lorikeet_tpu.strain.ani import run_ani
+    haplotype_caller_engine.rs:1948-1957, ANI at ani_calculator.rs:55).
 
+    Under a multi-process run (jax.distributed or
+    LORIKEET_PROCESS_COUNT>1) with chunk-level sharding requested, work is
+    split at chunk granularity across processes (see run_genome_sharded)."""
     os.makedirs(genome_dir, exist_ok=True)
     fasta = FastaReader(spec.fasta)
     engine = HaplotypeCallerEngine(cfg)
-    all_calls = []
     n_samples = len(bams)
-    passing_rle = [[] for _ in range(n_samples)]
-    genome_size = 0
     checkpoint_dir = (os.path.join(genome_dir, ".chunks")
                       if getattr(cfg, "checkpoint", False) else None)
     results = _call_contigs(spec, fasta, bams, cfg, engine, limit,
                             checkpoint_dir=checkpoint_dir)
+    return _assemble_genome_outputs(spec, fasta, results, genome_dir, cfg,
+                                    sample_names, n_samples)
+
+
+def _assemble_genome_outputs(spec, fasta, results, genome_dir, cfg,
+                             sample_names, n_samples) -> dict:
+    """Gather per-contig results into the genome VCF + ANI tables (the
+    single-writer tail of the per-genome task)."""
+    from lorikeet_tpu.strain.ani import run_ani
+
+    all_calls = []
+    passing_rle = [[] for _ in range(n_samples)]
+    genome_size = 0
     for local_tid, contig in enumerate(spec.contigs):
         res = results[local_tid]
         for vc in res.calls:
@@ -686,6 +711,115 @@ def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
                         depth_per_sample_filter=getattr(
                             cfg, "depth_per_sample_filter", 5))
     return {"vcf": vcf_path, "ani": ani_paths, "n_calls": len(all_calls)}
+
+
+def _genome_units(spec, fasta, cfg, n_samples, limit=None) -> list:
+    """The genome's global chunk work-list: (contig_index, span) in
+    deterministic traversal order.  Every process of a multi-host run
+    computes the identical list, so round-robin index sharding needs no
+    coordination (SURVEY §2.4 rows 1-2: region-level work distribution)."""
+    min_size = getattr(cfg, "min_contig_size", 0) or 0
+    chunk_size = _chunk_size(n_samples, cfg)
+    units = []
+    for ci, contig in enumerate(spec.contigs):
+        length = fasta.length(contig)
+        if min_size and length < min_size:
+            continue
+        lo, hi = (0, length) if limit is None else (max(0, limit[0]),
+                                                    min(length, limit[1]))
+        if hi <= lo:
+            continue
+        if hi - lo <= chunk_size:
+            units.append((ci, (lo, hi, lo, hi)))
+        else:
+            units.extend((ci, sp) for sp in _contig_spans(lo, hi,
+                                                          chunk_size, cfg))
+    return units
+
+
+def run_genome_sharded(spec: GenomeSpec, bams: list, genome_dir: str,
+                       cfg: CallerConfig, sample_names: list, limit=None,
+                       process_index: int = None,
+                       process_count: int = None) -> dict:
+    """Chunk-level multi-process run of one genome (SURVEY §2.4 rows 1-2,
+    the region-queue half the genome-round-robin of parallel/hosts.py does
+    not cover): every process computes the identical global chunk list,
+    takes units round-robin by index, writes one shard file per unit into
+    ``genome_dir/.shards``, and process 0 gathers all shards in traversal
+    order to assemble the final VCF + ANI tables (the reference's
+    single-writer VCF tail, haplotype_caller_engine.rs:1948-1957).
+
+    Shards ride the job's shared filesystem — the same channel the
+    reference's per-genome output cache uses (lorikeet_engine.rs:135-157) —
+    so no collective is needed for what is a host-side gather of Python
+    records.  Worker processes return {"vcf": None, "role": "worker"}."""
+    import pickle
+    import time as _time
+
+    from lorikeet_tpu.parallel.hosts import distributed_context
+
+    if process_count is None:
+        process_index, process_count = distributed_context()
+    if process_count <= 1:
+        return run_genome(spec, bams, genome_dir, cfg, sample_names,
+                          limit=limit)
+    os.makedirs(genome_dir, exist_ok=True)
+    shard_dir = os.path.join(genome_dir, ".shards")
+    os.makedirs(shard_dir, exist_ok=True)
+    fasta = FastaReader(spec.fasta)
+    n_samples = len(bams)
+    units = _genome_units(spec, fasta, cfg, n_samples, limit=limit)
+
+    engine = HaplotypeCallerEngine(cfg)
+    for ui in range(process_index, len(units), process_count):
+        ci, sp = units[ui]
+        path = os.path.join(shard_dir, f"u{ui:06d}.pkl")
+        if os.path.exists(path):
+            continue  # resumed run: shard already computed
+        part = _call_span(fasta, bams, spec.contigs[ci], cfg, engine, *sp)
+        tmp = f"{path}.p{process_index}.tmp"
+        with open(tmp, "wb") as fh:
+            pickle.dump((ci, part), fh)
+        os.replace(tmp, path)  # atomic: gatherers never see partial writes
+
+    if process_index != 0:
+        return {"vcf": None, "role": "worker", "units": len(units)}
+
+    # ---- gather (process 0): wait for every unit shard, merge in order ----
+    deadline = _time.time() + float(
+        os.environ.get("LORIKEET_SHARD_TIMEOUT", "86400"))
+    paths = [os.path.join(shard_dir, f"u{ui:06d}.pkl")
+             for ui in range(len(units))]
+    missing = [p for p in paths if not os.path.exists(p)]
+    while missing:
+        if _time.time() > deadline:
+            raise TimeoutError(
+                f"{len(missing)} of {len(units)} chunk shards missing after "
+                f"LORIKEET_SHARD_TIMEOUT (first: {missing[0]})")
+        _time.sleep(0.05)
+        missing = [p for p in missing if not os.path.exists(p)]
+
+    per_contig = {}
+    for ui, path in enumerate(paths):
+        with open(path, "rb") as fh:
+            ci, part = pickle.load(fh)
+        merged = per_contig.get(ci)
+        if merged is None:
+            per_contig[ci] = part
+        else:
+            merged.calls.extend(part.calls)
+            merged.n_regions += part.n_regions
+            merged.n_active += part.n_active
+            for s in range(n_samples):
+                _rle_concat(merged.depth_pass_rle[s],
+                            part.depth_pass_rle[s])
+    results = [per_contig.get(ci, ContigResult(tid=0))
+               for ci in range(len(spec.contigs))]
+    out = _assemble_genome_outputs(spec, fasta, results, genome_dir, cfg,
+                                   sample_names, n_samples)
+    import shutil
+    shutil.rmtree(shard_dir, ignore_errors=True)
+    return out
 
 
 def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
@@ -738,10 +872,17 @@ def start_engine(mode: str, references: list, bam_paths: list,
     os.makedirs(output_dir, exist_ok=True)
     _configure_devices(cfg)
     specs = discover_genomes(references, genome_dir, extension)
-    # multi-host pod slice: each host takes its genome subset
-    # (SURVEY §2.4 row 1; outputs are per-genome disjoint directories)
-    from lorikeet_tpu.parallel.hosts import host_shard
-    specs = host_shard(specs)
+    # multi-host pod slice (SURVEY §2.4 rows 1-2): with at least one genome
+    # per process, each process takes its genome subset (outputs are
+    # per-genome disjoint directories); with fewer genomes than processes,
+    # every process keeps every genome and work shards at CHUNK granularity
+    # inside run_genome_sharded instead (the reference's region-level rayon
+    # parallelism, assembly_region_walker.rs:139-141, spread across hosts)
+    from lorikeet_tpu.parallel.hosts import distributed_context, host_shard
+    pidx, pcnt = distributed_context()
+    cfg.chunk_shard = pcnt > 1 and len(specs) < pcnt
+    if not cfg.chunk_shard:
+        specs = host_shard(specs, pidx, pcnt)
     if mode == "genotype":
         # sklearn's import chain costs ~5s; overlap it with calling so the
         # clustering stage finds it warm
@@ -869,7 +1010,10 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
     # (lorikeet_engine.rs per-genome scope tasks, SURVEY §5)
     if True:
         try:
-            if long_bam_paths and mode != "summarise" \
+            from lorikeet_tpu.parallel.hosts import distributed_context
+            is_gatherer = (not getattr(cfg, "chunk_shard", False)
+                           or distributed_context()[0] == 0)
+            if long_bam_paths and mode != "summarise" and is_gatherer \
                     and not getattr(cfg, "do_not_call_svs", False):
                 # SV calling on long-read samples (lorikeet_engine.rs:370-383)
                 progress.update(spec.name, "calling structural variants")
@@ -883,9 +1027,17 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
             else:
                 sv_out = {}
             progress.update(spec.name, "calling variants")
+            runner = (run_genome_sharded
+                      if getattr(cfg, "chunk_shard", False) else run_genome)
             with timer.stage("call"):
-                out = run_genome(spec, bams, gdir, cfg, sample_names,
-                                 limit=limit)
+                out = runner(spec, bams, gdir, cfg, sample_names,
+                             limit=limit)
+            if out.get("vcf") is None:
+                # chunk-shard worker process: shards written, the gathering
+                # process owns the VCF and every post-calling stage
+                results[spec.name] = out
+                progress.finish_genome(spec.name)
+                return
             out.update(sv_out)
 
             if mode == "consensus":
