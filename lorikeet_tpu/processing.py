@@ -758,13 +758,24 @@ def run_genome_sharded(spec: GenomeSpec, bams: list, genome_dir: str,
 
     from lorikeet_tpu.parallel.hosts import distributed_context
 
-    if process_count is None:
+    if process_index is None or process_count is None:
         process_index, process_count = distributed_context()
     if process_count <= 1:
         return run_genome(spec, bams, genome_dir, cfg, sample_names,
                           limit=limit)
+    if not 0 <= process_index < process_count:
+        raise ValueError(f"process_index {process_index} out of range for "
+                         f"process_count {process_count}")
     os.makedirs(genome_dir, exist_ok=True)
-    shard_dir = os.path.join(genome_dir, ".shards")
+    # the shard dir name carries a fingerprint of everything that shifts
+    # unit boundaries or changes results (cfg + input file stats + limit +
+    # sample count): a resumed run with changed inputs lands in a fresh dir
+    # instead of silently reusing shards computed for different spans
+    import hashlib
+    shard_fp = hashlib.sha256(
+        (_chunk_key("*shards*", bams, _cfg_fingerprint(cfg), spec.fasta)
+         + f":{limit}:{len(bams)}").encode()).hexdigest()[:16]
+    shard_dir = os.path.join(genome_dir, f".shards-{shard_fp}")
     os.makedirs(shard_dir, exist_ok=True)
     fasta = FastaReader(spec.fasta)
     n_samples = len(bams)
@@ -776,28 +787,64 @@ def run_genome_sharded(spec: GenomeSpec, bams: list, genome_dir: str,
         path = os.path.join(shard_dir, f"u{ui:06d}.pkl")
         if os.path.exists(path):
             continue  # resumed run: shard already computed
+        if not os.path.isdir(shard_dir):
+            break  # gatherer already collected + removed the dir: done
         part = _call_span(fasta, bams, spec.contigs[ci], cfg, engine, *sp)
         tmp = f"{path}.p{process_index}.tmp"
-        with open(tmp, "wb") as fh:
-            pickle.dump((ci, part), fh)
-        os.replace(tmp, path)  # atomic: gatherers never see partial writes
+        try:
+            with open(tmp, "wb") as fh:
+                pickle.dump((ci, part), fh)
+            os.replace(tmp, path)  # atomic: gatherers never see partials
+        except FileNotFoundError:
+            # gatherer rmtree'd the dir between the isdir check and the
+            # write (resume race): gather is complete, stop quietly
+            break
 
     if process_index != 0:
         return {"vcf": None, "role": "worker", "units": len(units)}
 
-    # ---- gather (process 0): wait for every unit shard, merge in order ----
+    # ---- gather (process 0): wait for every unit shard, merge in order.
+    # Fault tolerance: if no new shard lands for LORIKEET_SHARD_GRACE
+    # seconds (a worker died or stalled), the gatherer steals the missing
+    # units and computes them itself — a dead worker costs one grace period
+    # plus its units' compute, never a 24 h poll (the reference's per-genome
+    # try/continue, SURVEY §5, at shard granularity).
     deadline = _time.time() + float(
         os.environ.get("LORIKEET_SHARD_TIMEOUT", "86400"))
+    grace = float(os.environ.get("LORIKEET_SHARD_GRACE", "60"))
     paths = [os.path.join(shard_dir, f"u{ui:06d}.pkl")
              for ui in range(len(units))]
-    missing = [p for p in paths if not os.path.exists(p)]
+    missing = {ui for ui, p in enumerate(paths) if not os.path.exists(p)}
+    last_progress = _time.time()
     while missing:
         if _time.time() > deadline:
             raise TimeoutError(
                 f"{len(missing)} of {len(units)} chunk shards missing after "
-                f"LORIKEET_SHARD_TIMEOUT (first: {missing[0]})")
+                f"LORIKEET_SHARD_TIMEOUT (first: u{min(missing):06d})")
+        if _time.time() - last_progress > grace:
+            # steal: compute missing units here, lowest index first; late
+            # workers racing us is fine (atomic os.replace, same content)
+            for ui in sorted(missing):
+                if os.path.exists(paths[ui]):
+                    continue
+                ci, sp = units[ui]
+                part = _call_span(fasta, bams, spec.contigs[ci], cfg,
+                                  engine, *sp)
+                tmp = f"{paths[ui]}.steal{process_index}.tmp"
+                with open(tmp, "wb") as fh:
+                    pickle.dump((ci, part), fh)
+                os.replace(tmp, paths[ui])
+            missing = {ui for ui in missing if not os.path.exists(paths[ui])}
+            break
         _time.sleep(0.05)
-        missing = [p for p in missing if not os.path.exists(p)]
+        now_missing = {ui for ui in missing
+                       if not os.path.exists(paths[ui])}
+        if now_missing != missing:
+            last_progress = _time.time()
+            missing = now_missing
+    if missing:
+        raise RuntimeError(
+            f"{len(missing)} chunk shards still missing after work-stealing")
 
     per_contig = {}
     for ui, path in enumerate(paths):
@@ -817,18 +864,27 @@ def run_genome_sharded(spec: GenomeSpec, bams: list, genome_dir: str,
                for ci in range(len(spec.contigs))]
     out = _assemble_genome_outputs(spec, fasta, results, genome_dir, cfg,
                                    sample_names, n_samples)
+    import glob as _glob
     import shutil
-    shutil.rmtree(shard_dir, ignore_errors=True)
+    # drop this run's shards and any stale-fingerprint dirs from prior runs
+    for d in _glob.glob(os.path.join(genome_dir, ".shards-*")):
+        shutil.rmtree(d, ignore_errors=True)
     return out
 
 
 def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
-                          cache_dir: str) -> dict:
+                          cache_dir: str, writer_only: bool = False) -> dict:
     """One BAM per (input BAM, genome) holding only that genome's contigs
     (split_bams_to_references, index_bams.rs:84-160).  Returns
     {(bam_path, genome_name): split_path}; split files keep the full
     sequence dictionary and header (tids stay stable) and are reused when
-    already present."""
+    already present.
+
+    Tmp names are pid-unique so concurrent processes over a shared
+    cache_dir never interleave writes into the same tmp file.  With
+    ``writer_only=False`` on a multi-process run, callers should let only
+    one process write (see start_engine) and have the rest wait on the
+    ``.split_done`` marker via wait_for_split_bams."""
     from lorikeet_tpu.io.bam_writer import write_bam
     os.makedirs(cache_dir, exist_ok=True)
     out = {}
@@ -844,16 +900,42 @@ def split_bams_to_genomes(bam_paths: list, bams: list, specs: list,
             recs = [r for t in tids for r in rdr.fetch(t)]
             # write atomically: an interrupted run must not leave a
             # truncated BAM that later runs silently reuse
-            tmp = dest + ".tmp"
+            tmp = f"{dest}.p{os.getpid()}.tmp"
             write_bam(tmp, rdr.references, rdr.lengths, recs,
                       header_text=(rdr.header_text + "\n"
                                    if rdr.header_text
                                    and not rdr.header_text.endswith("\n")
                                    else rdr.header_text) or None)
-            os.replace(tmp, dest)
             if os.path.exists(tmp + ".bai"):
                 os.replace(tmp + ".bai", dest + ".bai")
+            os.replace(tmp, dest)
+    if writer_only:
+        # completion marker for multi-process waiters (all dests + indices
+        # are in place once this lands)
+        marker = os.path.join(cache_dir, ".split_done")
+        with open(marker + f".p{os.getpid()}.tmp", "w") as fh:
+            fh.write("ok")
+        os.replace(marker + f".p{os.getpid()}.tmp", marker)
     return out
+
+
+def wait_for_split_bams(bam_paths: list, specs: list, cache_dir: str,
+                        timeout: float = None) -> dict:
+    """Non-writing processes of a multi-process run: wait for the writer's
+    ``.split_done`` marker, then return the same {(bam, genome): path} map
+    split_bams_to_genomes would."""
+    import time as _time
+    marker = os.path.join(cache_dir, ".split_done")
+    deadline = _time.time() + (timeout if timeout is not None else float(
+        os.environ.get("LORIKEET_SHARD_TIMEOUT", "86400")))
+    while not os.path.exists(marker):
+        if _time.time() > deadline:
+            raise TimeoutError(f"split-BAM writer never finished: {marker}")
+        _time.sleep(0.05)
+    return {(p, spec.name): os.path.join(
+                cache_dir,
+                f"{os.path.splitext(os.path.basename(p))[0]}_{spec.name}.bam")
+            for p in bam_paths for spec in specs}
 
 
 def start_engine(mode: str, references: list, bam_paths: list,
@@ -881,6 +963,10 @@ def start_engine(mode: str, references: list, bam_paths: list,
     from lorikeet_tpu.parallel.hosts import distributed_context, host_shard
     pidx, pcnt = distributed_context()
     cfg.chunk_shard = pcnt > 1 and len(specs) < pcnt
+    # pin the context on cfg: spawned children (process pools) see
+    # distributed_context() == (0, 1) and would otherwise duplicate the
+    # whole genome on every host
+    cfg.process_index, cfg.process_count = pidx, pcnt
     if not cfg.chunk_shard:
         specs = host_shard(specs, pidx, pcnt)
     if mode == "genotype":
@@ -915,10 +1001,17 @@ def start_engine(mode: str, references: list, bam_paths: list,
     if split_bams and len(specs) > 1:
         # per-genome BAM split: each genome task decodes only its own
         # (much smaller) BAM — the reference does this to avoid file-lock
-        # contention across genome threads (index_bams.rs:84)
-        split_map = split_bams_to_genomes(
-            bam_paths, bams, specs,
-            bam_cache_dir or os.path.join(output_dir, "split_bams"))
+        # contention across genome threads (index_bams.rs:84).  In
+        # chunk-shard mode every process holds every spec, so exactly one
+        # process writes the shared cache and the rest wait on its marker
+        # (concurrent writers over one cache_dir would duplicate work).
+        split_cache = bam_cache_dir or os.path.join(output_dir, "split_bams")
+        if getattr(cfg, "chunk_shard", False) and pidx != 0:
+            split_map = wait_for_split_bams(bam_paths, specs, split_cache)
+        else:
+            split_map = split_bams_to_genomes(
+                bam_paths, bams, specs, split_cache,
+                writer_only=getattr(cfg, "chunk_shard", False))
 
     progress = ProgressTree(len(specs))
     results = {}
@@ -1011,8 +1104,10 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
     if True:
         try:
             from lorikeet_tpu.parallel.hosts import distributed_context
+            pin = getattr(cfg, "process_index", None)
             is_gatherer = (not getattr(cfg, "chunk_shard", False)
-                           or distributed_context()[0] == 0)
+                           or (pin if pin is not None
+                               else distributed_context()[0]) == 0)
             if long_bam_paths and mode != "summarise" and is_gatherer \
                     and not getattr(cfg, "do_not_call_svs", False):
                 # SV calling on long-read samples (lorikeet_engine.rs:370-383)
@@ -1027,11 +1122,17 @@ def _process_genome(spec, mode, bams, bam_paths, long_bam_paths, output_dir,
             else:
                 sv_out = {}
             progress.update(spec.name, "calling variants")
-            runner = (run_genome_sharded
-                      if getattr(cfg, "chunk_shard", False) else run_genome)
             with timer.stage("call"):
-                out = runner(spec, bams, gdir, cfg, sample_names,
-                             limit=limit)
+                if getattr(cfg, "chunk_shard", False):
+                    # pinned context survives into spawned children where
+                    # distributed_context() would report (0, 1)
+                    out = run_genome_sharded(
+                        spec, bams, gdir, cfg, sample_names, limit=limit,
+                        process_index=getattr(cfg, "process_index", None),
+                        process_count=getattr(cfg, "process_count", None))
+                else:
+                    out = run_genome(spec, bams, gdir, cfg, sample_names,
+                                     limit=limit)
             if out.get("vcf") is None:
                 # chunk-shard worker process: shards written, the gathering
                 # process owns the VCF and every post-calling stage

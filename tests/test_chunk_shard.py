@@ -88,13 +88,16 @@ def test_two_process_shards_match_single_process(genome1_bam, tmp_path):
     out_w = run_genome_sharded(spec, [open_bam(bam)], shard_dir_root, cfg,
                                ["sample0"], process_index=1, process_count=2)
     assert out_w == {"vcf": None, "role": "worker", "units": 2}
-    shards = sorted(os.listdir(os.path.join(shard_dir_root, ".shards")))
+    import glob
+    shard_dirs = glob.glob(os.path.join(shard_dir_root, ".shards-*"))
+    assert len(shard_dirs) == 1               # fingerprinted shard dir
+    shards = sorted(os.listdir(shard_dirs[0]))
     assert shards == ["u000001.pkl"]          # disjoint: odd units only
     # gatherer (process 0) computes the even units, waits, assembles
     out_g = run_genome_sharded(spec, [open_bam(bam)], shard_dir_root, cfg,
                                ["sample0"], process_index=0, process_count=2)
     assert out_g["n_calls"] == out_single["n_calls"]
-    assert not os.path.exists(os.path.join(shard_dir_root, ".shards"))
+    assert not glob.glob(os.path.join(shard_dir_root, ".shards-*"))
 
     ca, contigs_a, _ = read_vcf(out_single["vcf"])
     cb, contigs_b, _ = read_vcf(out_g["vcf"])
@@ -132,3 +135,24 @@ def test_start_engine_chunk_shards_when_fewer_genomes_than_processes(
     res_g = start_engine("call", [fna], [bam], out_dir, cfg)
     assert sorted(res_g) == sorted(names)
     assert all(os.path.exists(p) for p in vcfs)
+
+
+def test_gatherer_steals_shards_from_dead_worker(genome1_bam, tmp_path,
+                                                 monkeypatch):
+    """A worker that dies mid-run (here: before writing anything) must not
+    stall the gatherer: after LORIKEET_SHARD_GRACE with no progress, process
+    0 computes the missing units itself and still assembles the full VCF."""
+    spec, bam, truth = genome1_bam
+    cfg = CallerConfig(use_pallas=False)
+    monkeypatch.setenv("LORIKEET_SHARD_GRACE", "0.2")
+
+    dead_dir = str(tmp_path / "deadworker")
+    # no worker process ever runs: every odd unit is "lost"
+    out = run_genome_sharded(spec, [open_bam(bam)], dead_dir, cfg,
+                             ["sample0"], process_index=0, process_count=2)
+    assert out["vcf"] is not None
+    cb, contigs_b, _ = read_vcf(out["vcf"])
+    called = {(contigs_b[v.tid], v.start) for v in cb}
+    for contig, variants in truth.items():
+        for t in variants:
+            assert (contig, t.pos) in called
