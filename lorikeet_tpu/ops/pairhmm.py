@@ -276,7 +276,9 @@ def pack_pairhmm_batch(pairs, r_pad_to=None, h_pad_to=None):
     B = len(pairs)
     Rmax = max(len(p[1]) for p in pairs)
     Hmax = max(len(p[0]) for p in pairs)
-    if r_pad_to:
+    if callable(r_pad_to):
+        Rmax = r_pad_to(Rmax)
+    elif r_pad_to:
         Rmax = -(-Rmax // r_pad_to) * r_pad_to
     if h_pad_to:
         Hmax = -(-Hmax // h_pad_to) * h_pad_to

@@ -33,16 +33,20 @@ def active_probabilities_jax(gls, ploidy: int,
     """jnp version of models.activity.active_probabilities with a fixed
     iteration count (static shapes for jit); converged positions freeze."""
     S, L, G = gls.shape
-    counts = jnp.stack([jnp.arange(ploidy, -1, -1), jnp.arange(0, ploidy + 1)],
-                       axis=1).astype(gls.dtype)
+    # constants stay NUMPY: jnp constants closure-captured into a jit are
+    # embedded via a device->host readback at LOWERING time, which on the
+    # tunneled backend blocks the lowering thread on the device queue
+    np_dtype = np.dtype(gls.dtype)  # traced dtypes are numpy dtypes
+    counts = np.stack([np.arange(ploidy, -1, -1),
+                       np.arange(0, ploidy + 1)], axis=1).astype(np_dtype)
     import math
-    log10_comb = jnp.array(
+    log10_comb = np.array(
         [(math.lgamma(ploidy + 1) - math.lgamma(i + 1)
           - math.lgamma(ploidy - i + 1)) / np.log(10) for i in range(G)],
-        gls.dtype)
+        np_dtype)
     ref_pseudo = snp_heterozygosity / heterozygosity_stdev ** 2
-    prior_pseudo = jnp.array([ref_pseudo, snp_heterozygosity * ref_pseudo],
-                             gls.dtype)
+    prior_pseudo = np.array([ref_pseudo, snp_heterozygosity * ref_pseudo],
+                            np_dtype)
 
     def posteriors(log10_af):
         raw = (log10_comb[None, None, :] + gls
@@ -84,7 +88,7 @@ def _activity_jit(ploidy, snp_het, het_std, conf, prop, n_iters):
     """Single-device jitted activity chain: EM active probabilities ->
     HQ-soft-clip state expansion -> band-pass convolution (the device form
     of models.activity.active_probabilities + band_pass_smooth)."""
-    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+    kernel = np.asarray(gaussian_kernel(), np.float32)
 
     @jax.jit
     def fn(gls, hq_mean):
@@ -106,7 +110,7 @@ def _activity_sharded(mesh, axis, ploidy, snp_het, het_std, conf, prop,
                       n_iters):
     """Position-sharded version: local EM per shard, ICI halo exchange for
     the band-pass convolution (SURVEY §5 halo design)."""
-    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+    kernel = np.asarray(gaussian_kernel(), np.float32)
     halo = (len(kernel) - 1) // 2
     n = mesh.devices.size
 
@@ -177,7 +181,7 @@ def sharded_activity_step(mesh: Mesh, ploidy: int = 2, axis: str = "data"):
     Returns a jitted fn(gls [S, L, G] f32, depths [S, L] f32)
     -> (smoothed probs [L], depth_totals [S]).
     """
-    kernel = jnp.asarray(gaussian_kernel(), jnp.float32)
+    kernel = np.asarray(gaussian_kernel(), np.float32)
     halo = (len(kernel) - 1) // 2
     n = mesh.devices.size
 

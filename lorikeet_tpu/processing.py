@@ -261,6 +261,14 @@ def _configure_devices(cfg):
         configure_mesh(None)
         return
     configure_mesh(spec)
+    if jax.default_backend() != "cpu" \
+            and os.environ.get("LORIKEET_PALLAS_INTERPRET") != "1":
+        # start the short-read bucket compiles NOW, behind the BAM decode /
+        # activity-profiling stages: by the time the first region batch
+        # arrives the device path is warm (no persistent cache exists on
+        # this backend — see calling.likelihoods._PALLAS_WARM_BUCKETS)
+        from lorikeet_tpu.calling.likelihoods import prewarm_pallas_buckets
+        prewarm_pallas_buckets()
 
 
 def _cpu_only_backend(cfg) -> bool:

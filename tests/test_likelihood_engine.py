@@ -57,9 +57,9 @@ def test_prepare_read_quality_caps():
 
 
 def test_cold_compile_routing_and_prewarm(monkeypatch):
-    """Cold pallas buckets route to the exact host kernel; once cumulative
-    demand crosses the prewarm bar a background compile is kicked off, and a
-    warm bucket is used directly (compile-cost-aware dispatch)."""
+    """A cold pallas bucket routes this batch to the exact host kernel and
+    immediately kicks the bucket's background compile; a warm bucket is used
+    directly (eager-prewarm dispatch — no cumulative-cells gate)."""
     import lorikeet_tpu.calling.likelihoods as L
 
     rng = np.random.default_rng(3)
@@ -69,27 +69,38 @@ def test_cold_compile_routing_and_prewarm(monkeypatch):
     q = np.full(20, 30, np.uint8)
     pairs = [(hap, read, q, q, q, np.full(20, 10, np.uint8))] * 3
 
-    monkeypatch.setattr(L, "_cells_seen", 0.0)
     monkeypatch.setattr(L, "_PALLAS_WARM_BUCKETS", set())
     monkeypatch.setattr(L, "_prewarm_threads", {})
     prewarmed = []
     monkeypatch.setattr(L, "_prewarm_bucket", prewarmed.append)
 
-    # below the prewarm bar: host path, no compile thread
-    monkeypatch.setattr(L, "_PALLAS_PREWARM_CELLS", 1e18)
+    # cold bucket: host path AND the compile thread starts right away
     out_cold = L.compute_pair_likelihoods(pairs, use_pallas=True)
-    assert not prewarmed
-    # host path must equal the explicit host computation
     out_host = L.compute_pair_likelihoods(pairs, use_pallas=False)
     np.testing.assert_allclose(out_cold, out_host)
-
-    # above the prewarm bar: still host, but the background compile starts
-    monkeypatch.setattr(L, "_PALLAS_PREWARM_CELLS", 0.0)
-    out2 = L.compute_pair_likelihoods(pairs, use_pallas=True)
-    np.testing.assert_allclose(out2, out_host)
     for t in list(L._prewarm_threads.values()):
         t.join(5)
     assert prewarmed == [L._pallas_bucket(pairs)]
+    # a second cold batch does not restart the landed bucket thread
+    prewarmed.clear()
+    monkeypatch.setattr(L, "_PALLAS_WARM_BUCKETS",
+                        {L._pallas_bucket(pairs)})
+    L.compute_pair_likelihoods(pairs, use_pallas=False)
+    assert not prewarmed
+
+
+def test_lane_fit_bucket_geometry():
+    """Buckets are 32k-1 so Rpad = roundup(Rmax+1, 128) never spills a
+    short read past the 128-lane boundary."""
+    from lorikeet_tpu.calling.likelihoods import lane_fit_bucket
+    assert lane_fit_bucket(100) == 127          # 100bp read -> Rpad 128
+    assert lane_fit_bucket(127) == 127
+    assert lane_fit_bucket(128) == 159          # -> Rpad 256
+    assert lane_fit_bucket(31) == 31
+    assert lane_fit_bucket(1) == 31
+    for r in (1, 31, 32, 96, 100, 127, 128, 151, 250):
+        b = lane_fit_bucket(r)
+        assert b >= r and (b + 1) % 32 == 0
 
 
 def test_repeat_lengths_native_matches_numpy():
