@@ -124,6 +124,34 @@ class AlleleFrequencyCalculator:
             log10_result = np.where(np.isneginf(m), -np.inf, log10_result)
         return 10.0 ** log10_result
 
+    def calculate_single_sample_biallelic_non_ref_posterior(
+            self, log10_genotype_likelihoods,
+            return_zero_if_ref_is_max: bool = False) -> float:
+        """Posterior that a single biallelic genotype is non-ref; the nth
+        entry holds n copies of the alt allele
+        (calculate_single_sample_biallelic_non_ref_posterior,
+        allele_frequency_calculator.rs:149-189)."""
+        from math import lgamma
+
+        gl = np.asarray(log10_genotype_likelihoods, float)
+        if return_zero_if_ref_is_max and int(np.argmax(gl)) == 0:
+            return 0.0
+        ploidy = len(gl) - 1
+        n = np.arange(ploidy + 1)
+        log10_binom = np.array(
+            [(lgamma(ploidy + 1) - lgamma(k + 1) - lgamma(ploidy - k + 1))
+             / np.log(10) for k in n])
+        log10_dirichlet = np.array(
+            [(lgamma(k + self.snp_pseudo_count)
+              + lgamma(ploidy - k + self.ref_pseudo_count)) / np.log(10)
+             for k in n])
+        unnorm = gl + log10_binom + log10_dirichlet
+        if return_zero_if_ref_is_max and int(np.argmax(unnorm)) == 0:
+            return 0.0
+        m = unnorm.max()
+        lin = 10.0 ** (unnorm - m)
+        return 1.0 - float(lin[0] / lin.sum())
+
     def calculate(self, vc: VariantContext, default_ploidy: int | None = None
                   ) -> AFCalculationResult:
         if default_ploidy is None:

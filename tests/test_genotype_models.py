@@ -177,3 +177,158 @@ def test_independent_samples_model_heterogeneous_ploidies():
                 assert gls.shape == (genotype_count(ploidy, n_alleles),)
                 if n_reads:
                     assert np.all(gls <= 1e-9), (ploidy, n_alleles)
+
+
+# ---- further scenarios from allele_frequency_calculator_unit_tests.rs ----
+
+SPAN_DEL = None
+
+
+def _span_del():
+    from lorikeet_tpu.models.variants import SPAN_DEL_ALLELE
+    return SPAN_DEL_ALLELE
+
+
+def test_symmetries():
+    """Relabeling B<->C leaves p(only ref) and p(absent) invariant
+    (test_symmetries, allele_frequency_calculator_unit_tests.rs:38-140)."""
+    af = AlleleFrequencyCalculator(1.0, 0.1, 0.1, DIPLOID)
+    alleles = [A, B, C]
+    s = iter(range(100))
+    AA = _genotype(DIPLOID, TRIALLELIC, [0, 2], FAIRLY_CONFIDENT_PL, next(s))
+    BB = _genotype(DIPLOID, TRIALLELIC, [1, 2], FAIRLY_CONFIDENT_PL, next(s))
+    CC = _genotype(DIPLOID, TRIALLELIC, [2, 2], FAIRLY_CONFIDENT_PL, next(s))
+    AB = _genotype(DIPLOID, TRIALLELIC, [0, 1, 1, 1], FAIRLY_CONFIDENT_PL,
+                   next(s))
+    AC = _genotype(DIPLOID, TRIALLELIC, [0, 1, 2, 1], FAIRLY_CONFIDENT_PL,
+                   next(s))
+    BBB = _genotype(TRIPLOID, TRIALLELIC, [1, 3], FAIRLY_CONFIDENT_PL,
+                    next(s))
+    CCC = _genotype(TRIPLOID, TRIALLELIC, [2, 3], FAIRLY_CONFIDENT_PL,
+                    next(s))
+    pairs = [
+        ([AA, BB], [AA, CC]),
+        ([AA, AB], [AA, AC]),
+        ([AB, AB], [AC, AC]),
+        ([AA, AA, BB], [AA, AA, CC]),
+        ([AA, AB, AB], [AA, AC, AC]),
+        ([AA, BBB], [AA, CCC]),
+    ]
+    for g1, g2 in pairs:
+        r1 = af.calculate(_vc(alleles, g1), DIPLOID)
+        r2 = af.calculate(_vc(alleles, g2), DIPLOID)
+        assert abs(r1.log10_prob_only_ref_allele_exists()
+                   - r2.log10_prob_only_ref_allele_exists()) < 1e-8
+        assert abs(r1.log10_p_ref_by_allele[B]
+                   - r2.log10_p_ref_by_allele[C]) < 1e-8
+
+
+def test_many_samples_with_low_confidence():
+    """MLE counts with a heavy ref prior and weak AB evidence
+    (test_many_samples_with_low_confidence, :243-276)."""
+    af = AlleleFrequencyCalculator(1000.0, 1.0, 1.0, DIPLOID)
+    alleles = [A, B]
+    AB = _genotype(DIPLOID, 2, [0, 1, 1, 1], FAIRLY_CONFIDENT_PL, 0)
+    counts = []
+    for n in range(1, 11):
+        res = af.calculate(_vc(alleles, [AB] * n), DIPLOID)
+        counts.append(res.get_allele_count_at_mle(B))
+    assert counts[0] == 0
+    assert counts[1] == 0
+    assert counts[4] == 2
+    assert counts[8] >= 3
+
+
+def _pl_genotype(ploidy, sample, pls):
+    return Genotype(sample=sample, ploidy=ploidy,
+                    log10_likelihoods=np.asarray(pls, float) / -10.0)
+
+
+def test_spanning_deletion_is_not_considered_variant():
+    """(test_spanning_deletion_is_not_considered_variant, :396-484)."""
+    ploidy = 2
+    af = AlleleFrequencyCalculator(1.0, 0.1, 0.1, ploidy)
+    alleles = [A, B, _span_del()]
+    span_del = _pl_genotype(ploidy, 0, [50, 100, 100, 0, 100, 100])
+    low_qual_snp = _pl_genotype(ploidy, 1, [10, 0, 40, 100, 70, 300])
+
+    r = af.calculate(_vc(alleles, [span_del]), ploidy)
+    assert r.log10_prob_variant_present() < -10.0
+
+    snp_score = af.calculate(
+        _vc(alleles, [low_qual_snp]), ploidy).log10_prob_variant_present()
+    both_score = af.calculate(
+        _vc(alleles, [low_qual_snp, span_del]),
+        ploidy).log10_prob_variant_present()
+    assert abs(snp_score - both_score) < 0.1 * max(
+        abs(snp_score), abs(both_score), 1.0)
+    assert both_score < snp_score
+
+    haploid_ref = _pl_genotype(1, 2, [0, 100, 100])
+    hap_score = af.calculate(
+        _vc(alleles, [low_qual_snp, haploid_ref]),
+        ploidy).log10_prob_variant_present()
+    assert abs(hap_score - both_score) < 1e-5
+
+    no_span = af.calculate(
+        _vc([A, B], [_pl_genotype(ploidy, 3, [10, 0, 40]),
+                     _pl_genotype(1, 4, [0, 100])]),
+        ploidy).log10_prob_variant_present()
+    assert abs(no_span - both_score) < 1e-6
+
+
+def test_presence_of_unlikely_spanning_deletion_doesnt_affect_results():
+    """(:486-514)."""
+    ploidy = 2
+    af = AlleleFrequencyCalculator(1.0, 0.1, 0.1, ploidy)
+    without = af.calculate(
+        _vc([A, B], [_pl_genotype(ploidy, 0, [50, 0, 50])]),
+        ploidy).log10_prob_variant_present()
+    with_sd = af.calculate(
+        _vc([A, B, _span_del()],
+            [_pl_genotype(ploidy, 0, [50, 0, 50, 100, 100, 100])]),
+        ploidy).log10_prob_variant_present()
+    assert abs(with_sd - without) < 1e-4
+
+
+def test_spanning_deletion_with_very_unlikely_alt_allele():
+    """Finite-precision guard (:516-530): must not raise or produce NaN
+    (the reference test asserts nothing beyond not crashing; p(variant)
+    legitimately underflows to 0, i.e. log10 -> -inf)."""
+    ploidy = 4
+    af = AlleleFrequencyCalculator(1.0, 0.1, 0.1, ploidy)
+    pls = [0] + [10000] * 14
+    res = af.calculate(
+        _vc([A, _span_del(), B], [_pl_genotype(ploidy, 0, pls)]), ploidy)
+    assert not np.isnan(res.log10_prob_variant_present())
+    assert not np.isnan(res.log10_prob_only_ref_allele_exists())
+
+
+def test_single_sample_biallelic_shortcut():
+    """(test_single_sample_biallelic_shortcut, :531-576)."""
+    def normalize_log10_lin(vals):
+        vals = np.asarray(vals, float)
+        m = vals.max()
+        lin = 10.0 ** (vals - m)
+        return lin / lin.sum()
+
+    # haploid-style equal pseudocounts: posterior tracks the likelihoods
+    for pseudo in (1.0, 5.0, 10.0):
+        af = AlleleFrequencyCalculator(pseudo, pseudo, pseudo, DIPLOID)
+        for pl in (10, 100, 1000):
+            gl = [0.0, pl / 10.0]
+            got = af.calculate_single_sample_biallelic_non_ref_posterior(gl)
+            want = normalize_log10_lin(gl)[1]
+            assert abs(got - want) < 1e-10
+
+    # diploid: roughly prior x likelihood
+    for het in (0.1, 0.01, 0.001):
+        af = AlleleFrequencyCalculator(100.0, 100.0 * het, 100.0 * het,
+                                       DIPLOID)
+        for pl in (10, 100, 1000):
+            gl = [0.0, pl / 10.0, -100.0]
+            priors = np.log10([(1 - het) ** 2, 2 * het * (1 - het),
+                               het ** 2])
+            got = af.calculate_single_sample_biallelic_non_ref_posterior(gl)
+            want = 1.0 - normalize_log10_lin(np.asarray(gl) + priors)[0]
+            assert abs(got - want) < 0.3
