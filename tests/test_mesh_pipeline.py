@@ -165,3 +165,74 @@ def test_configure_mesh_specs():
         assert m is not None and m.devices.size == len(jax.devices())
     finally:
         set_mesh(None)
+
+
+def test_device_activity_adversarial_slow_convergence():
+    """Slow-converging EM inputs (near-balanced hom-ref/het evidence across
+    many samples, AF hovering near 0.5) must agree between the device
+    chain's frozen-iteration scan and the host loop's iterate-to-convergence
+    (VERDICT r2 weak #7)."""
+    from lorikeet_tpu.models.activity import (
+        active_probabilities, band_pass_smooth,
+    )
+    from lorikeet_tpu.parallel.pipeline import smoothed_activity_device
+
+    rng = np.random.default_rng(11)
+    S, L, ploidy = 12, 1500, 2
+    # ambiguous baseline: hom-ref and het nearly tied everywhere
+    gls = np.stack([
+        rng.normal(-0.32, 0.02, (S, L)),       # hom-ref
+        rng.normal(-0.30, 0.02, (S, L)),       # het
+        rng.normal(-6.0, 0.5, (S, L)),         # hom-alt
+    ], axis=2)
+    # planted borderline sites: half the samples weakly support an alt
+    for pos in (200, 750, 751, 1290):
+        for s in range(S // 2):
+            gls[s, pos] = [-3.2, 0.0, -1.1]
+        for s in range(S // 2, S):
+            gls[s, pos] = [0.0, -0.4, -7.0]
+    hq = np.zeros(L)
+    host = band_pass_smooth(
+        active_probabilities(gls, ploidy), hq)
+    try:
+        set_mesh(None)
+        dev = smoothed_activity_device(gls, hq, ploidy)
+    finally:
+        set_mesh(None)
+    assert np.allclose(dev, host, atol=2e-3), np.abs(dev - host).max()
+
+
+def test_device_activity_halo_straddling_runs():
+    """Active runs planted exactly across 8-device shard boundaries: the
+    ICI halo exchange must reproduce the host convolution bit-for-bit at
+    the seams (VERDICT r2 item 9)."""
+    from lorikeet_tpu.models.activity import (
+        active_probabilities, band_pass_smooth,
+    )
+    from lorikeet_tpu.parallel.pipeline import smoothed_activity_device
+
+    rng = np.random.default_rng(13)
+    S, ploidy = 2, 2
+    L = 2048                     # Lpad == L on the 8-device mesh (256/dev)
+    gls = rng.normal(-0.5, 0.3, (S, L, ploidy + 1))
+    shard = L // 8
+    planted = []
+    for b in range(1, 8):
+        # a 7-position active run straddling each shard seam
+        for off in range(-3, 4):
+            pos = b * shard + off
+            gls[:, pos] = np.array([-30.0, -3.0, 0.0])
+            planted.append(pos)
+    hq = np.zeros(L)
+    hq[shard - 3:shard + 4] = 9.0             # HQ expansion across seam 1
+    host = band_pass_smooth(active_probabilities(gls, ploidy), hq)
+    try:
+        set_mesh(make_mesh(jax.devices()[:8]))
+        dev8 = smoothed_activity_device(gls, hq, ploidy)
+    finally:
+        set_mesh(None)
+    assert np.allclose(dev8, host, atol=2e-3), np.abs(dev8 - host).max()
+    for pos in planted:
+        # seam positions carry the same (smoothed) activity as on host
+        assert abs(dev8[pos] - host[pos]) < 2e-3
+        assert host[pos] > 0.05
