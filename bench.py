@@ -1,40 +1,46 @@
-"""Benchmark: pair-HMM forward throughput (GCUPS) on one chip.
+"""Benchmark: pair-HMM throughput + end-to-end call wall on one chip.
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE final JSON line:
+  {"metric": "pairhmm_forward_gcups", "value": N, "unit": "GCUPS/chip",
+   "vs_baseline": N, "pairhmm_effective_gcups": N, "active_regions_per_sec":
+   N, "e2e_wall_s": N, "e2e_host_wall_s": N, "sharded_1dev_ok": bool, ...}
 
 Baseline: the reference's Intel GKL AVX-512 pair-HMM forward
 (/root/reference/src/pair_hmm/pair_hmm.rs:345-375).  Published GKL f64
 AVX-512 throughput is ~1-3 GCUPS single-threaded; we use 3.0 GCUPS as a
 generous single-chip-vs-single-socket baseline (BASELINE.md: target >=10x).
 
-Methodology: pack once; enqueue N kernel calls and read back once — on the
-axon tunnel, per-call device-to-host readback costs a fixed ~27 ms that is
-not kernel time, and block_until_ready does not synchronize remote execution.
+Sections:
+ 1. peak kernel GCUPS — uniform 8192 x 127 x 256 batch, pack once, enqueue
+    N, read back once (the tunnel's ~27 ms D2H is amortized; best-of-3
+    min-time strips tunnel-load noise).
+ 2. effective (ragged) GCUPS — a realistic read/hap length mixture pushed
+    through the PRODUCTION routing path (compute_pair_likelihoods:
+    lane-fit bucketing, slab packing, f32->f64 escalation checks); value
+    counts TRUE cells only, so padding waste is priced in.
+ 3. compiled shard_map lowering on a 1-device mesh (force path) — golden
+    agreement vs the unsharded kernel.
+ 4. end-to-end `call` (1 Mbp x 2 samples x 30x simulated): host-kernel wall
+    vs TPU-dispatch wall + active regions/sec (BASELINE.json metric).
+
+Skip slow sections with LORIKEET_BENCH_FAST=1 (kernel-only).
 """
 import json
 import os
+import sys
 import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 BASELINE_GCUPS = 3.0
 
 
-def main():
-    import jax
-    from lorikeet_tpu.ops.pairhmm_pallas import (
-        pack_pallas_inputs, pairhmm_forward_packed,
-    )
-
-    B, R, H = 8192, 127, 256
+def _mk_uniform(B=8192, R=127, H=256):
     rng = np.random.default_rng(0)
     bases = np.frombuffer(b"ACGT", np.uint8)
     haps = bases[rng.integers(0, 4, (B, H))]
     reads = np.ascontiguousarray(haps[:, :R])
-    big = dict(
+    return dict(
         haps=haps, hap_lens=np.full(B, H, np.int32),
         reads=reads, read_lens=np.full(B, R, np.int32),
         quals=np.full((B, R), 30, np.uint8),
@@ -42,8 +48,16 @@ def main():
         del_quals=np.full((B, R), 45, np.uint8),
         gcps=np.full((B, R), 10, np.uint8),
     )
+
+
+def bench_kernel_peak():
+    from lorikeet_tpu.ops.pairhmm_pallas import (
+        pack_pallas_inputs, pairhmm_forward_packed,
+    )
+    B, R, H = 8192, 127, 256
+    big = _mk_uniform(B, R, H)
     operands, nchunks, _ = pack_pallas_inputs(**big, block_b=256)
-    np.asarray(pairhmm_forward_packed(operands, nchunks, B, 256))  # warm/compile
+    np.asarray(pairhmm_forward_packed(operands, nchunks, B, 256))  # compile
 
     def run_n(n):
         t0 = time.time()
@@ -53,18 +67,122 @@ def main():
         np.asarray(out)
         return time.time() - t0
 
-    # best-of-3 measurement passes: tunnel load adds ~+-5% run-to-run noise;
-    # min-time is the noise-robust estimator (biased toward the quiet-tunnel
-    # case by construction — see docs/benchmarks.md methodology note)
     t1 = min(run_n(1) for _ in range(2))
     per_call = min((run_n(21) - t1) / 20 for _ in range(3))
-    gcups = B * R * H / per_call / 1e9
-    print(json.dumps({
-        "metric": "pairhmm_forward_gcups",
-        "value": round(gcups, 2),
-        "unit": "GCUPS/chip",
-        "vs_baseline": round(gcups / BASELINE_GCUPS, 2),
-    }))
+    return B * R * H / per_call / 1e9
+
+
+def bench_effective_ragged():
+    """Realistic mixture through the production dispatch path."""
+    import lorikeet_tpu.calling.likelihoods as L
+
+    rng = np.random.default_rng(1)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+
+    def mk_pairs(n_pairs, rlens, hlens):
+        pairs = []
+        for _ in range(n_pairs):
+            R = int(rng.choice(rlens))
+            H = int(rng.choice(hlens))
+            hap = bases[rng.integers(0, 4, H)]
+            read = bases[rng.integers(0, 4, R)]
+            q = np.full(R, 30, np.uint8)
+            pairs.append((hap, read, q, np.full(R, 45, np.uint8),
+                          np.full(R, 45, np.uint8),
+                          np.full(R, 10, np.uint8)))
+        return pairs
+
+    # region batches as production sees them: short reads 70-151bp vs
+    # trimmed haplotypes 150-450bp, ~2-6k pairs per span batch
+    batches = [mk_pairs(int(rng.integers(2000, 6000)),
+                        range(70, 152), range(150, 451))
+               for _ in range(6)]
+    # warm every bucket these batches hit (production prewarm does this)
+    for b in batches:
+        L._PALLAS_WARM_BUCKETS.add(L._pallas_bucket(b))
+        L.compute_pair_likelihoods(b, use_pallas=True)
+    true_cells = sum(len(p[0]) * len(p[1]) for b in batches for p in b)
+    t0 = time.time()
+    for b in batches:
+        L.compute_pair_likelihoods(b, use_pallas=True)
+    wall = time.time() - t0
+    return true_cells / wall / 1e9
+
+
+def bench_sharded_1dev():
+    """Mosaic-under-shard_map on the real chip via the force path."""
+    import jax
+    from lorikeet_tpu.ops.pairhmm_pallas import (
+        pack_pallas_inputs, pairhmm_forward_packed, pairhmm_forward_sharded,
+    )
+    from lorikeet_tpu.parallel.sharding import make_mesh
+    B, R, H = 1024, 95, 160
+    ops_np, nchunks, _ = pack_pallas_inputs(**_mk_uniform(B, R, H),
+                                            to_device=False)
+    mesh = make_mesh(np.array(jax.devices()[:1]))
+    sharded = np.asarray(pairhmm_forward_sharded(
+        ops_np, nchunks, B, mesh, force=True))
+    ops_dev, nchunks, _ = pack_pallas_inputs(**_mk_uniform(B, R, H))
+    plain = np.asarray(pairhmm_forward_packed(ops_dev, nchunks, B))
+    return bool(np.allclose(sharded, plain, atol=1e-5, rtol=1e-5))
+
+
+def bench_e2e():
+    import subprocess
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "bench_e2e.py"),
+         "--kbp", "1000", "--samples", "2", "--prewarm-first"],
+        capture_output=True, text=True, timeout=1800)
+    host = tpu = None
+    for line in out.stdout.splitlines():
+        try:
+            row = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if row.get("config") == "host_kernel":
+            host = row
+        elif row.get("config") == "tpu_dispatch":
+            tpu = row
+    return host, tpu
+
+
+def main():
+    import jax
+    fast = os.environ.get("LORIKEET_BENCH_FAST") == "1"
+    on_tpu = jax.default_backend() != "cpu"
+
+    result = {"metric": "pairhmm_forward_gcups", "unit": "GCUPS/chip"}
+    gcups = bench_kernel_peak() if on_tpu else 0.0
+    result["value"] = round(gcups, 2)
+    result["vs_baseline"] = round(gcups / BASELINE_GCUPS, 2)
+
+    if on_tpu and not fast:
+        try:
+            result["pairhmm_effective_gcups"] = round(
+                bench_effective_ragged(), 2)
+        except Exception as e:  # noqa: BLE001
+            result["pairhmm_effective_gcups"] = f"error: {e}"
+        try:
+            result["sharded_1dev_ok"] = bench_sharded_1dev()
+        except Exception as e:  # noqa: BLE001
+            result["sharded_1dev_ok"] = f"error: {e}"
+        try:
+            host, tpu = bench_e2e()
+            if host:
+                result["e2e_host_wall_s"] = host["value"]
+            if tpu:
+                result["e2e_wall_s"] = tpu["value"]
+                result["active_regions_per_sec"] = \
+                    tpu["active_regions_per_sec"]
+                result["e2e_recall"] = tpu["recall"]
+            if host and tpu:
+                result["e2e_tpu_speedup_vs_host"] = round(
+                    host["value"] / tpu["value"], 3)
+        except Exception as e:  # noqa: BLE001
+            result["e2e_wall_s"] = f"error: {e}"
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -122,10 +122,18 @@ def main():
     ap.add_argument("--threads", type=int, default=1)
     ap.add_argument("--skip-host", action="store_true")
     ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--prewarm-first", action="store_true",
+                    help="start the bucket compiles before the host leg "
+                         "(models a long-lived process whose buckets are "
+                         "warm; without it the TPU leg pays/overlaps its "
+                         "own compiles via the routing fallback)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
     import jax
+    if args.prewarm_first and jax.default_backend() != "cpu":
+        from lorikeet_tpu.calling.likelihoods import prewarm_pallas_buckets
+        prewarm_pallas_buckets()
     tmp = tempfile.mkdtemp(prefix="lorikeet_e2e_")
     t0 = time.time()
     fasta, bams, truth = simulate_dataset(tmp, args.kbp, args.samples,

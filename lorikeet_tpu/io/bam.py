@@ -654,8 +654,14 @@ class StreamingBamReader(BamReader):
         chunks = self._bai[tid].query(start, end) \
             if 0 <= tid < len(self._bai) else []
         if chunks:
-            data = self._bgzf.read_voffset_range(chunks[0][0],
-                                                 chunks[-1][1])
+            # read each merged chunk range separately — the min-to-max
+            # ENVELOPE can span most of the file when parent-level bins
+            # contribute scattered chunks (measured: 542 MB decompressed
+            # for a 250 kb window on a 30 Mbp contig).  Chunk boundaries
+            # are record-aligned, so concatenation preserves framing.
+            data = b"".join(
+                self._bgzf.read_voffset_range(c_beg, c_end)
+                for c_beg, c_end in chunks)
         self._window = (tid, start, end)
         if not data:
             self._by_tid = {}

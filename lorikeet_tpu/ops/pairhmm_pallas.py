@@ -258,15 +258,19 @@ def make_sharded_pairhmm(mesh, axis: str, nchunks: int, block_b: int,
 
 def pairhmm_forward_sharded(slabs, nchunks, B, mesh, axis: str = "data",
                             block_b: int = 64,
-                            interpret: bool = False) -> jnp.ndarray:
+                            interpret: bool = False,
+                            force: bool = False) -> jnp.ndarray:
     """Run prepacked B_SLAB slabs over a device mesh: each slab's batch axis
     is split B_SLAB/n rows per chip (one dispatch per slab, every chip
     sweeping its shard — the reference's rayon region fan-out on ICI).  The
     per-shard compile shape is FIXED per mesh size, so Mosaic compiles once
     per (Rpad, nchunks) bucket exactly like the single-chip path.  Falls
-    back to single-device dispatch when the mesh cannot split a slab."""
+    back to single-device dispatch when the mesh cannot split a slab —
+    unless ``force``, which takes the shard_map lowering even on a 1-device
+    mesh (validates Mosaic-under-shard_map on real hardware, where no
+    multi-chip mesh exists to exercise it)."""
     n = mesh.devices.size
-    if n <= 1 or B_SLAB % n:
+    if (n <= 1 and not force) or B_SLAB % n:
         return pairhmm_forward_packed(slabs, nchunks, B, block_b, interpret)
     from jax.sharding import NamedSharding, PartitionSpec as P
     sharding = NamedSharding(mesh, P(axis))
