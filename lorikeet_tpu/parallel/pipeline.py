@@ -99,7 +99,11 @@ def _activity_jit(ploidy, snp_het, het_std, conf, prop, n_iters):
         n_clips = jnp.minimum(hq_mean, float(prop))
         mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
                          2.0 * jnp.floor(n_clips) + 1.0, 1.0)
-        return jnp.convolve(probs * mult, kernel,
+        # barrier: without it XLA fuses the EM scan INTO the 101-tap
+        # convolution, recomputing the producer per tap (measured: >550 s
+        # first call vs 19 s with the barrier on the virtual CPU mesh)
+        probs = jax.lax.optimization_barrier(probs * mult)
+        return jnp.convolve(probs, kernel,
                             mode="same").astype(jnp.float32)
 
     return fn
@@ -125,7 +129,8 @@ def _activity_sharded(mesh, axis, ploidy, snp_het, het_std, conf, prop,
         n_clips = jnp.minimum(hq_mean, float(prop))
         mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
                          2.0 * jnp.floor(n_clips) + 1.0, 1.0)
-        probs = probs * mult
+        # barrier: see _activity_jit (EM-into-conv fusion pathology)
+        probs = jax.lax.optimization_barrier(probs * mult)
         from_right = jax.lax.ppermute(
             probs[:halo], axis, [(i, (i - 1) % n) for i in range(n)])
         from_left = jax.lax.ppermute(
@@ -192,6 +197,8 @@ def sharded_activity_step(mesh: Mesh, ploidy: int = 2, axis: str = "data"):
     )
     def step(gls, depths):
         probs = active_probabilities_jax(gls, ploidy)          # [L_local]
+        # barrier: see _activity_jit (EM-into-conv fusion pathology)
+        probs = jax.lax.optimization_barrier(probs)
         # halo exchange: my left edge goes to my left neighbor's right halo
         left_edge = probs[:halo]
         right_edge = probs[-halo:]
