@@ -85,7 +85,14 @@ def bench_effective_ragged():
             R = int(rng.choice(rlens))
             H = int(rng.choice(hlens))
             hap = bases[rng.integers(0, 4, H)]
-            read = bases[rng.integers(0, 4, R)]
+            # reads are mutated hap windows (as in production, where reads
+            # align to the haplotypes; unrelated sequences would underflow
+            # f32 and escalate every pair to the host f64 recompute)
+            lo = int(rng.integers(0, max(H - R, 0) + 1))
+            read = hap[lo:lo + R].copy()
+            R = len(read)
+            for _ in range(int(rng.integers(0, 4))):
+                read[int(rng.integers(0, R))] = bases[int(rng.integers(0, 4))]
             q = np.full(R, 30, np.uint8)
             pairs.append((hap, read, q, np.full(R, 45, np.uint8),
                           np.full(R, 45, np.uint8),

@@ -261,8 +261,18 @@ def pairhmm_forward_checked(results, pairs):
     double below its f32 underflow threshold).
     """
     results = np.asarray(results, np.float64).copy()
-    for k in np.nonzero(results <= F32_SUSPECT_LOG10)[0]:
-        results[k] = pairhmm_forward_np(*pairs[k])
+    suspect = np.nonzero(results <= F32_SUSPECT_LOG10)[0]
+    if suspect.size:
+        # recompute the whole suspect set through the threaded native f64
+        # batch kernel; the per-pair numpy DP is the fallback only
+        from lorikeet_tpu.ops.pairhmm_native import (
+            pairhmm_forward_native_batch,
+        )
+        sub = [pairs[k] for k in suspect]
+        exact = pairhmm_forward_native_batch(sub)
+        if exact is None:
+            exact = np.array([pairhmm_forward_np(*p) for p in sub])
+        results[suspect] = exact
     return results
 
 

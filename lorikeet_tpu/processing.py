@@ -231,16 +231,26 @@ def call_contig(
 
 
 def _device_activity(cfg) -> bool:
-    """Route activity profiling through the device (XLA) chain when an
-    accelerator is in play.  LORIKEET_DEVICE_ACTIVITY=1/0 overrides (the
-    CPU conformance tests force it on; --force-cpu runs force it off)."""
+    """Route activity profiling through the device (XLA) chain only when a
+    MULTI-device mesh is active (position-sharded EM + ICI halo exchange is
+    the scaling path).  On a single tunneled chip the chain never wins:
+    its EM+conv compile measured ~400 s one-time and the warm steady state
+    ran 7.65 s vs 6.33 s for host-activity + device pair-HMM on the same
+    400 kb e2e (round-3 measurement, docs/benchmarks.md) — per-span
+    dispatch+readback latency outweighs the EM savings.
+    LORIKEET_DEVICE_ACTIVITY=1/0 still overrides in either direction (the
+    CPU conformance tests force it on)."""
     env = os.environ.get("LORIKEET_DEVICE_ACTIVITY")
     if env in ("0", "1"):
         return env == "1"
     if getattr(cfg, "use_pallas", None) is False:
         return False
     import jax
-    return jax.default_backend() != "cpu"
+    if jax.default_backend() == "cpu":
+        return False
+    from lorikeet_tpu.parallel.sharding import get_mesh
+    mesh = get_mesh()
+    return mesh is not None and mesh.devices.size > 1
 
 
 def _configure_devices(cfg):
