@@ -64,10 +64,30 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
-            read_pad, hap_stream, lens, out, *, nchunks: int):
+def _base_bits_jnp(codes):
+    """In-kernel byte -> one-hot base-bit conversion (the _BASE_BITS host
+    LUT as a select chain; gathers are not a TPU-friendly shape).  Byte 0
+    (padding) maps to no bits; unmapped bytes share the unknown bit."""
+    u = codes.astype(jnp.int32)
+    u = jnp.where((u >= 97) & (u <= 122), u - 32, u)      # fold lowercase
+    bits = jnp.where(u == 0, 0, 1 << 20)
+    for k, ch in enumerate(b"ACGT"):
+        bits = jnp.where(u == ch, 1 << k, bits)
+    for k, ch in enumerate(b"RYSWKMBDHVU="):
+        bits = jnp.where(u == ch, 1 << (4 + k), bits)
+    bits = jnp.where(u == ord("N"), (1 << 21) - 1, bits)
+    return bits
+
+
+def _kernel(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens, out, *,
+            nchunks: int):
+    """Wavefront kernel over u8 operands: the f32 transition/prior arrays
+    are derived IN-KERNEL from the phred bytes (one exp pass per element).
+    Shipping u8 instead of precomputed f32 cuts H2D bytes ~4x — the
+    tunneled backend moves ~45-80 MB/s, so operand bytes, not FLOPs, bound
+    production throughput (docs/benchmarks.md round 3)."""
     f32 = jnp.float32
-    TB, Rpad = t_mm.shape
+    TB, Rpad = quals.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
 
     def col(x, idx):
@@ -88,15 +108,24 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
     hap_len_u = hap_len.astype(jnp.uint32)
     b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)            # [TB,Rpad]
 
-    tmm = t_mm[...]
-    tim = t_im[...]
-    tmi = t_mi[...]
-    tii = t_ii[...]
-    tmd = t_md[...]
-    tdd = t_dd[...]
-    pm = p_match[...]
-    px = p_mis[...]
-    rp = read_pad[...]
+    # ---- prologue: phred u8 -> probabilities (once per block).  Zero
+    # coefficients outside lanes 1..read_len reproduce the host-packed
+    # zero regions that the plain-roll wraps rely on (lane 0) and leave
+    # non-contributing lanes inert.  exp is one transcendental pass per
+    # element, amortised over nchunks*128 diagonals.
+    ln10_over_m10 = np.float32(-np.log(10.0) / 10.0)
+    ok = (lane >= 1) & (lane <= read_len)
+    eps = jnp.where(ok, jnp.exp(quals[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmi = jnp.where(ok, jnp.exp(ins_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmd = jnp.where(ok, jnp.exp(del_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    eg = jnp.where(ok, jnp.exp(gcp_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmm = 1.0 - jnp.minimum(1.0, tmi + tmd)
+    tim = 1.0 - eg
+    tii = eg
+    tdd = eg
+    pm = 1.0 - eps
+    px = eps * np.float32(1.0 / TRISTATE_CORRECTION)
+    rp = jnp.where(ok, _base_bits_jnp(read_u8[...]), 0)
 
     zeros = jnp.zeros((TB, Rpad), f32)
 
@@ -174,7 +203,7 @@ def _kernel(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
 
     def chunk_body(c, carry):
         start = pl.multiple_of(c * _LANES, _LANES)
-        window = hap_stream[:, pl.ds(start, _LANES)]           # [TB,128]
+        window = _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])  # [TB,128]
         if Rpad > _LANES:
             # zero-pad once per chunk so the per-step boundary select and
             # roll operate lane-for-lane against the state arrays
@@ -209,27 +238,26 @@ def vmem_safe_block(Rpad: int, requested: int) -> int:
     return 1 << (block.bit_length() - 1)
 
 
-def _pallas_call(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
-                 read_pad, hap_stream, lens, nchunks, block_b, interpret):
+def _pallas_call(quals, ins_q, del_q, gcp_q, read_u8, hap_u8,
+                 lens, nchunks, block_b, interpret):
     """Raw pallas_call (unjitted) — wrapped by the single-chip jit below and
     by the shard_map body in parallel.sharding (each device runs this on its
     local rows; the kernel itself is unchanged under sharding)."""
-    B, Rpad = t_mm.shape
+    B, Rpad = quals.shape
     block_b = vmem_safe_block(Rpad, block_b)
     grid = (B // block_b,)
     row = lambda i: (i, 0)
     spec_r = pl.BlockSpec((block_b, Rpad), row, memory_space=pltpu.VMEM)
-    spec_s = pl.BlockSpec((block_b, hap_stream.shape[1]), row, memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((block_b, hap_u8.shape[1]), row, memory_space=pltpu.VMEM)
     spec_l = pl.BlockSpec((block_b, lens.shape[1]), row, memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_kernel, nchunks=nchunks),
         grid=grid,
-        in_specs=[spec_r] * 9 + [spec_s, spec_l],
+        in_specs=[spec_r] * 5 + [spec_s, spec_l],
         out_specs=pl.BlockSpec((block_b, 1), row, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
         interpret=interpret,
-    )(t_mm, t_im, t_mi, t_ii, t_md, t_dd, p_match, p_mis,
-      read_pad, hap_stream, lens)
+    )(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens)
 
 
 _pairhmm_pallas_jit = functools.partial(
@@ -248,7 +276,7 @@ def make_sharded_pairhmm(mesh, axis: str, nchunks: int, block_b: int,
 
     @functools.partial(
         shard_map, mesh=mesh, check_rep=False,
-        in_specs=tuple([P(axis)] * 11), out_specs=P(axis))
+        in_specs=tuple([P(axis)] * 7), out_specs=P(axis))
     def step(*ops):
         return _pallas_call(*ops, nchunks=nchunks, block_b=block_b,
                             interpret=interpret)
@@ -312,37 +340,27 @@ def pack_pallas_inputs(
     # steps are masked out of the accumulator)
     nchunks = max(1, -(-(Rmax + Hmax) // _LANES))
 
-    f32 = np.float32
-    q = np.zeros((Bpad, Rpad), f32)
-    ei = np.zeros((Bpad, Rpad), f32)
-    ed = np.zeros((Bpad, Rpad), f32)
-    eg = np.zeros((Bpad, Rpad), f32)
+    # u8 operands only: the f32 transition/prior arrays are derived
+    # IN-KERNEL (see _kernel prologue).  H2D over the tunneled backend
+    # moves ~45-80 MB/s, so shipping 5 u8 planes + the u8 hap stream
+    # instead of 8 f32 + 2 i32 planes cuts the per-slab transfer ~6x —
+    # operand bytes, not kernel FLOPs, bound ragged production batches.
+    u8 = np.uint8
+    q = np.zeros((Bpad, Rpad), u8)
+    iq = np.zeros((Bpad, Rpad), u8)
+    dq = np.zeros((Bpad, Rpad), u8)
+    gq = np.zeros((Bpad, Rpad), u8)
     # position 0 is the boundary row; read data occupies lanes 1..Rmax
-    q[:B, 1:Rmax + 1] = np.asarray(quals, f32)
-    ei[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(ins_quals, f32) / -10.0)
-    ed[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(del_quals, f32) / -10.0)
-    eg[:B, 1:Rmax + 1] = 10.0 ** (np.asarray(gcps, f32) / -10.0)
-    eps = 10.0 ** (q / -10.0)
-
-    t_mm = 1.0 - np.minimum(1.0, ei + ed)
-    t_im = 1.0 - eg
-    p_match = 1.0 - eps
-    p_mis = eps / TRISTATE_CORRECTION
-    # Lane 0 (boundary row) and lanes beyond each read's length carry no DP
-    # cells; zeroing the mismatch prior there (a) keeps garbage out of the
-    # state and (b) makes the kernel's plain-roll state shifts safe: the
-    # wrap into lane 0 is annihilated by prior == 0 (see kernel comment).
-    p_mis[:, 0] = 0.0
-    rl_all = np.ones(Bpad, np.int64)
-    rl_all[:B] = np.asarray(read_lens)
-    p_mis[np.arange(Rpad)[None, :] > rl_all[:, None]] = 0.0
-
-    read_pad = np.zeros((Bpad, Rpad), np.int32)
-    read_pad[:B, 1:Rmax + 1] = _BASE_BITS[np.asarray(reads, np.uint8)]
-    # hap_stream[:, k] == hap[k]: entering base for diagonal d=k+1
+    q[:B, 1:Rmax + 1] = np.asarray(quals, u8)
+    iq[:B, 1:Rmax + 1] = np.asarray(ins_quals, u8)
+    dq[:B, 1:Rmax + 1] = np.asarray(del_quals, u8)
+    gq[:B, 1:Rmax + 1] = np.asarray(gcps, u8)
+    read_u8 = np.zeros((Bpad, Rpad), u8)
+    read_u8[:B, 1:Rmax + 1] = np.asarray(reads, u8)
+    # hap_u8[:, k] == hap[k]: entering base for diagonal d=k+1
     Spad = nchunks * _LANES
-    hap_stream = np.zeros((Bpad, Spad), np.int32)
-    hap_stream[:B, :Hmax] = _BASE_BITS[np.asarray(haps, np.uint8)]
+    hap_u8 = np.zeros((Bpad, Spad), u8)
+    hap_u8[:B, :Hmax] = np.asarray(haps, u8)
     lens = np.zeros((Bpad, _LANES), np.int32)
     lens[:B, 0] = read_lens
     lens[:B, 1] = hap_lens
@@ -353,8 +371,7 @@ def pack_pallas_inputs(
     # costs ~10x in steady-state dispatch (measured 2 vs 20 GCUPS at B=8192).
     # ``to_device=False`` keeps numpy slabs for the mesh path, which
     # device_puts per-shard slices itself (no default-device detour).
-    host_ops = (t_mm, t_im, ei, eg, ed, eg, p_match, p_mis,
-                read_pad, hap_stream, lens)
+    host_ops = (q, iq, dq, gq, read_u8, hap_u8, lens)
     conv = jnp.asarray if to_device else (lambda x: x)
     slabs = [tuple(conv(op[lo:lo + B_SLAB]) for op in host_ops)
              for lo in range(0, Bpad, B_SLAB)]
