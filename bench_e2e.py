@@ -85,6 +85,8 @@ def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
 
     cfg = CallerConfig(use_pallas=use_pallas, threads=threads)
     _configure_devices(cfg)
+    from lorikeet_tpu.utils import progress as _prog
+    _prog.GLOBAL_STAGES = {}
     fr = FastaReader(fasta)
     t0 = time.time()
     bams = [open_bam(p) for p in bam_paths]
@@ -98,6 +100,10 @@ def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
     write_vcf(vcf, calls, ["contig1"], [fr.length("contig1")],
               [f"sample{k}" for k in range(len(bam_paths))])
     wall = time.time() - t0
+    stages = {k: round(v, 2) for k, v in _prog.GLOBAL_STAGES.items()}
+    _prog.GLOBAL_STAGES = None
+    print(f"# stages[{'tpu' if use_pallas else 'host'}]: "
+          f"{json.dumps(stages)}", file=sys.stderr)
     return wall, res.n_regions, calls, vcf
 
 

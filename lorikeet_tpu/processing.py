@@ -334,6 +334,19 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     span's host preparation."""
     core_lo = lo if core_lo is None else core_lo
     core_hi = hi if core_hi is None else core_hi
+
+    # hot-path stage accounting (utils.progress.GLOBAL_STAGES; off = no-op)
+    import time as _time
+    from lorikeet_tpu.utils import progress as _prog
+    _tick = [_time.perf_counter()]
+
+    def _mark(stage):
+        acc = _prog.GLOBAL_STAGES
+        now = _time.perf_counter()
+        if acc is not None:
+            acc[stage] = acc.get(stage, 0.0) + now - _tick[0]
+        _tick[0] = now
+
     length = fasta.length(contig_name)
     if ref_seq is None:
         ref_seq = fasta.fetch(contig_name)
@@ -395,6 +408,7 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
         accumulate_reads(profiles[s], candidates, ref_seq[lo:hi], lo, hi,
                          bq=cfg.min_base_quality, ploidy=cfg.ploidy)
 
+    _mark("profile")
     result.depth_pass_rle = [
         _rle_encode((p.dp() >= getattr(cfg, "depth_per_sample_filter",
                                        DEPTH_PER_SAMPLE_FILTER))
@@ -438,6 +452,7 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                               max_region_size=cfg.max_assembly_region_size)
     result.n_regions = sum(1 for r in regions
                            if core_lo <= lo + r.start < core_hi)
+    _mark("smooth_extract")
 
     # ---- prepare each active region (host), then run ONE batched pair-HMM
     # dispatch for the whole span (regions are owned by the chunk their
@@ -497,10 +512,12 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                                      activity_density=density)
         if work is not None:
             works.append(work)
+    _mark("region_prep")
     if defer:
         return result, works
     for calls in call_regions_batched(engine, works) if works else []:
         result.calls.extend(calls)
+    _mark("pairhmm_genotype")
     return result
 
 

@@ -81,3 +81,25 @@ def maybe_profile(profile_dir: str | None):
     import jax
     with jax.profiler.trace(profile_dir):
         yield
+
+
+# ---- optional global hot-path stage accounting (VERDICT r2 weak #8) ----
+#: None = off (zero overhead beyond one attribute check); set to a dict to
+#: accumulate {stage: seconds} across _call_span / the pair-HMM dispatch.
+GLOBAL_STAGES = None
+
+
+@contextlib.contextmanager
+def global_stage(name: str):
+    """Accumulate wall seconds into GLOBAL_STAGES[name] when enabled; the
+    per-stage split of the calling hot path (profile / smooth / prep /
+    pairhmm / genotype) that bench_e2e reports."""
+    acc = GLOBAL_STAGES
+    if acc is None:
+        yield
+        return
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        acc[name] = acc.get(name, 0.0) + time.perf_counter() - t0
