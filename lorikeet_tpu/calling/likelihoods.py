@@ -518,10 +518,10 @@ def prewarm_pallas_buckets(buckets=None) -> None:
     if _prewarm_lock is None:
         _prewarm_lock = threading.Lock()
     if buckets is None:
-        # short reads <=127bp (Rpad=128) against haplotypes up to ~500bp:
-        # diagonals 127+Hmax -> nchunks 2..5 covers every trimmed region
+        # short reads <=127bp (Rpad=128) against haplotypes up to ~650bp:
+        # diagonals 127+Hmax -> nchunks 2..6 covers every trimmed region
         # the default max-assembly-region-size/padding can produce
-        buckets = [(128, k) for k in (2, 3, 4, 5)]
+        buckets = [(128, k) for k in (2, 3, 4, 5, 6)]
     with _prewarm_lock:
         for bucket in buckets:
             if bucket in _PALLAS_WARM_BUCKETS or bucket in _prewarm_queue \
@@ -544,15 +544,23 @@ def _prewarm_bucket(bucket: tuple) -> None:
         if jax.default_backend() == "cpu":
             return  # no Mosaic target to warm (CPU lowering is pathological)
         from lorikeet_tpu.ops.pairhmm_pallas import (
-            pack_pallas_inputs, pairhmm_forward_packed)
-        R = Rpad - 2
-        H = max(1, nchunks * 128 - R)
-        z = np.zeros((1, R), np.uint8)
-        slabs, nck, B = pack_pallas_inputs(
-            haps=np.zeros((1, H), np.uint8), hap_lens=np.array([H], np.int32),
-            reads=z, read_lens=np.array([R], np.int32),
-            quals=z, ins_quals=z, del_quals=z, gcps=z)
-        np.asarray(pairhmm_forward_packed(slabs, nck, B))
+            NBLOCKS_STEP, ROWS_STEP, pairhmm_forward_grouped,
+        )
+        # dummy pairs hitting this (Rpad, nchunks) bucket in BOTH dispatch
+        # variants (small tail and full slab) of the grouped path
+        R = Rpad - 1
+        H = max(1, (nchunks - 1) * 128)
+        hap = np.full(H, ord("A"), np.uint8)
+        read = np.full(R, ord("A"), np.uint8)
+        z = np.full(R, 30, np.uint8)
+        np.asarray(pairhmm_forward_grouped([(hap, read, z, z, z, z)]))
+        # full variant: ROWS_STEP+64 reads x 8 haps exceeds both small
+        # steps (rows > ROWS_STEP, blocks > NBLOCKS_STEP) without nearing
+        # the caps
+        haps = [np.full(H, ord("A"), np.uint8) for _ in range(8)]
+        big = [(h, read, z, z, z, z)
+               for _ in range(ROWS_STEP + 64) for h in haps]
+        np.asarray(pairhmm_forward_grouped(big))
         _PALLAS_WARM_BUCKETS.add(bucket)
     except Exception:               # noqa: BLE001 — prewarm is best-effort
         pass
@@ -596,26 +604,30 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
             prewarm_pallas_buckets([bucket])
             use_pallas = False
     if use_pallas:
-        # bucket read/hap lengths so TPU compiles are shared across regions
-        # (the batch axis is slab-fixed inside the kernel wrapper)
-        batch = pack_pairhmm_batch(pairs, r_pad_to=lane_fit_bucket,
-                                   h_pad_to=128)
-        from lorikeet_tpu.ops.pairhmm_pallas import (
-            pack_pallas_inputs, pairhmm_forward_packed,
-            pairhmm_forward_sharded,
-        )
         from lorikeet_tpu.parallel.sharding import get_mesh
         mesh = get_mesh()
         sharded = mesh is not None and mesh.devices.size > 1
-        slabs, nchunks, B = pack_pallas_inputs(**batch,
-                                               to_device=not sharded)
         if sharded:
+            # mesh path: flat slab layout, batch axis split over chips
+            batch = pack_pairhmm_batch(pairs, r_pad_to=lane_fit_bucket,
+                                       h_pad_to=128)
+            from lorikeet_tpu.ops.pairhmm_pallas import (
+                pack_pallas_inputs, pairhmm_forward_sharded,
+            )
+            slabs, nchunks, B = pack_pallas_inputs(**batch,
+                                                   to_device=False)
             raw = np.asarray(pairhmm_forward_sharded(
-                slabs, nchunks, B, mesh, interpret=interpret))
+                slabs, nchunks, B, mesh,
+                interpret=interpret))[:len(pairs)]
         else:
-            raw = np.asarray(pairhmm_forward_packed(
-                slabs, nchunks, B, interpret=interpret))
-        lks = pairhmm_forward_checked(raw[:len(pairs)], pairs)
+            # single-device: grouped (read-tile x hap) dispatch ships each
+            # read and haplotype ONCE (~10x fewer H2D bytes than the flat
+            # cross-product layout on the bandwidth-bound tunnel)
+            from lorikeet_tpu.ops.pairhmm_pallas import (
+                pairhmm_forward_grouped,
+            )
+            raw = pairhmm_forward_grouped(pairs, interpret=interpret)
+        lks = pairhmm_forward_checked(raw, pairs)
     else:
         # exact f64 host kernel: beats device compile amortization for small
         # batches (and is the CPU-backend path outright).  Native C++

@@ -79,6 +79,14 @@ def _base_bits_jnp(codes):
     return bits
 
 
+def _col(x, idx):
+    # Masked-reduction column extract: produces a lane-replicated [TB,1]
+    # (direct lane slices like x[:, 0:1] break Mosaic relayout when later
+    # broadcast against [TB, lanes] operands).
+    it = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    return jnp.sum(jnp.where(it == idx, x, 0), axis=1, keepdims=True)
+
+
 def _kernel(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens, out, *,
             nchunks: int):
     """Wavefront kernel over u8 operands: the f32 transition/prior arrays
@@ -89,13 +97,7 @@ def _kernel(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens, out, *,
     f32 = jnp.float32
     TB, Rpad = quals.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
-
-    def col(x, idx):
-        # Masked-reduction column extract: produces a lane-replicated [TB,1]
-        # (direct lane slices like x[:, 0:1] break Mosaic relayout when later
-        # broadcast against [TB, lanes] operands).
-        it = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-        return jnp.sum(jnp.where(it == idx, x, 0), axis=1, keepdims=True)
+    col = _col
 
     lens_v = lens[...]
     # Per-pair scalars live as full-width [TB, Rpad] arrays ([TB,1] carried
@@ -127,6 +129,21 @@ def _kernel(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens, out, *,
     px = eps * np.float32(1.0 / TRISTATE_CORRECTION)
     rp = jnp.where(ok, _base_bits_jnp(read_u8[...]), 0)
 
+    def window_of(c):
+        start = pl.multiple_of(c * _LANES, _LANES)
+        return _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])  # [TB,128]
+
+    _dp_sweep(out, window_of, nchunks, TB, Rpad, boundary, is_end_row,
+              rl_p1, hap_len_u, b0,
+              tmm, tim, tmi, tii, tmd, tdd, pm, px, rp)
+
+
+def _dp_sweep(out, window_of, nchunks, TB, Rpad, boundary, is_end_row,
+              rl_p1, hap_len_u, b0, tmm, tim, tmi, tii, tmd, tdd, pm, px,
+              rp):
+    """The shared anti-diagonal DP sweep (used by the per-pair kernel and
+    the grouped (read-tile x hap) kernel; see _kernel for semantics)."""
+    f32 = jnp.float32
     zeros = jnp.zeros((TB, Rpad), f32)
 
     # State shifts are PLAIN cyclic rolls — no boundary-zeroing select.  The
@@ -202,8 +219,10 @@ def _kernel(quals, ins_q, del_q, gcp_q, read_u8, hap_u8, lens, out, *,
         return (c, carry, window)
 
     def chunk_body(c, carry):
-        start = pl.multiple_of(c * _LANES, _LANES)
-        window = _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])  # [TB,128]
+        window = window_of(c)
+        if window.shape[0] != TB:
+            # grouped mode: one hap row broadcast over the read tile
+            window = jnp.broadcast_to(window, (TB, window.shape[1]))
         if Rpad > _LANES:
             # zero-pad once per chunk so the per-step boundary select and
             # roll operate lane-for-lane against the state arrays
@@ -408,3 +427,287 @@ def pairhmm_forward_pallas(
         haps, hap_lens, reads, read_lens, quals, ins_quals, del_quals, gcps,
         block_b)
     return pairhmm_forward_packed(operands, nchunks, B, block_b, interpret)
+
+
+# ---------- grouped (read-tile x hap) dispatch: dedup H2D traffic ----------
+#
+# Production pair batches are regions' (reads x haplotypes) cross products:
+# the flat per-pair layout re-ships every read once per haplotype and every
+# haplotype once per read.  Over the ~45-80 MB/s tunneled H2D link that
+# redundancy — not kernel speed — bounds throughput (docs/benchmarks.md
+# round 3).  Here reads are shipped ONCE as [rows, Rpad] u8 planes, haps
+# ONCE as [n_haps, Spad] u8 rows, and a scalar-prefetch table drives a
+# (read-tile, hap) grid: block i sweeps read tile tile_tab[i] against hap
+# row hap_tab[i].  For a typical 300-read x 6-hap region this is ~14x fewer
+# bytes than the flat layout.
+
+#: dispatch sizing: caps bound one dispatch; the packed arrays are sized to
+#: the WORK in steps (rows of 1024, blocks of 128), so compile-shape
+#: diversity stays tiny (<=4 variants per (Rpad, nchunks)) while padding
+#: never ships more than one step of dead bytes over the 45-80 MB/s link.
+NBLOCKS_CAP = 512
+NBLOCKS_STEP = 128
+ROWS_CAP = 4096
+ROWS_STEP = 1024
+HAPS_CAP = 512
+
+
+def _kernel_grouped(tile_tab, hap_tab, hoff_tab, hlen_tab, quals, ins_q,
+                    del_q, gcp_q, read_u8, hap_u8, lens, out, *,
+                    nchunks: int):
+    """Grouped-mode kernel: same DP sweep, hap row broadcast over the read
+    tile.  The hap plane arrives as an 8-row block (Mosaic requires
+    8-divisible sublane blocks); hoff_tab picks the row, hlen_tab carries
+    the hap length (a u8 plane cannot hold lengths >255)."""
+    f32 = jnp.float32
+    TB, Rpad = quals.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
+
+    read_len = jnp.broadcast_to(_col(lens[...], 0), (TB, Rpad))
+    i = pl.program_id(0)
+    hoff = hoff_tab[i]
+    hlen = hlen_tab[i]
+    hap_len = jnp.full((TB, Rpad), hlen, jnp.int32)
+    boundary = lane == 0
+    is_end_row = lane == read_len
+    rl_p1 = read_len + 1
+    hap_len_u = hap_len.astype(jnp.uint32)
+    b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)
+
+    ln10_over_m10 = np.float32(-np.log(10.0) / 10.0)
+    ok = (lane >= 1) & (lane <= read_len)
+    eps = jnp.where(ok, jnp.exp(
+        quals[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmi = jnp.where(ok, jnp.exp(
+        ins_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmd = jnp.where(ok, jnp.exp(
+        del_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    eg = jnp.where(ok, jnp.exp(
+        gcp_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+    tmm = 1.0 - jnp.minimum(1.0, tmi + tmd)
+    tim = 1.0 - eg
+    tii = eg
+    tdd = eg
+    pm = 1.0 - eps
+    px = eps * np.float32(1.0 / TRISTATE_CORRECTION)
+    rp = jnp.where(ok, _base_bits_jnp(read_u8[...]), 0)
+
+    def window_of(c):
+        start = pl.multiple_of(c * _LANES, _LANES)
+        w8 = _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])     # [8,128]
+        srow = jax.lax.broadcasted_iota(jnp.int32, w8.shape, 0)
+        return jnp.sum(jnp.where(srow == hoff, w8, 0), axis=0,
+                       keepdims=True)                            # [1,128]
+
+    _dp_sweep(out, window_of, nchunks, TB, Rpad, boundary, is_end_row,
+              rl_p1, hap_len_u, b0,
+              tmm, tim, tmi, tii, tmd, tdd, pm, px, rp)
+
+
+def _grouped_call(tile_tab, hap_tab, hoff_tab, hlen_tab, quals, ins_q,
+                  del_q, gcp_q, read_u8, hap_u8, lens, nchunks, block_b,
+                  interpret):
+    rows, Rpad = quals.shape
+    block_b = vmem_safe_block(Rpad, block_b)
+    Spad = hap_u8.shape[1]
+    nblocks = tile_tab.shape[0]
+    spec_r = lambda: pl.BlockSpec((block_b, Rpad),
+                                  lambda i, tt, ht, ho, hl: (tt[i], 0),
+                                  memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nblocks,),
+        in_specs=[spec_r() for _ in range(5)] + [
+            pl.BlockSpec((8, Spad), lambda i, tt, ht, ho, hl: (ht[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, lens.shape[1]),
+                         lambda i, tt, ht, ho, hl: (tt[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_b, 1),
+                               lambda i, tt, ht, ho, hl: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_kernel_grouped, nchunks=nchunks),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nblocks * block_b, 1), jnp.float32),
+        interpret=interpret,
+    )(tile_tab, hap_tab, hoff_tab, hlen_tab, quals, ins_q, del_q, gcp_q,
+      read_u8, hap_u8, lens)
+
+
+_grouped_jit = functools.partial(
+    jax.jit, static_argnames=("nchunks", "block_b", "interpret"))(
+        _grouped_call)
+
+
+def pack_grouped_inputs(pairs, block_b: int = 64):
+    """Dedup a flat (hap, read, q, iq, dq, gcp) pair list into grouped
+    dispatches.  Reads sharing an identical haplotype set (i.e. one
+    region's reads) tile together; each dispatch ships each read and hap
+    exactly once.  Returns (dispatches, out_pos, Rpad, nchunks) where
+    each dispatch is (tables, operands) sized to the fixed slab caps and
+    out_pos[k] is the flat output row of pairs[k]."""
+    # --- per-read grouping: read id -> (read row data, hap ids, pair ks)
+    # compile-shape bucketing mirrors calling.likelihoods._pallas_bucket:
+    # lane-fit read bucket (32k-1) + 128-multiple hap bucket, so repeated
+    # batches share one (Rpad, nchunks) compile
+    Rmax = _round_up(max(len(p[1]) for p in pairs) + 1, 32) - 1
+    Hmax = _round_up(max(len(p[0]) for p in pairs), _LANES)
+    Rpad = _round_up(Rmax + 1, _LANES)
+    nchunks = max(1, -(-(Rmax + Hmax) // _LANES))
+    Spad = nchunks * _LANES
+    block_b = vmem_safe_block(Rpad, block_b)  # must match _grouped_call
+
+    hap_row_of = {}
+    hap_list = []
+    reads = {}            # id(read bases) -> dict
+    read_order = []
+    for k, (hap, read, q, iq, dq, gcp) in enumerate(pairs):
+        hid = id(hap)
+        if hid not in hap_row_of:
+            hap_row_of[hid] = len(hap_list)
+            hap_list.append(hap)
+        rid = id(read)
+        ent = reads.get(rid)
+        if ent is None:
+            ent = {"data": (read, q, iq, dq, gcp), "haps": [], "ks": []}
+            reads[rid] = ent
+            read_order.append(rid)
+        ent["haps"].append(hap_row_of[hid])
+        ent["ks"].append(k)
+
+    # --- group reads by identical hap set (the region structure)
+    groups = {}
+    for rid in read_order:
+        key = tuple(reads[rid]["haps"])
+        groups.setdefault(key, []).append(rid)
+
+    # --- emit dispatches under the fixed slab caps
+    dispatches = []
+    out_pos = np.empty(len(pairs), np.int64)
+
+    def new_state():
+        return {"rows": [], "hapset": [], "blocks": [], "row_of_hap": {}}
+
+    st = new_state()
+
+    def flush():
+        if not st["blocks"]:
+            return
+        rows = st["rows"]
+        n_rows = len(rows)
+        # two shape variants only (small tail / full): every extra
+        # (rows_pad, nblocks) combination is a fresh ~2-4s Mosaic compile,
+        # and inline cold compiles were measured to dominate e2e walls
+        rows_pad = ROWS_STEP if n_rows <= ROWS_STEP else ROWS_CAP
+        u8 = np.uint8
+        q = np.zeros((rows_pad, Rpad), u8)
+        iqp = np.zeros((rows_pad, Rpad), u8)
+        dqp = np.zeros((rows_pad, Rpad), u8)
+        gqp = np.zeros((rows_pad, Rpad), u8)
+        rdp = np.zeros((rows_pad, Rpad), u8)
+        lens = np.ones((rows_pad, 8), np.int32)
+        for r, (read, qq, iq, dq, gcp) in enumerate(rows):
+            L = len(read)
+            q[r, 1:L + 1] = qq
+            iqp[r, 1:L + 1] = iq
+            dqp[r, 1:L + 1] = dq
+            gqp[r, 1:L + 1] = gcp
+            rdp[r, 1:L + 1] = read
+            lens[r, 0] = L
+        hap_u8 = np.zeros((HAPS_CAP, Spad), u8)
+        hlens = np.ones(HAPS_CAP, np.int32)
+        for hrow, hap in st["hapset"]:
+            hap_u8[hrow, :len(hap)] = hap
+            hlens[hrow] = len(hap)
+        nb = (NBLOCKS_STEP if len(st["blocks"]) <= NBLOCKS_STEP
+              else NBLOCKS_CAP)
+        tile_tab = np.zeros(nb, np.int32)
+        hap_tab = np.zeros(nb, np.int32)
+        hoff_tab = np.zeros(nb, np.int32)
+        hlen_tab = np.ones(nb, np.int32)
+        for b, (tile, hrow) in enumerate(st["blocks"]):
+            tile_tab[b] = tile
+            # hap blocks are 8 sublanes (Mosaic divisibility); the scalar
+            # offset picks the row inside the block
+            hap_tab[b] = hrow // 8
+            hoff_tab[b] = hrow % 8
+            hlen_tab[b] = hlens[hrow]
+        dispatches.append(((tile_tab, hap_tab, hoff_tab, hlen_tab),
+                          (q, iqp, dqp, gqp, rdp, hap_u8, lens)))
+        flushed_out_rows[0] += nb * block_b
+        st.clear()
+        st.update(new_state())
+
+    flushed_out_rows = [0]   # cumulative output rows of flushed dispatches
+
+    def dispatch_base():
+        # flat output offset of the CURRENT dispatch (before it is flushed)
+        return flushed_out_rows[0]
+
+    for key, rids in groups.items():
+        haps_rows = list(key)
+        # map group's hap rows into the dispatch-local hap table
+        n_read = len(rids)
+        n_tiles = -(-n_read // block_b)
+        need_blocks = n_tiles * len(haps_rows)
+        if need_blocks > NBLOCKS_CAP:
+            # split oversized groups by read subsets
+            sub = max(1, (NBLOCKS_CAP // len(haps_rows))) * block_b
+            subgroups = [rids[i:i + sub] for i in range(0, n_read, sub)]
+        else:
+            subgroups = [rids]
+        for rids_sub in subgroups:
+            n_read = len(rids_sub)
+            n_tiles = -(-n_read // block_b)
+            need_blocks = n_tiles * len(haps_rows)
+            need_rows = n_tiles * block_b
+            new_haps = [h for h in haps_rows if h not in st["row_of_hap"]]
+            if (len(st["blocks"]) + need_blocks > NBLOCKS_CAP
+                    or len(st["rows"]) + need_rows > ROWS_CAP
+                    or len(st["row_of_hap"]) + len(new_haps) > HAPS_CAP):
+                flush()
+                new_haps = list(haps_rows)
+            for h in new_haps:
+                st["row_of_hap"][h] = len(st["row_of_hap"])
+                st["hapset"].append((st["row_of_hap"][h], hap_list[h]))
+            tile0 = len(st["rows"]) // block_b
+            # read rows (pad the tile tail with copies of the first read)
+            for rid in rids_sub:
+                st["rows"].append(reads[rid]["data"])
+            pad = n_tiles * block_b - n_read
+            for _ in range(pad):
+                st["rows"].append(reads[rids_sub[0]]["data"])
+            # blocks + output positions
+            for t in range(n_tiles):
+                for h in haps_rows:
+                    b = len(st["blocks"])
+                    st["blocks"].append((tile0 + t, st["row_of_hap"][h]))
+                    # pairs of this block: reads t*block_b..  x hap h
+                    for r_off in range(block_b):
+                        r_idx = t * block_b + r_off
+                        if r_idx >= n_read:
+                            continue
+                        ent = reads[rids_sub[r_idx]]
+                        k = ent["ks"][ent["haps"].index(h)]
+                        out_pos[k] = (dispatch_base()
+                                      + b * block_b + r_off)
+    flush()
+    return dispatches, out_pos, Rpad, nchunks
+
+
+def pairhmm_forward_grouped(pairs, block_b: int = 64,
+                            interpret: bool = False) -> np.ndarray:
+    """Forward log10 likelihoods for a flat pair list via the grouped
+    (read-tile x hap) dispatch path.  Bit-compatible with
+    pairhmm_forward_pallas (same DP sweep); ships each read/hap once."""
+    dispatches, out_pos, Rpad, nchunks = pack_grouped_inputs(pairs, block_b)
+    outs = []
+    for tables, operands in dispatches:
+        tabs = tuple(jnp.asarray(t) for t in tables)
+        ops = tuple(jnp.asarray(o) for o in operands)
+        outs.append(_grouped_jit(*tabs, *ops, nchunks, block_b, interpret))
+    flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    return np.asarray(flat)[:, 0][out_pos]
