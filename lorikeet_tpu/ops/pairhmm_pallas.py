@@ -686,14 +686,17 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
                     b = len(st["blocks"])
                     st["blocks"].append((tile0 + t, st["row_of_hap"][h]))
                     # pairs of this block: reads t*block_b..  x hap h
+                    # (assign EVERY matching pair — duplicate (read, hap)
+                    # tuples in the input all map to the same output cell)
                     for r_off in range(block_b):
                         r_idx = t * block_b + r_off
                         if r_idx >= n_read:
                             continue
                         ent = reads[rids_sub[r_idx]]
-                        k = ent["ks"][ent["haps"].index(h)]
-                        out_pos[k] = (dispatch_base()
-                                      + b * block_b + r_off)
+                        for hh, k in zip(ent["haps"], ent["ks"]):
+                            if hh == h:
+                                out_pos[k] = (dispatch_base()
+                                              + b * block_b + r_off)
     flush()
     return dispatches, out_pos, Rpad, nchunks
 

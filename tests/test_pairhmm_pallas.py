@@ -206,3 +206,68 @@ def test_pallas_interpret_ambiguous_bases():
                                ord("C"), ord("A")).astype(np.uint8)
     plain[1] = rd
     assert pairhmm_forward_np(*pairs[0]) > pairhmm_forward_np(*plain)
+
+
+def test_grouped_duplicate_pairs_and_long_reads():
+    """Duplicate (read, hap) tuples all receive the same output cell (the
+    out_pos mapping must cover every matching pair), and a 3 kb long-read
+    pair routes through the grouped path without shape errors; its deep
+    negative lands in the f32-escalation zone exactly like the flat path."""
+    import numpy as np
+
+    from lorikeet_tpu.ops.pairhmm import F32_SUSPECT_LOG10, pairhmm_forward_np
+    from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_grouped
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    # 500bp "long" read: exercises the Rpad>128 / tiny-block shape path
+    # at interpret-mode speed (a 3kb read takes ~8 min in interpret)
+    hap = bases[rng.integers(0, 4, 700)]
+    read = hap[100:600].copy()
+    for _ in range(25):
+        read[int(rng.integers(0, 500))] = bases[int(rng.integers(0, 4))]
+    q = np.full(500, 30, np.uint8)
+    o = np.full(500, 45, np.uint8)
+    g = np.full(500, 10, np.uint8)
+    pairs = [(hap, read, q, o, o, g)] * 3          # identical tuples
+    got = pairhmm_forward_grouped(pairs, interpret=True)
+    assert np.all(np.isfinite(got))
+    assert np.allclose(got, got[0])                # same cell for all three
+    want = pairhmm_forward_np(*pairs[0])
+    # deep negative: both float paths flush; production escalates at -28
+    assert want < F32_SUSPECT_LOG10 and got[0] < F32_SUSPECT_LOG10
+
+
+def test_grouped_matches_flat_kernel():
+    """Grouped dispatch is bit-identical to the flat slab kernel on the
+    same pairs (shared _dp_sweep)."""
+    import numpy as np
+
+    from lorikeet_tpu.ops.pairhmm import pack_pairhmm_batch
+    from lorikeet_tpu.ops.pairhmm_pallas import (
+        pack_pallas_inputs, pairhmm_forward_grouped, pairhmm_forward_packed,
+    )
+
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    pairs = []
+    for reg in range(3):
+        H = int(rng.integers(150, 400))
+        bh = bases[rng.integers(0, 4, H)]
+        haps = [bh] + [bh.copy() for _ in range(2)]
+        for h in haps[1:]:
+            h[int(rng.integers(0, H))] = bases[int(rng.integers(0, 4))]
+        for r in range(int(rng.integers(5, 40))):
+            R = int(rng.integers(40, 130))
+            lo = int(rng.integers(0, H - R))
+            read = bh[lo:lo + R].copy()
+            q = np.full(R, 30, np.uint8)
+            o = np.full(R, 45, np.uint8)
+            g = np.full(R, 10, np.uint8)
+            for h in haps:
+                pairs.append((h, read, q, o, o, g))
+    grouped = pairhmm_forward_grouped(pairs, interpret=True)
+    batch = pack_pairhmm_batch(pairs)
+    slabs, nck, B = pack_pallas_inputs(**batch)
+    flat = np.asarray(pairhmm_forward_packed(slabs, nck, B, interpret=True))
+    np.testing.assert_array_equal(grouped, flat)
