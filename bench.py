@@ -79,30 +79,42 @@ def bench_effective_ragged():
     rng = np.random.default_rng(1)
     bases = np.frombuffer(b"ACGT", np.uint8)
 
-    def mk_pairs(n_pairs, rlens, hlens):
+    def mk_region_pairs(n_regions, reads_per, haps_per, rlens, hlens):
+        """Region-structured batches exactly as production produces them:
+        each region's reads (mutated windows of its base hap) cross ALL of
+        its haplotypes, with read/hap arrays SHARED across the cross
+        product (the structure the grouped dispatch dedups).  Unrelated
+        random sequences would underflow f32 and escalate every pair to
+        the host recompute; per-pair unique haps would defeat grouping."""
         pairs = []
-        for _ in range(n_pairs):
-            R = int(rng.choice(rlens))
+        for _ in range(n_regions):
             H = int(rng.choice(hlens))
-            hap = bases[rng.integers(0, 4, H)]
-            # reads are mutated hap windows (as in production, where reads
-            # align to the haplotypes; unrelated sequences would underflow
-            # f32 and escalate every pair to the host f64 recompute)
-            lo = int(rng.integers(0, max(H - R, 0) + 1))
-            read = hap[lo:lo + R].copy()
-            R = len(read)
-            for _ in range(int(rng.integers(0, 4))):
-                read[int(rng.integers(0, R))] = bases[int(rng.integers(0, 4))]
-            q = np.full(R, 30, np.uint8)
-            pairs.append((hap, read, q, np.full(R, 45, np.uint8),
-                          np.full(R, 45, np.uint8),
-                          np.full(R, 10, np.uint8)))
+            base_hap = bases[rng.integers(0, 4, H)]
+            haps = [base_hap]
+            for _ in range(haps_per - 1):
+                h = base_hap.copy()
+                h[int(rng.integers(0, H))] = bases[int(rng.integers(0, 4))]
+                haps.append(h)
+            for _ in range(reads_per):
+                R = min(int(rng.choice(rlens)), H - 1)
+                lo = int(rng.integers(0, H - R))
+                read = base_hap[lo:lo + R].copy()
+                for _ in range(int(rng.integers(0, 4))):
+                    read[int(rng.integers(0, R))] = bases[
+                        int(rng.integers(0, 4))]
+                q = np.full(R, 30, np.uint8)
+                row = (read, q, np.full(R, 45, np.uint8),
+                       np.full(R, 45, np.uint8), np.full(R, 10, np.uint8))
+                for h in haps:
+                    pairs.append((h,) + row)
         return pairs
 
-    # region batches as production sees them: short reads 70-151bp vs
-    # trimmed haplotypes 150-450bp, ~2-6k pairs per span batch
-    batches = [mk_pairs(int(rng.integers(2000, 6000)),
-                        range(70, 152), range(150, 451))
+    # span batches as production sees them: ~4-8 regions x ~150-400 reads
+    # x 4-6 haplotypes; short reads 70-151bp, trimmed haps 150-450bp
+    batches = [mk_region_pairs(int(rng.integers(4, 9)),
+                               int(rng.integers(150, 400)),
+                               int(rng.integers(4, 7)),
+                               range(70, 152), range(180, 451))
                for _ in range(6)]
     # warm every bucket these batches hit (production prewarm does this)
     for b in batches:

@@ -653,9 +653,11 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
         n_read = len(rids)
         n_tiles = -(-n_read // block_b)
         need_blocks = n_tiles * len(haps_rows)
-        if need_blocks > NBLOCKS_CAP:
-            # split oversized groups by read subsets
-            sub = max(1, (NBLOCKS_CAP // len(haps_rows))) * block_b
+        if need_blocks > NBLOCKS_CAP or n_tiles * block_b > ROWS_CAP:
+            # split oversized groups by read subsets (bounded by BOTH the
+            # block budget and the read-row budget)
+            sub = min(max(1, NBLOCKS_CAP // len(haps_rows)) * block_b,
+                      ROWS_CAP)
             subgroups = [rids[i:i + sub] for i in range(0, n_read, sub)]
         else:
             subgroups = [rids]
