@@ -101,6 +101,9 @@ def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
               [f"sample{k}" for k in range(len(bam_paths))])
     wall = time.time() - t0
     stages = {k: round(v, 2) for k, v in _prog.GLOBAL_STAGES.items()}
+    from lorikeet_tpu.calling import likelihoods as _lk
+    stages["dispatches"] = dict(_lk.DISPATCH_COUNTS)
+    _lk.DISPATCH_COUNTS.update(device=0, host=0)
     _prog.GLOBAL_STAGES = None
     print(f"# stages[{'tpu' if use_pallas else 'host'}]: "
           f"{json.dumps(stages)}", file=sys.stderr)

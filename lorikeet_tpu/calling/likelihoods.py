@@ -461,6 +461,11 @@ def build_pairs(haplotypes: list, reads_by_sample: dict,
 #: its bucket is warm; cold buckets run on the exact f64 host kernel while
 #: their compile proceeds in the background.
 _PALLAS_WARM_BUCKETS: set = set()
+_PALLAS_FAILED_BUCKETS: set = set()
+#: batches dispatched to the device vs host fallback this process (the
+#: engagement counter bench_e2e reports — a silent device bypass must be
+#: visible in the stage split, not inferred from timings)
+DISPATCH_COUNTS = {"device": 0, "host": 0}
 def _join_prewarm_threads():
     """Killing a daemon thread mid-XLA-compile at interpreter exit aborts
     the process ("FATAL: exception not rethrown"); waiting also finishes
@@ -519,13 +524,16 @@ def prewarm_pallas_buckets(buckets=None) -> None:
         _prewarm_lock = threading.Lock()
     if buckets is None:
         # short reads <=127bp (Rpad=128) against haplotypes up to ~650bp:
-        # diagonals 127+Hmax -> nchunks 2..6 covers every trimmed region
-        # the default max-assembly-region-size/padding can produce
-        buckets = [(128, k) for k in (2, 3, 4, 5, 6)]
+        # even-rounded nchunks 4/6/2 covers every trimmed region the
+        # default max-assembly-region-size/padding can produce, most
+        # common first (cold compiles are slow and serialized, so order
+        # decides which production batches engage the device earliest)
+        buckets = [(128, 4), (128, 6), (128, 2)]
     with _prewarm_lock:
         for bucket in buckets:
             if bucket in _PALLAS_WARM_BUCKETS or bucket in _prewarm_queue \
-                    or bucket in _prewarm_threads:
+                    or bucket in _prewarm_threads \
+                    or bucket in _PALLAS_FAILED_BUCKETS:
                 continue
             _prewarm_queue.append(bucket)
         if _prewarm_queue and "worker" not in _prewarm_threads:
@@ -554,27 +562,35 @@ def _prewarm_bucket(bucket: tuple) -> None:
         read = np.full(R, ord("A"), np.uint8)
         z = np.full(R, 30, np.uint8)
         np.asarray(pairhmm_forward_grouped([(hap, read, z, z, z, z)]))
-        # full variant: ROWS_STEP+64 reads x 8 haps exceeds both small
-        # steps (rows > ROWS_STEP, blocks > NBLOCKS_STEP) without nearing
-        # the caps
+        # full variant: ROWS_STEP+64 DISTINCT reads x 8 haps exceeds both
+        # small steps (rows > ROWS_STEP, blocks > NBLOCKS_STEP) without
+        # nearing the caps
         haps = [np.full(H, ord("A"), np.uint8) for _ in range(8)]
-        big = [(h, read, z, z, z, z)
-               for _ in range(ROWS_STEP + 64) for h in haps]
+        reads = [np.full(R, ord("A"), np.uint8)
+                 for _ in range(ROWS_STEP + 64)]
+        big = [(h, r, z, z, z, z) for r in reads for h in haps]
         np.asarray(pairhmm_forward_grouped(big))
         _PALLAS_WARM_BUCKETS.add(bucket)
     except Exception:               # noqa: BLE001 — prewarm is best-effort
-        pass
+        # a failed bucket must NOT be retried every batch (an earlier bug
+        # re-queued a crashing prewarm indefinitely: constant GIL churn
+        # and the device never engaged) — log once and blacklist
+        import logging
+        logging.getLogger(__name__).warning(
+            "pallas prewarm failed for bucket %s", bucket, exc_info=True)
+        _PALLAS_FAILED_BUCKETS.add(bucket)
     finally:
         _prewarm_threads.pop(bucket, None)
 
 
 def _pallas_bucket(pairs) -> tuple:
-    """(Rpad, nchunks) compile-shape bucket the kernel wrapper would use."""
+    """(Rpad, nchunks) compile-shape bucket the kernel wrapper would use
+    (nchunks rounds to even — see ops.pairhmm_pallas.pack_grouped_inputs)."""
     Rmax = lane_fit_bucket(max(len(p[1]) for p in pairs))
     Hmax = -(-max(len(p[0]) for p in pairs) // 128) * 128
     Rpad = -(-(Rmax + 1) // 128) * 128
     nchunks = max(1, -(-(Rmax + Hmax) // 128))
-    return Rpad, nchunks
+    return Rpad, nchunks + (nchunks & 1)
 
 
 #: force interpret-mode Pallas (CPU testing of the mesh path); set before
@@ -603,6 +619,7 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
             # _PALLAS_WARM_BUCKETS note on why there is no disk cache)
             prewarm_pallas_buckets([bucket])
             use_pallas = False
+    DISPATCH_COUNTS["device" if use_pallas else "host"] += 1
     if use_pallas:
         from lorikeet_tpu.parallel.sharding import get_mesh
         mesh = get_mesh()

@@ -556,7 +556,10 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
     Rmax = _round_up(max(len(p[1]) for p in pairs) + 1, 32) - 1
     Hmax = _round_up(max(len(p[0]) for p in pairs), _LANES)
     Rpad = _round_up(Rmax + 1, _LANES)
-    nchunks = max(1, -(-(Rmax + Hmax) // _LANES))
+    # nchunks rounds up to EVEN: halves the bucket count (cold compiles
+    # are the scarce resource on the tunnel, not kernel FLOPs — padded
+    # diagonals cost sweep time only, no extra bytes)
+    nchunks = _round_up(max(1, -(-(Rmax + Hmax) // _LANES)), 2)
     Spad = nchunks * _LANES
     block_b = vmem_safe_block(Rpad, block_b)  # must match _grouped_call
 
@@ -572,16 +575,22 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
         rid = id(read)
         ent = reads.get(rid)
         if ent is None:
-            ent = {"data": (read, q, iq, dq, gcp), "haps": [], "ks": []}
+            ent = {"data": (read, q, iq, dq, gcp), "haps": [], "ks": [],
+                   "hapset": set()}
             reads[rid] = ent
             read_order.append(rid)
         ent["haps"].append(hap_row_of[hid])
         ent["ks"].append(k)
+        ent["hapset"].add(hap_row_of[hid])
 
-    # --- group reads by identical hap set (the region structure)
+    # --- group reads by identical hap set (the region structure).
+    # The key DEDUPES repeated haps (a pair list may name the same hap
+    # several times for one read); out_pos assignment below maps every
+    # duplicate pair to the one computed cell.
     groups = {}
     for rid in read_order:
-        key = tuple(reads[rid]["haps"])
+        ent = reads[rid]
+        key = tuple(dict.fromkeys(ent["haps"]))   # ordered, deduped
         groups.setdefault(key, []).append(rid)
 
     # --- emit dispatches under the fixed slab caps
