@@ -598,6 +598,61 @@ def _pallas_bucket(pairs) -> tuple:
 import os as _os
 PALLAS_INTERPRET = _os.environ.get("LORIKEET_PALLAS_INTERPRET", "") == "1"
 
+#: Adaptive device-vs-host cost model.  Whether the device wins a batch
+#: depends on the host's native throughput (cells/s) vs the link's
+#: effective bandwidth+latency (the tunneled chip moves ~45-80 MB/s H2D,
+#: a PCIe-attached chip ~16 GB/s — a 300x swing no static policy can
+#: cover).  Both sides are ESTIMATED from observed executions (EWMA) and
+#: every 16th eligible batch explores the currently-losing side to keep
+#: the estimates fresh.  LORIKEET_PALLAS_ROUTE=device|host|auto overrides.
+_PERF = {"host_cps": None, "dev_bps": None, "dev_lat": 0.06, "n_batch": 0}
+_ROUTE_MODE = _os.environ.get("LORIKEET_PALLAS_ROUTE", "auto")
+_EXPLORE_EVERY = 16
+
+
+def _batch_cost_inputs(pairs):
+    """(true_cells, est_device_bytes, est_dispatches) for a pair batch."""
+    cells = sum(len(p[0]) * len(p[1]) for p in pairs)
+    uniq_reads = {id(p[1]) for p in pairs}
+    uniq_haps = {id(p[0]) for p in pairs}
+    rmax = max(len(p[1]) for p in pairs)
+    hmax = max(len(p[0]) for p in pairs)
+    rpad = -(-(lane_fit_bucket(rmax) + 1) // 128) * 128
+    spad = -(-(rmax + hmax) // 128) * 128
+    bytes_est = len(uniq_reads) * (5 * rpad + 32) + len(uniq_haps) * spad
+    from lorikeet_tpu.ops.pairhmm_pallas import ROWS_CAP
+    n_disp = max(1, -(-len(uniq_reads) // ROWS_CAP))
+    return cells, bytes_est, n_disp
+
+
+def _route_device(pairs) -> bool:
+    """True when the cost model (or an exploration turn) picks the device."""
+    if _ROUTE_MODE == "device":
+        return True
+    if _ROUTE_MODE == "host":
+        return False
+    _PERF["n_batch"] += 1
+    cells, bytes_est, n_disp = _batch_cost_inputs(pairs)
+    host_cps, dev_bps = _PERF["host_cps"], _PERF["dev_bps"]
+    if host_cps is None or dev_bps is None:
+        # no data yet for one side: run it to learn (host first — it is
+        # never catastrophic; the device side learns on the next batch)
+        return host_cps is not None
+    t_host = cells / host_cps
+    t_dev = bytes_est / dev_bps + n_disp * _PERF["dev_lat"]
+    pick_dev = t_dev < t_host
+    if _PERF["n_batch"] % _EXPLORE_EVERY == 0:
+        pick_dev = not pick_dev          # exploration turn
+    return pick_dev
+
+
+def _update_perf(key_rate, amount, elapsed):
+    if elapsed <= 1e-6:
+        return
+    rate = amount / elapsed
+    old = _PERF[key_rate]
+    _PERF[key_rate] = rate if old is None else 0.7 * old + 0.3 * rate
+
 
 def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray:
     """log10 likelihood per packed pair — ONE device dispatch for the whole
@@ -619,7 +674,12 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
             # _PALLAS_WARM_BUCKETS note on why there is no disk cache)
             prewarm_pallas_buckets([bucket])
             use_pallas = False
+        else:
+            # warm bucket: the adaptive cost model picks the cheaper side
+            use_pallas = _route_device(pairs)
     DISPATCH_COUNTS["device" if use_pallas else "host"] += 1
+    import time as _time
+    t0 = _time.perf_counter()
     if use_pallas:
         from lorikeet_tpu.parallel.sharding import get_mesh
         mesh = get_mesh()
@@ -645,6 +705,11 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
             )
             raw = pairhmm_forward_grouped(pairs, interpret=interpret)
         lks = pairhmm_forward_checked(raw, pairs)
+        if not interpret:
+            _, bytes_est, n_disp = _batch_cost_inputs(pairs)
+            _update_perf("dev_bps", bytes_est,
+                         max(1e-6, _time.perf_counter() - t0
+                             - n_disp * _PERF["dev_lat"]))
     else:
         # exact f64 host kernel: beats device compile amortization for small
         # batches (and is the CPU-backend path outright).  Native C++
@@ -654,6 +719,8 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         if lks is None:
             from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
             lks = np.array([pairhmm_forward_np(*p) for p in pairs])
+        cells = sum(len(p[0]) * len(p[1]) for p in pairs)
+        _update_perf("host_cps", cells, _time.perf_counter() - t0)
     return lks
 
 
