@@ -143,6 +143,21 @@ def main():
     if args.prewarm_first and jax.default_backend() != "cpu":
         from lorikeet_tpu.calling.likelihoods import prewarm_pallas_buckets
         prewarm_pallas_buckets()
+        # the timed legs must not race the background compiles: in-flight
+        # Mosaic compiles contend for the GIL/tunnel and slow HOST stages
+        # 3-4x (measured).  Settle before timing (models the steady state
+        # of a long-lived server process).
+        import lorikeet_tpu.calling.likelihoods as _L
+
+        def _settle():
+            import time as _t
+            deadline = _t.time() + 900
+            while _t.time() < deadline and (
+                    _L._prewarm_queue or _L._prewarm_threads):
+                _t.sleep(1.0)
+        _settle_fn = _settle
+    else:
+        _settle_fn = lambda: None
     tmp = tempfile.mkdtemp(prefix="lorikeet_e2e_")
     t0 = time.time()
     fasta, bams, truth = simulate_dataset(tmp, args.kbp, args.samples,
@@ -151,6 +166,7 @@ def main():
           f"{args.coverage}x ({len(truth)} variants) in "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
+    _settle_fn()
     rows = []
     host = None
     if not args.skip_host:

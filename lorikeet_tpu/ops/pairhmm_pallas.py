@@ -607,10 +607,14 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
             return
         rows = st["rows"]
         n_rows = len(rows)
-        # two shape variants only (small tail / full): every extra
-        # (rows_pad, nblocks) combination is a fresh ~2-4s Mosaic compile,
-        # and inline cold compiles were measured to dominate e2e walls
-        rows_pad = ROWS_STEP if n_rows <= ROWS_STEP else ROWS_CAP
+        # EXACTLY two compile variants — small (ROWS_STEP, NBLOCKS_STEP)
+        # and full (ROWS_CAP, NBLOCKS_CAP), tied TOGETHER: a mixed combo
+        # like (ROWS_CAP, NBLOCKS_STEP) is a fresh ~10s inline Mosaic
+        # compile the prewarm never covered (measured: one such batch cost
+        # a 12s e2e stall)
+        small = (n_rows <= ROWS_STEP
+                 and len(st["blocks"]) <= NBLOCKS_STEP)
+        rows_pad = ROWS_STEP if small else ROWS_CAP
         u8 = np.uint8
         q = np.zeros((rows_pad, Rpad), u8)
         iqp = np.zeros((rows_pad, Rpad), u8)
@@ -631,8 +635,7 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
         for hrow, hap in st["hapset"]:
             hap_u8[hrow, :len(hap)] = hap
             hlens[hrow] = len(hap)
-        nb = (NBLOCKS_STEP if len(st["blocks"]) <= NBLOCKS_STEP
-              else NBLOCKS_CAP)
+        nb = NBLOCKS_STEP if small else NBLOCKS_CAP
         tile_tab = np.zeros(nb, np.int32)
         hap_tab = np.zeros(nb, np.int32)
         hoff_tab = np.zeros(nb, np.int32)
