@@ -570,6 +570,16 @@ def _prewarm_bucket(bucket: tuple) -> None:
                  for _ in range(ROWS_STEP + 64)]
         big = [(h, r, z, z, z, z) for r in reads for h in haps]
         np.asarray(pairhmm_forward_grouped(big))
+        # seed the cost model from a measured WARM dispatch so no
+        # production batch ever routes to the device just to learn the
+        # link rate (a learning batch costs whatever the link costs)
+        import time as _time
+        t0 = _time.perf_counter()
+        np.asarray(pairhmm_forward_grouped(big))
+        cells, bytes_est, n_disp = _batch_cost_inputs(big)
+        _update_perf("dev_bps", bytes_est,
+                     max(1e-6, _time.perf_counter() - t0
+                         - n_disp * _PERF["dev_lat"]))
         _PALLAS_WARM_BUCKETS.add(bucket)
     except Exception:               # noqa: BLE001 — prewarm is best-effort
         # a failed bucket must NOT be retried every batch (an earlier bug
