@@ -117,14 +117,21 @@ def bench_effective_ragged():
                                range(70, 152), range(180, 451))
                for _ in range(6)]
     # warm every bucket these batches hit (production prewarm does this)
-    for b in batches:
-        L._PALLAS_WARM_BUCKETS.add(L._pallas_bucket(b))
-        L.compute_pair_likelihoods(b, use_pallas=True)
-    true_cells = sum(len(p[0]) * len(p[1]) for b in batches for p in b)
-    t0 = time.time()
-    for b in batches:
-        L.compute_pair_likelihoods(b, use_pallas=True)
-    wall = time.time() - t0
+    # and pin the router to the DEVICE side — this row measures the device
+    # round-trip, not whichever side the adaptive router would pick
+    old_mode = L._ROUTE_MODE
+    L._ROUTE_MODE = "device"
+    try:
+        for b in batches:
+            L._PALLAS_WARM_BUCKETS.add(L._pallas_bucket(b))
+            L.compute_pair_likelihoods(b, use_pallas=True)
+        true_cells = sum(len(p[0]) * len(p[1]) for b in batches for p in b)
+        t0 = time.time()
+        for b in batches:
+            L.compute_pair_likelihoods(b, use_pallas=True)
+        wall = time.time() - t0
+    finally:
+        L._ROUTE_MODE = old_mode
     return true_cells / wall / 1e9
 
 
