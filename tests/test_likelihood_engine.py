@@ -156,3 +156,44 @@ def test_pcr_indel_model_knob():
     assert np.all(by_model["hostile"][0] <= by_model["aggressive"][0])
     assert np.all(by_model["aggressive"][0] <= by_model["conservative"][0])
     assert np.all(by_model["hostile"][1] <= by_model["conservative"][1])
+
+
+def test_adaptive_router_cost_model(monkeypatch):
+    """The device-vs-host router picks the cheaper side from the measured
+    rates, explores the losing side every 16th batch, and honors the
+    LORIKEET_PALLAS_ROUTE override."""
+    import lorikeet_tpu.calling.likelihoods as L
+
+    rng = np.random.default_rng(0)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    hap = bases[rng.integers(0, 4, 300)]
+    read = hap[10:110].copy()
+    q = np.full(100, 30, np.uint8)
+    pairs = [(hap, read, q, q, q, np.full(100, 10, np.uint8))] * 50
+
+    monkeypatch.setattr(L, "_PERF", {"host_cps": None, "dev_bps": None,
+                                     "dev_lat": 0.05, "n_batch": 0})
+    monkeypatch.setattr(L, "_ROUTE_MODE", "auto")
+    # no data for either side: host first (to learn), then device
+    assert L._route_device(pairs) is False
+    L._PERF["host_cps"] = 1e9
+    assert L._route_device(pairs) is True       # dev side still unknown
+
+    # tunnel-like rates: host 1 Gcells/s, device 27 MB/s -> host wins
+    L._PERF["dev_bps"] = 27e6
+    assert L._route_device(pairs) is False
+    # PCIe-like rates: device 16 GB/s with a slow host -> device wins
+    L._PERF["host_cps"] = 5e7
+    L._PERF["dev_bps"] = 16e9
+    L._PERF["dev_lat"] = 0.001
+    assert L._route_device(pairs) is True
+
+    # exploration: the 16th batch flips the decision
+    L._PERF["n_batch"] = L._EXPLORE_EVERY - 1
+    assert L._route_device(pairs) is False      # flipped from device
+
+    # hard overrides
+    monkeypatch.setattr(L, "_ROUTE_MODE", "host")
+    assert L._route_device(pairs) is False
+    monkeypatch.setattr(L, "_ROUTE_MODE", "device")
+    assert L._route_device(pairs) is True
