@@ -694,26 +694,15 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         from lorikeet_tpu.parallel.sharding import get_mesh
         mesh = get_mesh()
         sharded = mesh is not None and mesh.devices.size > 1
-        if sharded:
-            # mesh path: flat slab layout, batch axis split over chips
-            batch = pack_pairhmm_batch(pairs, r_pad_to=lane_fit_bucket,
-                                       h_pad_to=128)
-            from lorikeet_tpu.ops.pairhmm_pallas import (
-                pack_pallas_inputs, pairhmm_forward_sharded,
-            )
-            slabs, nchunks, B = pack_pallas_inputs(**batch,
-                                                   to_device=False)
-            raw = np.asarray(pairhmm_forward_sharded(
-                slabs, nchunks, B, mesh,
-                interpret=interpret))[:len(pairs)]
-        else:
-            # single-device: grouped (read-tile x hap) dispatch ships each
-            # read and haplotype ONCE (~10x fewer H2D bytes than the flat
-            # cross-product layout on the bandwidth-bound tunnel)
-            from lorikeet_tpu.ops.pairhmm_pallas import (
-                pairhmm_forward_grouped,
-            )
-            raw = pairhmm_forward_grouped(pairs, interpret=interpret)
+        # grouped (read-tile x hap) dispatch ships each read and haplotype
+        # ONCE (~10x fewer H2D bytes than the flat cross-product layout).
+        # Under a mesh, whole dispatches round-robin across the chips and
+        # run concurrently — no collectives, the reference's rayon region
+        # fan-out (assembly_region_walker.rs:139-141) at chip granularity.
+        from lorikeet_tpu.ops.pairhmm_pallas import pairhmm_forward_grouped
+        devices = list(mesh.devices.flat) if sharded else None
+        raw = pairhmm_forward_grouped(pairs, interpret=interpret,
+                                      devices=devices)
         lks = pairhmm_forward_checked(raw, pairs)
         if not interpret:
             _, bytes_est, n_disp = _batch_cost_inputs(pairs)

@@ -716,15 +716,31 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
 
 
 def pairhmm_forward_grouped(pairs, block_b: int = 64,
-                            interpret: bool = False) -> np.ndarray:
+                            interpret: bool = False,
+                            devices=None) -> np.ndarray:
     """Forward log10 likelihoods for a flat pair list via the grouped
     (read-tile x hap) dispatch path.  Bit-compatible with
-    pairhmm_forward_pallas (same DP sweep); ships each read/hap once."""
+    pairhmm_forward_pallas (same DP sweep); ships each read/hap once.
+
+    ``devices``: optional device list — dispatches are independent (no
+    collectives), so they round-robin across devices and execute
+    concurrently (the reference's rayon region fan-out,
+    assembly_region_walker.rs:139-141, as whole dispatches per chip).
+    All outputs are enqueued before the first readback."""
     dispatches, out_pos, Rpad, nchunks = pack_grouped_inputs(pairs, block_b)
     outs = []
-    for tables, operands in dispatches:
-        tabs = tuple(jnp.asarray(t) for t in tables)
-        ops = tuple(jnp.asarray(o) for o in operands)
+    for di, (tables, operands) in enumerate(dispatches):
+        dev = devices[di % len(devices)] if devices else None
+        put = (lambda x: jax.device_put(np.asarray(x), dev)) if dev \
+            else jnp.asarray
+        tabs = tuple(put(t) for t in tables)
+        ops = tuple(put(o) for o in operands)
         outs.append(_grouped_jit(*tabs, *ops, nchunks, block_b, interpret))
-    flat = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-    return np.asarray(flat)[:, 0][out_pos]
+    if len(outs) == 1:
+        flat = np.asarray(outs[0])
+    else:
+        # read back per-dispatch (device-hosted arrays cannot concatenate
+        # lazily across devices); enqueue completed above, so readbacks
+        # pipeline
+        flat = np.concatenate([np.asarray(o) for o in outs], axis=0)
+    return flat[:, 0][out_pos]
