@@ -22,8 +22,7 @@ import functools
 
 import numpy as np
 
-from lorikeet_tpu.ops import pairhmm as pairhmm_mod
-from lorikeet_tpu.ops.pairhmm import pack_pairhmm_batch, pairhmm_forward_checked
+from lorikeet_tpu.ops.pairhmm import pairhmm_forward_checked
 
 DEFAULT_INS_QUAL = 45
 DEFAULT_DEL_QUAL = 45
