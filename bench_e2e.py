@@ -91,7 +91,10 @@ def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
     t0 = time.time()
     bams = [open_bam(p) for p in bam_paths]
     engine = HaplotypeCallerEngine(cfg)
-    res = call_contig(fr, bams, "contig1", cfg, engine)
+    # single-contig dataset: -t maps to chunk-level worker processes on
+    # the host path (the production _call_contigs plumbing)
+    res = call_contig(fr, bams, "contig1", cfg, engine,
+                      chunk_processes=threads if threads > 1 else 1)
     calls = res.calls
     for vc in calls:
         vc.tid = 0
