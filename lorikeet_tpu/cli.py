@@ -598,12 +598,12 @@ def _warn_inert_flags(args) -> None:
 
 
 def main(argv=None) -> int:
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/lorikeet_tpu_jax"))
-    # persist even fast Mosaic compiles: re-entering a warm bucket in a new
-    # process then costs a ~0.1s deserialization instead of a recompile
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.2")
-    os.makedirs(os.environ["JAX_COMPILATION_CACHE_DIR"], exist_ok=True)
+    # NOTE: no persistent compile cache is configured here.  This jax
+    # version silently ignores the JAX_COMPILATION_CACHE_DIR env var, and
+    # enabling the cache via jax.config was measured a net LOSS on the
+    # tunneled backend (serialize +26s per compile, deserialize 333s vs a
+    # 7.7s fresh compile — docs/benchmarks.md).  The eager bucket prewarm
+    # in calling.likelihoods covers warmup instead.
     parser = build_parser()
     args = parser.parse_args(argv)
     _warn_inert_flags(args)

@@ -14,8 +14,6 @@ jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the wavefront scans are expensive to compile,
 # cheap to replay.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 REFERENCE_DIR = "/root/reference"
 
