@@ -584,6 +584,9 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
         ent["hapset"].add(hap_row_of[hid])
 
     # --- group reads by identical hap set (the region structure).
+    # A read shared by OVERLAPPING regions accumulates both regions' haps
+    # into one key: it then tiles alone against the union — correct for
+    # every (read, hap) pair, merely less dense than per-region tiling.
     # The key DEDUPES repeated haps (a pair list may name the same hap
     # several times for one read); out_pos assignment below maps every
     # duplicate pair to the one computed cell.
