@@ -705,9 +705,13 @@ def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray
         lks = pairhmm_forward_checked(raw, pairs)
         if not interpret:
             _, bytes_est, n_disp = _batch_cost_inputs(pairs)
-            _update_perf("dev_bps", bytes_est,
-                         max(1e-6, _time.perf_counter() - t0
-                             - n_disp * _PERF["dev_lat"]))
+            elapsed = _time.perf_counter() - t0
+            # subtract the latency share, but never let a faster-than-
+            # latency measurement explode the rate estimate (a tiny batch
+            # finishing "instantly" would otherwise flip routing)
+            transfer_s = max(elapsed - n_disp * _PERF["dev_lat"],
+                             elapsed * 0.25)
+            _update_perf("dev_bps", bytes_est, transfer_s)
     else:
         # exact f64 host kernel: beats device compile amortization for small
         # batches (and is the CPU-backend path outright).  Native C++
