@@ -298,7 +298,12 @@ def _span_task(payload):
     are cached per (fasta, bams, cfg-id) so a worker decodes each BAM once
     across all the spans it drains."""
     fasta_path, bam_paths, contig_name, cfg, sp = payload
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu (not setdefault): spawned workers inherit the parent's
+    # JAX_PLATFORMS (e.g. the tunneled TPU backend) and would otherwise
+    # all connect to and contend for the single chip — measured 6x e2e
+    # slowdown with 4 chunk workers on the tunnel.  Workers are CPU-only
+    # by design; the parent process owns the device.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     key = (fasta_path, tuple(bam_paths))
     state = _SPAN_WORKER_CACHE.get(key)
     if state is None:
@@ -1107,7 +1112,12 @@ def _genome_task(payload):
     interpreter and returns (genome_name, result dict)."""
     (spec, mode, genome_bam_paths, bam_paths, long_bam_paths, output_dir,
      cfg, sample_names, limit, force) = payload
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # FORCE cpu (not setdefault): spawned workers inherit the parent's
+    # JAX_PLATFORMS (e.g. the tunneled TPU backend) and would otherwise
+    # all connect to and contend for the single chip — measured 6x e2e
+    # slowdown with 4 chunk workers on the tunnel.  Workers are CPU-only
+    # by design; the parent process owns the device.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     from lorikeet_tpu.utils.progress import ProgressTree, StageTimer, log
     bams = [open_bam(p, high_memory=getattr(cfg, "high_memory", False))
             for p in genome_bam_paths]
