@@ -133,3 +133,24 @@ class VariantContext:
     def is_indel(self) -> bool:
         r = len(self.reference)
         return any(len(a) != r and not a.is_symbolic for a in self.alternate_alleles)
+
+    def variant_type(self) -> str:
+        """GATK variant-type lattice (determine_type / type_of_biallelic_
+        variant, variant_context.rs): 'NO_VARIATION' | 'SNP' | 'MNP' |
+        'INDEL' | 'SYMBOLIC' | 'MIXED'.  Per-alt type vs ref: symbolic ->
+        SYMBOLIC; equal length -> SNP (len 1) or MNP; else INDEL.  One type
+        across all alts -> that type, otherwise MIXED."""
+        alts = self.alternate_alleles
+        if not alts:
+            return "NO_VARIATION"
+        r = len(self.reference)
+
+        def one(a):
+            if a.is_symbolic:
+                return "SYMBOLIC"
+            if len(a) == r:
+                return "SNP" if r == 1 else "MNP"
+            return "INDEL"
+
+        kinds = {one(a) for a in alts}
+        return kinds.pop() if len(kinds) == 1 else "MIXED"
