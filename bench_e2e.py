@@ -92,9 +92,12 @@ def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):
     bams = [open_bam(p) for p in bam_paths]
     engine = HaplotypeCallerEngine(cfg)
     # single-contig dataset: -t maps to chunk-level worker processes on
-    # the host path (the production _call_contigs plumbing)
+    # the HOST path only (mirrors the production _call_contigs guard —
+    # a device-engaged parent plus CPU worker processes was measured 3x
+    # slower than either alone, and the workers own all the compute)
+    procs = threads if threads > 1 and not use_pallas else 1
     res = call_contig(fr, bams, "contig1", cfg, engine,
-                      chunk_processes=threads if threads > 1 else 1)
+                      chunk_processes=procs)
     calls = res.calls
     for vc in calls:
         vc.tid = 0
