@@ -145,8 +145,11 @@ def hard_clip_soft_clips(rec: BamRecord) -> BamRecord:
 
 
 def _low_qual_end_bounds(quals, q_threshold: int):
-    lo = 0
     hi = len(quals)
+    # overwhelmingly common case: both end bases already above threshold
+    if hi and quals[0] > q_threshold and quals[hi - 1] > q_threshold:
+        return 0, hi
+    lo = 0
     while lo < hi and quals[lo] <= q_threshold:
         lo += 1
     while hi > lo and quals[hi - 1] <= q_threshold:
@@ -287,17 +290,23 @@ def adjust_overlapping_pair_quals(reads: list) -> None:
             continue
         rp1 = query_ref_positions(first)
         rp2 = query_ref_positions(second)
-        # aligned index per overlap ref position
-        m1 = {int(p): i for i, p in enumerate(rp1) if p >= 0}
-        m2 = {int(p): i for i, p in enumerate(rp2) if p >= 0}
-        for p in sorted(set(m1) & set(m2)):
-            i, j = m1[p], m2[p]
-            if first.seq[i] == second.seq[j]:
-                first.qual[i] = min(first.qual[i], HALF_PCR_SNV_QUAL)
-                second.qual[j] = min(second.qual[j], HALF_PCR_SNV_QUAL)
-            else:
-                first.qual[i] = 0
-                second.qual[j] = 0
+        # aligned ref positions are strictly increasing (insertions are -1),
+        # so the overlap intersection + per-base compare vectorize directly
+        i1 = np.flatnonzero(rp1 >= 0)
+        i2 = np.flatnonzero(rp2 >= 0)
+        common = np.intersect1d(rp1[i1], rp2[i2], assume_unique=True)
+        if common.size == 0:
+            continue
+        i = i1[np.searchsorted(rp1[i1], common)]
+        j = i2[np.searchsorted(rp2[i2], common)]
+        s1 = np.asarray(first.seq)
+        s2 = np.asarray(second.seq)
+        eq = s1[i] == s2[j]
+        im, jm = i[eq], j[eq]
+        first.qual[im] = np.minimum(first.qual[im], HALF_PCR_SNV_QUAL)
+        second.qual[jm] = np.minimum(second.qual[jm], HALF_PCR_SNV_QUAL)
+        first.qual[i[~eq]] = 0
+        second.qual[j[~eq]] = 0
 
 
 def finalize_region_reads(reads_by_sample: dict, padded_start: int,

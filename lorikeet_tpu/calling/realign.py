@@ -24,7 +24,8 @@ from lorikeet_tpu.ops.smith_waterman import (
 def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
                          hap_cigar: list, hap_ref_start: int,
                          ref_bases: np.ndarray = None,
-                         read_bases: np.ndarray = None):
+                         read_bases: np.ndarray = None,
+                         padded_hap_cigar: list = None):
     """(new_ref_pos, read-vs-ref cigar) from a read-vs-haplotype alignment.
 
     Faithful to create_read_aligned_to_ref (alignment_utils.rs:40-165):
@@ -44,11 +45,14 @@ def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
         for op, n in read_vs_hap_cigar:
             sw_builder.add(op, n)
         sw_cigar = sw_builder.make()
-        pad_builder = CigarBuilder(remove_deletions=True)
-        for op, n in hap_cigar:
-            pad_builder.add(op, n)
-        pad_builder.add("M", 1000)
-        padded = pad_builder.make()
+        if padded_hap_cigar is not None:
+            padded = padded_hap_cigar
+        else:
+            pad_builder = CigarBuilder(remove_deletions=True)
+            for op, n in hap_cigar:
+                pad_builder.add(op, n)
+            pad_builder.add("M", 1000)
+            padded = pad_builder.make()
         start_on_ref_hap = read_start_on_reference_haplotype(
             padded, read_offset_in_hap)
         new_pos = hap_ref_start + start_on_ref_hap
@@ -117,13 +121,24 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
                          OverhangStrategy.SOFTCLIP)
                    for _, _, hap, _, _, core in jobs]
 
+    pad_cache = {}   # hap id -> pre-padded hap-vs-ref cigar (shared by all
+    #                  of that haplotype's reads; the pad is read-invariant)
     for (s, i, hap, lead_s, tail_s, core_seq), res in zip(jobs, aligned):
         if res is None:
             continue
         cigar, offset = res
+        padded = pad_cache.get(id(hap))
+        if padded is None:
+            from lorikeet_tpu.utils.cigar import CigarBuilder
+            pb = CigarBuilder(remove_deletions=True)
+            for hop, hn in hap.cigar:
+                pb.add(hop, hn)
+            pb.add("M", 1000)
+            padded = pad_cache[id(hap)] = pb.make()
         new_pos, new_cigar = compose_to_reference(
             cigar, offset, hap.cigar, window_start,
-            ref_bases=ref_bases, read_bases=core_seq)
+            ref_bases=ref_bases, read_bases=core_seq,
+            padded_hap_cigar=padded)
         if new_pos is None or not new_cigar:
             continue
         if lead_s:

@@ -147,7 +147,9 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
     if rc != 0:
         return None
     nv, ne, nr, cyc, n_nonuniq, n_map = (int(x) for x in out_counts)
-    vertices = [seq_buf[int(o):int(o) + k] for o in v_off[:nv]]
+    # plain-int iteration: numpy scalar indexing dominates at ~1e6
+    # vertex slices per contig otherwise
+    vertices = [seq_buf[o:o + k] for o in v_off[:nv].tolist()]
     return (vertices,
             (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne], e_pm[:ne]),
             ref_path[:nr], bool(cyc), (n_nonuniq, n_map))
