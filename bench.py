@@ -163,7 +163,8 @@ def bench_e2e():
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_e2e.py"),
-         "--kbp", "1000", "--samples", "2", "--prewarm-first"],
+         "--kbp", "1000", "--samples", "2", "--prewarm-first",
+         "--repeats", "2"],
         capture_output=True, text=True, timeout=1800)
     host = tpu = None
     for line in out.stdout.splitlines():

@@ -363,37 +363,49 @@ class BamReader:
             cols = self._raw_cols
             op_chars, op_lens = self._op_columns()
             names = cols["names"]
-            no, co, so, to = (cols["name_off"], cols["cigar_off"],
-                              cols["seq_off"], cols["tag_off"])
             seq, qual, tags = cols["seq"], cols["qual"], cols["tags"]
-            flag_c, tid_c, pos_c = cols["flag"], cols["tid"], cols["pos"]
-            mapq_c, mtid_c, mpos_c = (cols["mapq"], cols["mate_tid"],
-                                      cols["mate_pos"])
-            tlen_c, intr_c, ends_c = (cols["tlen"], cols["intrinsic"],
-                                      self._ends_file)
+            # one vectorized gather + tolist per column: Python ints come
+            # out directly instead of ~14 numpy scalar casts per record
+            ii = fi[np.asarray(missing, np.int64)]
+            no_l, no1 = cols["name_off"][ii].tolist(), \
+                cols["name_off"][ii + 1].tolist()
+            co_l, co1 = cols["cigar_off"][ii].tolist(), \
+                cols["cigar_off"][ii + 1].tolist()
+            so_l, so1 = cols["seq_off"][ii].tolist(), \
+                cols["seq_off"][ii + 1].tolist()
+            to_l, to1 = cols["tag_off"][ii].tolist(), \
+                cols["tag_off"][ii + 1].tolist()
+            flag_l, tid_l = cols["flag"][ii].tolist(), \
+                cols["tid"][ii].tolist()
+            pos_l, mapq_l = cols["pos"][ii].tolist(), \
+                cols["mapq"][ii].tolist()
+            mtid_l, mpos_l = cols["mate_tid"][ii].tolist(), \
+                cols["mate_pos"][ii].tolist()
+            tlen_l, intr_l = cols["tlen"][ii].tolist(), \
+                cols["intrinsic"][ii].tolist()
+            ends_l = self._ends_file[ii].tolist()
             new = BamRecord.__new__
-            for k in missing:
-                i = int(fi[k])
+            for t, k in enumerate(missing):
                 # direct attribute construction: ~2x faster than the
                 # dataclass __init__ for 13 fields at this volume
                 rec = new(BamRecord)
                 d = rec.__dict__
-                d["name"] = names[no[i]:no[i + 1]].decode()
-                d["flag"] = int(flag_c[i])
-                d["tid"] = int(tid_c[i])
-                d["pos"] = int(pos_c[i])
-                d["mapq"] = int(mapq_c[i])
-                d["cigar"] = list(zip(op_chars[co[i]:co[i + 1]],
-                                      op_lens[co[i]:co[i + 1]]))
-                d["seq"] = seq[so[i]:so[i + 1]]
-                d["qual"] = qual[so[i]:so[i + 1]].copy()
-                d["mate_tid"] = int(mtid_c[i])
-                d["mate_pos"] = int(mpos_c[i])
-                d["tlen"] = int(tlen_c[i])
-                d["tags"] = _LazyTags(tags, int(to[i]), int(to[i + 1]))
+                d["name"] = names[no_l[t]:no1[t]].decode()
+                d["flag"] = flag_l[t]
+                d["tid"] = tid_l[t]
+                d["pos"] = pos_l[t]
+                d["mapq"] = mapq_l[t]
+                d["cigar"] = list(zip(op_chars[co_l[t]:co1[t]],
+                                      op_lens[co_l[t]:co1[t]]))
+                d["seq"] = seq[so_l[t]:so1[t]]
+                d["qual"] = qual[so_l[t]:so1[t]].copy()
+                d["mate_tid"] = mtid_l[t]
+                d["mate_pos"] = mpos_l[t]
+                d["tlen"] = tlen_l[t]
+                d["tags"] = _LazyTags(tags, to_l[t], to1[t])
                 d["sample_index"] = sample_index
-                d["intrinsic"] = int(intr_c[i])
-                d["_reference_end"] = int(ends_c[i])
+                d["intrinsic"] = intr_l[t]
+                d["_reference_end"] = ends_l[t]
                 recs[k] = rec
         return [recs[k] for k in ks]
 

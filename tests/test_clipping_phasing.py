@@ -143,3 +143,59 @@ def test_phase_conflict_aborts():
     # 0 vs 1: disjoint and cover total -> group 0; 0 vs 2: comp_on_all ->
     # 2 joins group; consistent, no abort
     assert len(mapping) == 3
+
+
+def test_overlapping_pair_quals_random_indel_cigars_match_naive():
+    """The vectorized overlap correction must match a direct per-base
+    dict implementation on random indel/soft-clip cigars
+    (fragment_utils.rs:27-149)."""
+    from lorikeet_tpu.calling.clipping import (
+        HALF_PCR_SNV_QUAL, query_ref_positions,
+    )
+
+    def naive(first, second):
+        rp1 = query_ref_positions(first)
+        rp2 = query_ref_positions(second)
+        m1 = {int(p): i for i, p in enumerate(rp1) if p >= 0}
+        m2 = {int(p): i for i, p in enumerate(rp2) if p >= 0}
+        for p in sorted(set(m1) & set(m2)):
+            i, j = m1[p], m2[p]
+            if first.seq[i] == second.seq[j]:
+                first.qual[i] = min(first.qual[i], HALF_PCR_SNV_QUAL)
+                second.qual[j] = min(second.qual[j], HALF_PCR_SNV_QUAL)
+            else:
+                first.qual[i] = 0
+                second.qual[j] = 0
+
+    rng = np.random.default_rng(7)
+    ops = ["M", "I", "D", "S"]
+    for trial in range(60):
+        pair = []
+        for pos in (100, 100 + int(rng.integers(0, 15))):
+            cigar = []
+            # S only at the ends; interior M/I/D runs
+            if rng.random() < 0.3:
+                cigar.append(("S", int(rng.integers(1, 4))))
+            cigar.append(("M", int(rng.integers(3, 10))))
+            for _ in range(int(rng.integers(0, 3))):
+                op = ops[int(rng.integers(1, 3))]       # I or D
+                cigar.append((op, int(rng.integers(1, 4))))
+                cigar.append(("M", int(rng.integers(3, 8))))
+            if rng.random() < 0.3:
+                cigar.append(("S", int(rng.integers(1, 4))))
+            n = sum(l for op, l in cigar if op in "MIS=X")
+            seq = rng.choice(np.frombuffer(b"ACGT", np.uint8), n)
+            qual = rng.integers(5, 40, n).astype(np.uint8)
+            pair.append(_rec(pos, cigar, seq=seq.tobytes(),
+                             qual=qual, flag=FLAG_PAIRED))
+        a, b = pair
+        a2 = _rec(a.pos, a.cigar, seq=a.seq.tobytes(), qual=a.qual.copy(),
+                  flag=FLAG_PAIRED)
+        b2 = _rec(b.pos, b.cigar, seq=b.seq.tobytes(), qual=b.qual.copy(),
+                  flag=FLAG_PAIRED)
+        adjust_overlapping_pair_quals([a, b])
+        first, second = sorted([a2, b2], key=lambda r: r.pos)
+        if first.reference_end > second.pos:
+            naive(first, second)
+        assert a.qual.tolist() == a2.qual.tolist(), (trial, a.cigar, b.cigar)
+        assert b.qual.tolist() == b2.qual.tolist(), (trial, a.cigar, b.cigar)
