@@ -163,6 +163,7 @@ class ReadThreadingGraph:
         self.built = False
         self.cycle_checked = None      # set by build() on the native path
         self.native_pruned = False
+        self.vertex_last = None    # bytes: last base per vertex (native)
 
     # ---------------- construction ----------------
     def add_sequence(self, seq: bytes, count: int = 1, is_ref: bool = False,
@@ -238,9 +239,10 @@ class ReadThreadingGraph:
                                      prepacked=prepacked)
         if native is not None:
             (vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc,
-             (n_nonuniq, n_map)) = native
+             (n_nonuniq, n_map), last_bytes) = native
             self._complexity = (n_nonuniq, n_map)
             self.vertices = vertices
+            self.vertex_last = last_bytes
             self.out_edges = [{} for _ in vertices]
             self.in_edges = [{} for _ in vertices]
             out, inn = self.out_edges, self.in_edges

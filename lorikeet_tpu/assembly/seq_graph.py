@@ -80,6 +80,12 @@ class SeqGraph:
         sg = cls()
         out_e, in_e = graph.out_edges, graph.in_edges
         kmers = graph.vertices
+        # last base per vertex: native builds hand this over as one
+        # pre-gathered bytes; dangling recovery may have appended vertices
+        # since, so extend (or build) the tail from the kmer list
+        last = getattr(graph, "vertex_last", None) or b""
+        if len(last) < len(kmers):
+            last = last + b"".join(v[-1:] for v in kmers[len(last):])
         # chain starts: vertices that cannot be merged into a predecessor
         n = len(kmers)
         is_start = [False] * n
@@ -116,8 +122,8 @@ class SeqGraph:
                 cur = t
             head = chain[0]
             head_is_source = not in_e[head]
-            seq = (kmers[head] if head_is_source else kmers[head][-1:]) \
-                + b"".join(kmers[x][-1:] for x in chain[1:])
+            seq = (kmers[head] if head_is_source else last[head:head + 1]) \
+                + bytes(map(last.__getitem__, chain[1:]))
             vid = sg.add_vertex(seq)
             for x in chain:
                 vmap[x] = vid

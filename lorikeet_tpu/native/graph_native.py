@@ -150,6 +150,9 @@ def build_graph_native2(pending: list, k: int, num_pruning_samples: int,
     # plain-int iteration: numpy scalar indexing dominates at ~1e6
     # vertex slices per contig otherwise
     vertices = [seq_buf[o:o + k] for o in v_off[:nv].tolist()]
+    # last base of every kmer in one gather: the seq-graph chain zipper
+    # consumes exactly one trailing byte per vertex
+    last_bytes = buf[v_off[:nv] + (k - 1)].tobytes()
     return (vertices,
             (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne], e_pm[:ne]),
-            ref_path[:nr], bool(cyc), (n_nonuniq, n_map))
+            ref_path[:nr], bool(cyc), (n_nonuniq, n_map), last_bytes)
