@@ -85,7 +85,10 @@ class SeqGraph:
         # since, so extend (or build) the tail from the kmer list
         last = getattr(graph, "vertex_last", None) or b""
         if len(last) < len(kmers):
-            last = last + b"".join(v[-1:] for v in kmers[len(last):])
+            # v[-1] (not v[-1:]): an empty vertex must raise, not silently
+            # misalign every subsequent index by contributing zero bytes
+            last = last + bytes(v[-1] for v in kmers[len(last):])
+            assert len(last) == len(kmers)
         # chain starts: vertices that cannot be merged into a predecessor
         n = len(kmers)
         is_start = [False] * n

@@ -277,7 +277,14 @@ def _has_well_defined_fragment_size(rec: BamRecord) -> bool:
 def adjust_overlapping_pair_quals(reads: list) -> None:
     """In-place qual adjustment for overlapping mate pairs of one sample
     (fragment_utils.rs:27-149).  Matching overlap bases are capped at
-    HALF_PCR_SNV_QUAL; mismatching bases are zeroed."""
+    HALF_PCR_SNV_QUAL; mismatching bases are zeroed.
+
+    Invariant: the vectorized overlap intersection requires each read's
+    non-negative query_ref_positions to be strictly increasing and unique
+    (intersect1d(assume_unique=True) + searchsorted below).  This holds for
+    every SAM-valid cigar (S only at the ends, aligned ops advance the
+    reference monotonically); a malformed interior-S record would violate
+    it and make the intersection undefined."""
     by_name = {}
     for r in reads:
         if r.is_paired:

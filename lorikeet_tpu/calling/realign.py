@@ -19,6 +19,19 @@ import numpy as np
 from lorikeet_tpu.ops.smith_waterman import (
     ALIGNMENT_TO_BEST_HAPLOTYPE_SW_PARAMETERS, OverhangStrategy, align,
 )
+from lorikeet_tpu.utils.cigar import CigarBuilder
+
+
+def _padded_hap_cigar(hap_cigar: list) -> list:
+    """Hap-vs-ref cigar right-padded with 1000M (deletions dropped), the
+    read-invariant prefix of create_read_aligned_to_ref
+    (alignment_utils.rs:56-60) — shared by compose_to_reference's fallback
+    and the per-haplotype cache in realign_reads_to_best_haplotype."""
+    pb = CigarBuilder(remove_deletions=True)
+    for op, n in hap_cigar:
+        pb.add(op, n)
+    pb.add("M", 1000)
+    return pb.make()
 
 
 def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
@@ -45,14 +58,8 @@ def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
         for op, n in read_vs_hap_cigar:
             sw_builder.add(op, n)
         sw_cigar = sw_builder.make()
-        if padded_hap_cigar is not None:
-            padded = padded_hap_cigar
-        else:
-            pad_builder = CigarBuilder(remove_deletions=True)
-            for op, n in hap_cigar:
-                pad_builder.add(op, n)
-            pad_builder.add("M", 1000)
-            padded = pad_builder.make()
+        padded = (padded_hap_cigar if padded_hap_cigar is not None
+                  else _padded_hap_cigar(hap_cigar))
         start_on_ref_hap = read_start_on_reference_haplotype(
             padded, read_offset_in_hap)
         new_pos = hap_ref_start + start_on_ref_hap
@@ -129,12 +136,7 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
         cigar, offset = res
         padded = pad_cache.get(id(hap))
         if padded is None:
-            from lorikeet_tpu.utils.cigar import CigarBuilder
-            pb = CigarBuilder(remove_deletions=True)
-            for hop, hn in hap.cigar:
-                pb.add(hop, hn)
-            pb.add("M", 1000)
-            padded = pad_cache[id(hap)] = pb.make()
+            padded = pad_cache[id(hap)] = _padded_hap_cigar(hap.cigar)
         new_pos, new_cigar = compose_to_reference(
             cigar, offset, hap.cigar, window_start,
             ref_bases=ref_bases, read_bases=core_seq,
