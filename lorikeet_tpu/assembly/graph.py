@@ -163,6 +163,7 @@ class ReadThreadingGraph:
         self.built = False
         self.cycle_checked = None      # set by build() on the native path
         self.native_pruned = False
+        self.native_zip = None     # zipped seq-graph arrays (native path)
         self.vertex_last = None    # bytes: last base per vertex (native)
 
     # ---------------- construction ----------------
@@ -214,32 +215,57 @@ class ReadThreadingGraph:
             e.is_ref = True
         return e
 
-    def build(self, prune_factor: int = None, prepacked=None):
+    def build(self, prune_factor: int = None, prepacked=None,
+              allow_zip: bool = False, recovery_on: bool = True):
         """Thread all pending sequences.  With the native builder, the
         per-sample multiplicity flushes, the cycle check, and (when
         ``prune_factor`` is a positive int) low-weight chain pruning +
         orphan removal all happen in C++ before any Edge objects are
         materialized; ``self.cycle_checked`` then holds the cycle verdict
-        and ``self.native_pruned`` whether pruning already ran."""
+        and ``self.native_pruned`` whether pruning already ran.
+
+        With ``allow_zip``, the C++ builder additionally runs the
+        reachability filter + kmer->seq chain zip whenever dangling-end
+        recovery cannot change the graph (no non-ref dangling ends, or
+        ``recovery_on`` False): ``self.native_zip`` then holds the zipped
+        seq-graph arrays and NO kmer-graph objects are materialized at all
+        (vertices/edges stay empty; only the gate fields are valid)."""
         assert not self.built
         k = self.kmer_size
         self.cycle_checked = None
         self.native_pruned = False
+        self.native_zip = None
         # native C++ builder when the toolchain is present (same thread
         # order, reference first; stable sort keeps sample grouping).  A
         # prepacked operand set is already ref-first, so only sort when the
         # native call will actually consume self.pending
         if prepacked is None:
             self.pending.sort(key=lambda t: not t[3])
-        from lorikeet_tpu.native.graph_native import build_graph_native2
-        native = build_graph_native2(self.pending, k,
+        from lorikeet_tpu.native.graph_native import build_graph_native3
+        native = build_graph_native3(self.pending, k,
                                      self.num_pruning_samples,
                                      prune_factor or 0,
                                      self.start_only_at_existing,
-                                     prepacked=prepacked)
+                                     prepacked=prepacked,
+                                     allow_zip=allow_zip,
+                                     recovery_on=recovery_on)
+        if native is not None and native["zip"] is not None:
+            cyc, n_nonuniq, n_map, nr = native["gates"]
+            self._complexity = (n_nonuniq, n_map)
+            self.native_zip = native["zip"]
+            self.cycle_checked = cyc
+            self.native_pruned = bool(prune_factor) and not cyc
+            # sentinel endpoints: nr > 0 means the reference threaded; the
+            # actual kmer-vertex ids are never consumed on the zip path
+            self.ref_source = 0 if nr else None
+            self.ref_sink = 0 if nr else None
+            self.ref_path = []
+            self.pending = []
+            self.built = True
+            return
         if native is not None:
             (vertices, (e_u, e_v, e_mult, e_ref, e_pm), ref_path, cyc,
-             (n_nonuniq, n_map), last_bytes) = native
+             (n_nonuniq, n_map), last_bytes) = native["kmer"]
             self._complexity = (n_nonuniq, n_map)
             self.vertices = vertices
             self.vertex_last = last_bytes
@@ -1066,8 +1092,12 @@ def assemble_region(
         # one shared pending list + one numpy packing across kmer sizes
         # (threading itself skips too-short sequences per k)
         graph.pending = list(base_pending)
+        # the in-C++ zip applies only when nothing downstream can mutate
+        # the kmer graph before the seq-graph conversion
         graph.build(prune_factor=None if use_adaptive_pruning
-                    else prune_factor, prepacked=packed)
+                    else prune_factor, prepacked=packed,
+                    allow_zip=generate_seq_graph and not use_adaptive_pruning,
+                    recovery_on=recover_dangling_branches)
         if not graph.native_pruned:
             graph.flush_sample()
         if graph.ref_source is None or graph.ref_sink is None:
@@ -1095,7 +1125,7 @@ def assemble_region(
         elif not graph.native_pruned:
             graph.prune_low_weight_chains(prune_factor)
         recovered = 0
-        if recover_dangling_branches:
+        if graph.native_zip is None and recover_dangling_branches:
             recovered = graph.recover_dangling_ends(
                 min_dangling_branch_length, min_matching_bases,
                 recover_all_dangling_branches)
@@ -1105,15 +1135,19 @@ def assemble_region(
             continue
         # drop heading/trailing paths only AFTER recovery had its chance
         # (read_threading_assembler.rs:1134 remove_paths_not_connected_to_ref)
-        graph.remove_paths_not_connected_to_ref()
+        if graph.native_zip is None:
+            graph.remove_paths_not_connected_to_ref()
         n_results += 1
         if generate_seq_graph:
             # kmer graph -> sequence graph -> simplify -> k-best
-            # (read_threading_assembler.rs:272-298 seq-graph pipeline)
+            # (read_threading_assembler.rs:272-298 seq-graph pipeline);
+            # the zip ran in C++ when recovery could not apply
             from lorikeet_tpu.assembly.seq_graph import (
                 SeqGraph, find_best_haplotypes_seq,
             )
-            sg = SeqGraph.from_kmer_graph(graph)
+            sg = (SeqGraph.from_native_zip(*graph.native_zip)
+                  if graph.native_zip is not None
+                  else SeqGraph.from_kmer_graph(graph))
             sg.simplify()
             if dot_path:
                 # --graph-output DOT dump (base_graph.rs:505); append is

@@ -136,6 +136,28 @@ class SeqGraph:
                 sg.add_edge(vmap[tail], vmap[t], e.multiplicity, e.is_ref)
         return sg
 
+    @classmethod
+    def from_native_zip(cls, bounds, seq_bytes: bytes, edges) -> "SeqGraph":
+        """Construct directly from the in-C++ zip (graph_build3 try_zip),
+        which is from_kmer_graph + remove_paths_not_connected_to_ref fused
+        into the native build — same vertex order, same edge order."""
+        sg = cls()
+        b = bounds.tolist()
+        n = len(b) - 1
+        seqs, out_e, in_e = sg.seqs, sg.out_edges, sg.in_edges
+        for i in range(n):
+            seqs[i] = seq_bytes[b[i]:b[i + 1]]
+            out_e[i] = {}
+            in_e[i] = {}
+        sg._next = n
+        eu, ev, em, er = edges
+        for u, v, m, r in zip(eu.tolist(), ev.tolist(), em.tolist(),
+                              er.tolist()):
+            e = SeqEdge(m, bool(r))
+            out_e[u][v] = e
+            in_e[v][u] = e
+        return sg
+
     # ---- queries ----------------------------------------------------------
     def sources(self):
         return [v for v in self.seqs if not self.in_edges[v]]

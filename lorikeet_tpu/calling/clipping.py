@@ -316,6 +316,88 @@ def adjust_overlapping_pair_quals(reads: list) -> None:
         second.qual[j[~eq]] = 0
 
 
+def finalize_region_reads_columnar(bam, tid: int, sel, sample_index: int,
+                                   padded_start: int, padded_end: int,
+                                   min_base_quality: int = 10,
+                                   dont_use_soft_clipped_bases: bool = False,
+                                   soft_clip_low_quality_ends: bool = False,
+                                   correct_overlapping_quals: bool = True):
+    """Native columnar finalize: records_at + finalize_region_reads fused
+    into one C++ call over the BAM's columnar buffers — each kept read is
+    materialized ONCE, already clipped, with its overlap-adjusted quals.
+    Returns the finalized [BamRecord] (pos-sorted) or None when the native
+    path is unavailable (caller falls back to the per-record chain)."""
+    from lorikeet_tpu.native.finalize_native import finalize_region_native
+    c = bam.columnar(tid)
+    ext = bam.columnar_ext(tid) if c is not None else None
+    if ext is None:
+        return None
+    out = finalize_region_native(
+        c, ext, sel, padded_start, padded_end,
+        max(min_base_quality - 1, 0), dont_use_soft_clipped_bases,
+        soft_clip_low_quality_ends, correct_overlapping_quals)
+    if out is None:
+        return None
+    n = out["n"]
+    if n == 0:
+        return []
+    sel = out["sel"]
+    src = sel[out["idx"]]                     # window sorted-order indices
+    seq_buf, qual_out = c["seq"], out["qual"]
+    # one vectorized gather + tolist per column (records_at pattern)
+    ro = c["read_off"][src]
+    seq_lo = (ro + out["klo"]).tolist()
+    seq_hi = (ro + out["khi"]).tolist()
+    pos_l = out["pos"].tolist()
+    rend_l = (out["pos"] + out["reflen"]).tolist()
+    names = ext["names"]
+    no_l = ext["name_off"][src].tolist()
+    nl_l = ext["name_len"][src].tolist()
+    flag_l = ext["flag"][src].tolist()
+    mapq_l = ext["mapq"][src].tolist()
+    mtid_l = ext["mate_tid"][src].tolist()
+    mpos_l = ext["mate_pos"][src].tolist()
+    tlen_l = ext["tlen"][src].tolist()
+    intr_l = ext["intrinsic"][src].tolist()
+    to_l = ext["tag_off"][src].tolist()
+    te_l = ext["tag_end"][src].tolist()
+    tags_buf = ext["tags"]
+    cig_cnt = out["cigar_cnt"].tolist()
+    cig_bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(out["cigar_cnt"], out=cig_bounds[1:])
+    cig_bounds = cig_bounds.tolist()
+    ops_chars = out["cigar_ops"].tobytes().decode("ascii")
+    lens_l = out["cigar_lens"].tolist()
+    q_bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(out["khi"].astype(np.int64) - out["klo"], out=q_bounds[1:])
+    q_bounds = q_bounds.tolist()
+
+    from lorikeet_tpu.io.bam import _LazyTags
+    new = BamRecord.__new__
+    recs = []
+    for t in range(n):
+        rec = new(BamRecord)
+        d = rec.__dict__
+        d["name"] = names[no_l[t]:no_l[t] + nl_l[t]].decode()
+        d["flag"] = flag_l[t]
+        d["tid"] = tid
+        d["pos"] = pos_l[t]
+        d["mapq"] = mapq_l[t]
+        c0, c1 = cig_bounds[t], cig_bounds[t + 1]
+        d["cigar"] = list(zip(ops_chars[c0:c1], lens_l[c0:c1]))
+        d["seq"] = seq_buf[seq_lo[t]:seq_hi[t]]
+        d["qual"] = qual_out[q_bounds[t]:q_bounds[t + 1]]
+        d["mate_tid"] = mtid_l[t]
+        d["mate_pos"] = mpos_l[t]
+        d["tlen"] = tlen_l[t]
+        d["tags"] = _LazyTags(tags_buf, to_l[t], te_l[t])
+        d["sample_index"] = sample_index
+        d["intrinsic"] = intr_l[t]
+        d["_reference_end"] = rend_l[t]
+        recs.append(rec)
+    return recs
+
+
 def finalize_region_reads(reads_by_sample: dict, padded_start: int,
                           padded_end: int, min_base_quality: int = 10,
                           dont_use_soft_clipped_bases: bool = False,

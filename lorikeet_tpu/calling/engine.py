@@ -645,24 +645,31 @@ class HaplotypeCallerEngine:
     def prepare_region(
         self, ref_window, window_start, active_start, active_end,
         reads_by_sample, tid=0, given_alleles=None, activity_density=0.0,
+        finalized=False,
     ):
         """Host phases up to the pair-HMM: finalize reads, assemble, event
         maps, trim.  Returns a RegionWork or None when nothing to call.
         ``given_alleles`` are feature-VCF contexts overlapping the window;
         their alleles are force-injected as haplotypes
-        (assembly_based_caller_utils.rs:376-556)."""
+        (assembly_based_caller_utils.rs:376-556).  With ``finalized`` the
+        caller already ran the finalize_regions pipeline (the chunk driver
+        uses the native columnar finalizer, clipping.py
+        finalize_region_reads_columnar)."""
         if not any(reads_by_sample.values()):
             return None
-        # finalize reads: soft-clip handling, tail/adaptor/region clipping,
-        # overlapping mate-pair qual correction (finalize_regions,
-        # assembly_based_caller_utils.rs:97)
-        from lorikeet_tpu.calling.clipping import finalize_region_reads
-        reads_by_sample = finalize_region_reads(
-            reads_by_sample, window_start,
-            window_start + len(ref_window) - 1,
-            min_base_quality=self.cfg.min_base_quality,
-            dont_use_soft_clipped_bases=self.cfg.dont_use_soft_clipped_bases,
-            soft_clip_low_quality_ends=self.cfg.soft_clip_low_quality_ends)
+        if not finalized:
+            # finalize reads: soft-clip handling, tail/adaptor/region
+            # clipping, overlapping mate-pair qual correction
+            # (finalize_regions, assembly_based_caller_utils.rs:97)
+            from lorikeet_tpu.calling.clipping import finalize_region_reads
+            reads_by_sample = finalize_region_reads(
+                reads_by_sample, window_start,
+                window_start + len(ref_window) - 1,
+                min_base_quality=self.cfg.min_base_quality,
+                dont_use_soft_clipped_bases=
+                self.cfg.dont_use_soft_clipped_bases,
+                soft_clip_low_quality_ends=
+                self.cfg.soft_clip_low_quality_ends)
         # second mapq gate before assembly/genotyping
         # (haplotype_caller_engine.rs:1272 filter_non_passing_reads)
         mq_gate = self.cfg.mapping_quality_threshold_for_genotyping

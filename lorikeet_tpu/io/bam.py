@@ -443,6 +443,34 @@ class BamReader:
             cache[tid] = c
         return c
 
+    def columnar_ext(self, tid: int):
+        """Extra sorted-order columns for the native region finalizer
+        (flag/mate/tlen/name/tag offsets) — cached inside the columnar dict
+        so streaming windows invalidate both together; None when not
+        native-decoded."""
+        c = self.columnar(tid)
+        if c is None:
+            return None
+        ext = c.get("ext")
+        if ext is None:
+            cols = self._raw_cols
+            fi = self._fi_by_tid[tid]
+            no, to = cols["name_off"], cols["tag_off"]
+            ext = dict(
+                flag=np.ascontiguousarray(cols["flag"][fi], np.int32),
+                mapq=cols["mapq"][fi],
+                mate_tid=cols["mate_tid"][fi],
+                mate_pos=cols["mate_pos"][fi].astype(np.int64),
+                tlen=cols["tlen"][fi].astype(np.int64),
+                intrinsic=cols["intrinsic"][fi],
+                name_off=no[fi].astype(np.int64),
+                name_len=(no[fi + 1] - no[fi]).astype(np.int32),
+                tag_off=to[fi].astype(np.int64),
+                tag_end=to[fi + 1].astype(np.int64),
+                names=cols["names"], tags=cols["tags"])
+            c["ext"] = ext
+        return ext
+
     def fetch_indices(self, tid: int, start: int = None, end: int = None,
                       mask=None) -> np.ndarray:
         """Sorted-order indices of records overlapping [start, end) on tid

@@ -36,6 +36,15 @@ def _load():
             _i64p, _i32p, _i32p, _i32p, _u8p, _i32p, _i32p,
             ctypes.c_int64, _i64p]
         lib.graph_build2.restype = ctypes.c_int
+        lib.graph_build3.argtypes = [
+            _u8p, _i64p, _i32p, _u8p, _i32p, ctypes.c_int64, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+            _i64p, _i32p, _i32p, _i32p, _u8p, _i32p, _i32p,
+            ctypes.c_int64, _i64p,
+            _u8p, _i64p, _i32p, _i32p, _i32p, _u8p,
+            ctypes.c_int64, _i64p]
+        lib.graph_build3.restype = ctypes.c_int
         _lib = lib
     except Exception:  # noqa: BLE001 — no toolchain: fall back to Python
         _failed = True
@@ -104,6 +113,79 @@ def pack_pending(pending: list):
     buf = np.frombuffer(seq_buf, np.uint8)
     cap = int(seq_off[-1]) + 1          # >= total kmer positions for any k
     return (seq_buf, buf, seq_off, counts, is_ref, sample_ids, cap)
+
+
+def build_graph_native3(pending: list, k: int, num_pruning_samples: int,
+                        prune_factor: int,
+                        start_only_at_existing: bool = True,
+                        prepacked=None, allow_zip: bool = True,
+                        recovery_on: bool = True):
+    """graph_build3: graph_build2 plus the speculative in-C++ seq-graph zip
+    (reachability filter + chain collapse) when dangling-end recovery
+    cannot apply.  Returns None when native is unavailable, otherwise a
+    dict with:
+      gates:     (has_cycle, n_nonuniq, n_map, nr)
+      zip:       (bounds i64[nsv+1], seq bytes, (u, v, mult, is_ref))
+                 or None when the kmer graph was handed over instead
+      kmer:      graph_build2-shaped tuple or None (present iff zip None)
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    if prepacked is None:
+        prepacked = pack_pending(pending)
+    seq_buf, buf, seq_off, counts, is_ref, sample_ids, cap = prepacked
+    n = len(seq_off) - 1
+
+    v_off = np.empty(cap, np.int64)
+    e_u = np.empty(cap, np.int32)
+    e_v = np.empty(cap, np.int32)
+    e_mult = np.empty(cap, np.int32)
+    e_ref = np.empty(cap, np.uint8)
+    e_pm = np.empty(cap, np.int32)
+    ref_path = np.empty(cap, np.int32)
+    out_counts = np.zeros(7, np.int64)
+    cap_z = cap + 64 * k
+    zseq = np.empty(cap_z, np.uint8)
+    zv_bounds = np.empty(cap_z, np.int64)
+    ze_u = np.empty(cap_z, np.int32)
+    ze_v = np.empty(cap_z, np.int32)
+    ze_mult = np.empty(cap_z, np.int32)
+    ze_ref = np.empty(cap_z, np.uint8)
+    zcounts = np.zeros(3, np.int64)
+
+    rc = lib.graph_build3(
+        buf.ctypes.data_as(_u8p), seq_off.ctypes.data_as(_i64p),
+        counts.ctypes.data_as(_i32p), is_ref.ctypes.data_as(_u8p),
+        sample_ids.ctypes.data_as(_i32p), n, k,
+        num_pruning_samples, prune_factor,
+        1 if start_only_at_existing else 0,
+        1 if allow_zip else 0, 1 if recovery_on else 0,
+        v_off.ctypes.data_as(_i64p), e_u.ctypes.data_as(_i32p),
+        e_v.ctypes.data_as(_i32p), e_mult.ctypes.data_as(_i32p),
+        e_ref.ctypes.data_as(_u8p), e_pm.ctypes.data_as(_i32p),
+        ref_path.ctypes.data_as(_i32p),
+        cap, out_counts.ctypes.data_as(_i64p),
+        zseq.ctypes.data_as(_u8p), zv_bounds.ctypes.data_as(_i64p),
+        ze_u.ctypes.data_as(_i32p), ze_v.ctypes.data_as(_i32p),
+        ze_mult.ctypes.data_as(_i32p), ze_ref.ctypes.data_as(_u8p),
+        cap_z, zcounts.ctypes.data_as(_i64p))
+    if rc != 0:
+        return None
+    nv, ne, nr, cyc, n_nonuniq, n_map, zip_done = \
+        (int(x) for x in out_counts)
+    out = dict(gates=(bool(cyc), n_nonuniq, n_map, nr), zip=None, kmer=None)
+    if zip_done:
+        nsv, nse, so = (int(x) for x in zcounts)
+        out["zip"] = (zv_bounds[:nsv + 1], zseq[:so].tobytes(),
+                      (ze_u[:nse], ze_v[:nse], ze_mult[:nse], ze_ref[:nse]))
+        return out
+    vertices = [seq_buf[o:o + k] for o in v_off[:nv].tolist()]
+    last_bytes = buf[v_off[:nv] + (k - 1)].tobytes() if nv else b""
+    out["kmer"] = (vertices,
+                   (e_u[:ne], e_v[:ne], e_mult[:ne], e_ref[:ne], e_pm[:ne]),
+                   ref_path[:nr], bool(cyc), (n_nonuniq, n_map), last_bytes)
+    return out
 
 
 def build_graph_native2(pending: list, k: int, num_pruning_samples: int,

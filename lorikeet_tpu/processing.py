@@ -462,6 +462,9 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
     # ---- prepare each active region (host), then run ONE batched pair-HMM
     # dispatch for the whole span (regions are owned by the chunk their
     # active span STARTS in, so halo overlaps never double-call) ----
+    from lorikeet_tpu.calling.clipping import (
+        finalize_region_reads, finalize_region_reads_columnar,
+    )
     from lorikeet_tpu.calling.engine import call_regions_batched
     # vectorized read-span index per sample: one (pos, reference_end) array
     # pair instead of O(reads x regions) per-record property calls
@@ -497,12 +500,36 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
             sel = sel[:cfg.max_input_depth]
             kind = sample_reads[s]
             if kind[0] == "lazy":
+                # native columnar finalize: records_at + the whole clipping
+                # chain fused into one C++ call — each kept read
+                # materializes once, already clipped/qual-adjusted
                 _, b, t, idx = kind
-                reads_by_sample[s] = b.records_at(t, idx[sel],
-                                                  sample_index=s)
+                fin = finalize_region_reads_columnar(
+                    b, t, idx[sel], s, pad_start, pad_end,
+                    min_base_quality=cfg.min_base_quality,
+                    dont_use_soft_clipped_bases=
+                    cfg.dont_use_soft_clipped_bases,
+                    soft_clip_low_quality_ends=
+                    cfg.soft_clip_low_quality_ends)
+                if fin is None:           # no native toolchain
+                    fin = finalize_region_reads(
+                        {s: b.records_at(t, idx[sel], sample_index=s)},
+                        pad_start, pad_end,
+                        min_base_quality=cfg.min_base_quality,
+                        dont_use_soft_clipped_bases=
+                        cfg.dont_use_soft_clipped_bases,
+                        soft_clip_low_quality_ends=
+                        cfg.soft_clip_low_quality_ends)[s]
+                reads_by_sample[s] = fin
             else:
                 rs = kind[1]
-                reads_by_sample[s] = [rs[i] for i in sel.tolist()]
+                reads_by_sample[s] = finalize_region_reads(
+                    {s: [rs[i] for i in sel.tolist()]}, pad_start, pad_end,
+                    min_base_quality=cfg.min_base_quality,
+                    dont_use_soft_clipped_bases=
+                    cfg.dont_use_soft_clipped_bases,
+                    soft_clip_low_quality_ends=
+                    cfg.soft_clip_low_quality_ends)[s]
         given_here = [vc for vc in given_span
                       if vc.start <= pad_end and vc.end >= pad_start]
         # fraction of active-span positions meaningfully active, keys the
@@ -514,7 +541,8 @@ def _call_span(fasta, bams, contig_name, cfg, engine, lo, hi,
                                      active_end, reads_by_sample,
                                      tid=result.tid,
                                      given_alleles=given_here,
-                                     activity_density=density)
+                                     activity_density=density,
+                                     finalized=True)
         if work is not None:
             works.append(work)
     _mark("region_prep")

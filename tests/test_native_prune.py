@@ -52,7 +52,7 @@ def _graphs(ref, seqs, k, nps, prune_factor, force_python):
     if force_python:
         import lorikeet_tpu.assembly.graph as G
         from unittest import mock
-        with mock.patch.object(graph_native, "build_graph_native2",
+        with mock.patch.object(graph_native, "build_graph_native3",
                                lambda *a, **k2: None):
             g.build()
         assert g.cycle_checked is None  # proves the python path ran

@@ -43,7 +43,7 @@ def test_simple_haplotype_rethreading(force_python):
     g.add_sequence(reference, 1, True, "ref")
     g.add_sequence(alternate, 1, False, "alt")
     if force_python:
-        with mock.patch.object(graph_native, "build_graph_native2",
+        with mock.patch.object(graph_native, "build_graph_native3",
                                lambda *a, **k: None):
             g.build()
     else:
@@ -58,7 +58,7 @@ def test_non_unique_middle():
     g.add_sequence(b"GACACACAGTCA", 1, True, "ref")
     g.add_sequence(b"GACACGTCA", 1, False, "r1")
     g.add_sequence(b"CACGTCA", 1, False, "r2")
-    with mock.patch.object(graph_native, "build_graph_native2",
+    with mock.patch.object(graph_native, "build_graph_native3",
                            lambda *a, **k: None):
         g.build()
     assert g.non_unique == {b"ACA", b"CAC"}
@@ -76,7 +76,7 @@ def test_cycles_in_graph(force_python):
         for r in reads:
             g.add_read(r, min_base_quality=10)
         if force_python:
-            with mock.patch.object(graph_native, "build_graph_native2",
+            with mock.patch.object(graph_native, "build_graph_native3",
                                    lambda *a, **kk: None):
                 g.build()
         else:
