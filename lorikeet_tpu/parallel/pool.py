@@ -1,0 +1,364 @@
+"""Persistent span-worker pool + parent-side device service.
+
+The reference scales one genome over cores with rayon
+(/root/reference/src/assembly/assembly_region_walker.rs:139-141 region
+fan-out under the global pool of src/bin/lorikeet.rs:29-32).  The TPU-native
+equivalent here:
+
+- N long-lived worker PROCESSES (spawned once, reused across chunks,
+  contigs and genomes — fork/jax startup is ~4 s per worker and killed the
+  4-process scaling row in round 3) run the CPU side of each chunk span:
+  BAM decode, activity profile, assembly, genotyping.
+- The PARENT process owns the accelerator.  Each worker holds an RPC pipe;
+  when its cost model picks the device, a pair-HMM batch is shipped to the
+  parent, dispatched through the grouped Pallas path, and the result
+  returned.  A bounded in-flight queue overlaps worker-N's device batch
+  with worker-M's host prep (the async span pipeline the round-3 roofline
+  asked for).
+- With no accelerator the same pool is a persistent chunk-process map
+  (the reference's rayon chunk loop, amortized startup).
+"""
+from __future__ import annotations
+
+import atexit
+import os
+import threading
+import traceback
+
+import numpy as np
+
+_POOL = None          # singleton (keyed); see get_pool
+
+
+def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
+    """Worker process entry: CPU-only jax, persistent readers/engine, span
+    loop.  With ``rpc_conn`` the likelihood layer may ship batches to the
+    parent's device service.  Readers are cached per (fasta, bams) input
+    set so one pool serves many genomes (--parallel-genomes, multi-genome
+    dirs) without re-decoding."""
+    # FORCE cpu: workers must never contend for the parent's chip
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    from lorikeet_tpu.calling import likelihoods as L
+    from lorikeet_tpu.calling.engine import HaplotypeCallerEngine
+    from lorikeet_tpu.io.bam import open_bam
+    from lorikeet_tpu.io.fasta import FastaReader
+    from lorikeet_tpu.processing import _call_span
+
+    import queue as _q
+    import time as _time
+
+    from lorikeet_tpu.calling.engine import call_regions_batched
+
+    readers = {}                           # (fasta, bams) -> state, max 2
+    engine = HaplotypeCallerEngine(cfg)
+
+    def _readers_for(fasta_path, bam_paths):
+        key = (fasta_path, tuple(bam_paths))
+        state = readers.get(key)
+        if state is None:
+            if len(readers) >= 2:          # bound decoded-BAM memory
+                readers.pop(next(iter(readers)))
+            state = (FastaReader(fasta_path),
+                     [open_bam(p, high_memory=getattr(cfg, "high_memory",
+                                                      False))
+                      for p in bam_paths])
+            readers[key] = state
+        return state
+
+    def _local_lks(works):
+        pairs = [p for w in works for p in w.pairs]
+        return L.compute_pair_likelihoods(pairs, use_pallas=False)
+
+    def _genotype_and_put(tid, res, works, lks):
+        for calls in call_regions_batched(engine, works, lks) if works \
+                else []:
+            res.calls.extend(calls)
+        result_q.put((tid, "ok", res))
+
+    # ---- async span pipeline (device service present) --------------------
+    # send span-N's pair batch to the parent's chip, prep span-N+1 while it
+    # computes, then genotype N on the reply.  One outstanding RPC per
+    # worker; profitability is learned from the WAIT time at recv (a ~0
+    # wait means the device overlapped for free), so a saturated service
+    # pushes batches back to the local host kernel automatically.
+    pending = None                         # (tid, res, works, t_sent)
+
+    def _finish(p):
+        tid2, res2, works2, t_send = p
+        try:
+            t0 = _time.perf_counter()
+            kind, payload = rpc_conn.recv()
+            waited = _time.perf_counter() - t0
+            if kind == "ok":
+                pairs = [pp for w in works2 for pp in w.pairs]
+                _, bytes_est, _ = L._batch_cost_inputs(pairs)
+                # overlap-aware rate: the worker's real cost is the
+                # serialize+send CPU plus the time it ends up blocked on
+                # the reply — a fully overlapped batch costs only the send
+                L._update_perf("rem_bps", bytes_est,
+                               t_send + max(waited, 1e-4)
+                               + L._PERF["rem_lat"])
+                L.DISPATCH_COUNTS["remote"] += 1
+                lks = payload
+            elif kind == "local":
+                lks = _local_lks(works2)
+            else:
+                raise RuntimeError(f"device service failed: {payload}")
+            _genotype_and_put(tid2, res2, works2, lks)
+        except Exception:  # noqa: BLE001 — surface to the parent
+            result_q.put((tid2, "error", traceback.format_exc()))
+
+    while True:
+        if pending is not None:
+            try:
+                task = task_q.get_nowait()
+            except _q.Empty:
+                _finish(pending)
+                pending = None
+                continue
+        else:
+            task = task_q.get()
+        if task is None:
+            if pending is not None:
+                _finish(pending)
+                pending = None
+            break
+        tid, fasta_path, bam_paths, contig, sp = task
+        try:
+            fasta, bams = _readers_for(fasta_path, bam_paths)
+            if rpc_conn is None:
+                res = _call_span(fasta, bams, contig, cfg, engine, *sp)
+                result_q.put((tid, "ok", res))
+                continue
+            res, works = _call_span(fasta, bams, contig, cfg, engine, *sp,
+                                    defer=True)
+            pairs = [p for w in works for p in w.pairs]
+            if pairs and L._route_remote(pairs):
+                t0 = _time.perf_counter()
+                rpc_conn.send(("lk", pairs))
+                t_send = _time.perf_counter() - t0
+                if pending is not None:
+                    _finish(pending)
+                pending = (tid, res, works, t_send)
+            else:
+                if pending is not None:
+                    _finish(pending)
+                    pending = None
+                _genotype_and_put(tid, res, works,
+                                  _local_lks(works) if pairs else None)
+        except Exception:  # noqa: BLE001 — surface to the parent
+            result_q.put((tid, "error", traceback.format_exc()))
+            pending = None
+    if rpc_conn is not None:
+        rpc_conn.send(("bye", None))
+
+
+class SpanWorkerPool:
+    """Persistent worker pool over chunk spans; see module docstring."""
+
+    def __init__(self, cfg, n_workers: int, device_service: bool):
+        import multiprocessing as mp
+        ctx = mp.get_context("spawn")
+        self.key = None                      # set by get_pool
+        self.n_workers = n_workers
+        self.task_q = ctx.Queue()
+        self.result_q = ctx.Queue()
+        self._next_id = 0
+        self._results = {}
+        self._lock = threading.Lock()
+        self._service_stop = threading.Event()
+        self._service_thread = None
+        self._conns = []
+        self.workers = []
+        child_conns = []
+        for w in range(n_workers):
+            if device_service:
+                parent_c, child_c = ctx.Pipe()
+                self._conns.append(parent_c)
+            else:
+                child_c = None
+            child_conns.append(child_c)
+            p = ctx.Process(
+                target=_worker_main,
+                args=(w, cfg, self.task_q, self.result_q, child_c),
+                daemon=True)
+            p.start()
+            self.workers.append(p)
+        # pipe fds are inherited by the spawned child via pickling; the
+        # parent closes its copy of the child end
+        for c in child_conns:
+            if c is not None:
+                c.close()
+        if device_service and self._conns:
+            self._service_thread = threading.Thread(
+                target=self._serve_device, daemon=True)
+            self._service_thread.start()
+
+    # ---- parent-side device service ---------------------------------------
+    def _serve_device(self):
+        """Serve pair-HMM batches from workers on the parent's accelerator
+        (or parent host kernel — compute_pair_likelihoods routes).  A
+        2-deep in-flight queue defers the D2H readback of batch N until
+        batch N+1 has been dispatched, overlapping transfer/compute across
+        workers."""
+        from multiprocessing.connection import wait as conn_wait
+
+        from lorikeet_tpu.calling import likelihoods as L
+        from lorikeet_tpu.ops.pairhmm import pairhmm_forward_checked
+
+        # outstanding device batches: 1 by default — two enqueued Mosaic
+        # executions without an intervening readback crashed the tunneled
+        # agent ("TPU worker process crashed", observed round 4); raise
+        # LORIKEET_SERVICE_INFLIGHT on robust (PCIe) hosts for
+        # transfer/compute overlap between batches
+        max_inflight = max(1, int(os.environ.get(
+            "LORIKEET_SERVICE_INFLIGHT", "1")))
+        inflight = []                      # [(conn, pairs, raw)]
+        device_dead = [False]
+
+        def finish(item):
+            conn, pairs, raw = item
+            try:
+                lks = pairhmm_forward_checked(np.asarray(raw), pairs)
+                conn.send(("ok", lks))
+            except Exception:  # noqa: BLE001 — device died mid-batch: the
+                # worker recomputes locally; correctness never depends on
+                # the service
+                device_dead[0] = True
+                try:
+                    conn.send(("local", None))
+                except OSError:
+                    pass
+
+        live = list(self._conns)
+        while not self._service_stop.is_set() and live:
+            # with work in flight, only drain IMMEDIATELY-pending requests
+            # before reading results back — a lone worker must not eat a
+            # poll-interval latency per span
+            ready = conn_wait(live, timeout=0.0 if inflight else 0.2)
+            if not ready:
+                while inflight:
+                    finish(inflight.pop(0))
+                continue
+            for conn in ready:
+                try:
+                    kind, payload = conn.recv()
+                except (EOFError, OSError):
+                    live.remove(conn)
+                    continue
+                if kind == "bye":
+                    live.remove(conn)
+                    continue
+                pairs = payload
+                try:
+                    # the service exists to put the CHIP to work; the
+                    # worker already owns the local-host alternative.
+                    # Computing on the parent's host kernel here would
+                    # steal a core from the workers (measured: hybrid -t 4
+                    # slower than host -t 4), so a cold bucket or a
+                    # host-routed verdict bounces the batch back instead.
+                    bucket = L._pallas_bucket(pairs)
+                    # no dispatches while a Mosaic compile is in flight:
+                    # concurrent compile+execute RPCs destabilize the
+                    # tunneled agent (round-3 finding for compiles; a
+                    # round-4 agent crash under the service points the
+                    # same way)
+                    compiling = bool(L._prewarm_queue or L._prewarm_threads)
+                    if device_dead[0] or compiling or L._ROUTE_MODE == "host" \
+                            or bucket not in L._PALLAS_WARM_BUCKETS:
+                        if not device_dead[0] \
+                                and bucket not in L._PALLAS_WARM_BUCKETS:
+                            L.prewarm_pallas_buckets([bucket])
+                        conn.send(("local", None))
+                    else:
+                        from lorikeet_tpu.ops.pairhmm_pallas import (
+                            pairhmm_forward_grouped,
+                        )
+                        L.DISPATCH_COUNTS["device"] += 1
+                        raw = pairhmm_forward_grouped(pairs)   # async enqueue
+                        inflight.append((conn, pairs, raw))
+                except Exception:  # noqa: BLE001 — dispatch failed: local
+                    device_dead[0] = True
+                    try:
+                        conn.send(("local", None))
+                    except OSError:
+                        pass
+                while len(inflight) > max_inflight - 1:
+                    finish(inflight.pop(0))
+        while inflight:
+            finish(inflight.pop(0))
+
+    # ---- task API ---------------------------------------------------------
+    def submit(self, contig: str, span, fasta_path: str = None,
+               bam_paths: list = None) -> int:
+        with self._lock:
+            tid = self._next_id
+            self._next_id += 1
+        self.task_q.put((tid, fasta_path or self.default_fasta,
+                         bam_paths or self.default_bams, contig, span))
+        return tid
+
+    def gather(self, task_ids: list) -> list:
+        """Results for ``task_ids`` in that order (blocks)."""
+        want = set(task_ids)
+        while want - self._results.keys():
+            try:
+                tid, status, payload = self.result_q.get(timeout=5.0)
+            except Exception:  # noqa: BLE001 — queue.Empty: liveness check
+                dead = [w for w in self.workers if not w.is_alive()]
+                if dead and self.task_q.qsize() >= 0:
+                    raise RuntimeError(
+                        f"{len(dead)} span worker(s) died; "
+                        "resubmit or reduce --threads") from None
+                continue
+            if status == "error":
+                raise RuntimeError(f"span worker failed:\n{payload}")
+            self._results[tid] = payload
+        return [self._results.pop(t) for t in task_ids]
+
+    def close(self):
+        self._service_stop.set()
+        for _ in self.workers:
+            try:
+                self.task_q.put(None)
+            except Exception:  # noqa: BLE001
+                pass
+        for w in self.workers:
+            w.join(timeout=10)
+            if w.is_alive():
+                w.terminate()
+        if self._service_thread is not None:
+            self._service_thread.join(timeout=5)
+
+
+def get_pool(fasta_path: str, bam_paths: list, cfg, n_workers: int,
+             device_service: bool):
+    """Singleton accessor: reuse the live pool when (cfg, size, service)
+    match — the pool serves any (fasta, bams) input set, so it survives
+    across contigs AND genomes.  Worker startup costs ~4 s each; keeping
+    them alive is what fixes the 4-process scaling row."""
+    global _POOL
+    from lorikeet_tpu.processing import _cfg_fingerprint
+    key = (_cfg_fingerprint(cfg), n_workers, device_service)
+    if _POOL is not None and _POOL.key == key \
+            and all(w.is_alive() for w in _POOL.workers):
+        _POOL.default_fasta = fasta_path
+        _POOL.default_bams = list(bam_paths)
+        return _POOL
+    if _POOL is not None:
+        _POOL.close()
+    _POOL = SpanWorkerPool(cfg, n_workers, device_service)
+    _POOL.key = key
+    _POOL.default_fasta = fasta_path
+    _POOL.default_bams = list(bam_paths)
+    return _POOL
+
+
+def shutdown_pool():
+    global _POOL
+    if _POOL is not None:
+        _POOL.close()
+        _POOL = None
+
+
+atexit.register(shutdown_pool)

@@ -140,6 +140,7 @@ def call_contig(
     limit=None,                 # optional (start, end) restriction
     chunk_threads: int = 1,
     chunk_processes: int = 1,
+    pool=None,                  # parallel.pool.SpanWorkerPool
 ) -> ContigResult:
     """Chunked contig driver: large contigs are processed in outer chunks
     of ~250kb/samples with a halo (haplotype_caller_engine.rs:417,443-470
@@ -159,10 +160,18 @@ def call_contig(
         # (same empty shape as the min-contig-size skip)
         return ContigResult(tid=0)
     chunk_size = _chunk_size(n_samples, cfg)
-    if hi - lo <= chunk_size:
+    if hi - lo <= chunk_size and pool is None:
         return _call_span(fasta, bams, contig_name, cfg, engine, lo, hi)
-    spans = _contig_spans(lo, hi, chunk_size, cfg)
-    if chunk_processes > 1 and len(spans) > 1:
+    spans = ([(lo, hi, lo, hi)] if hi - lo <= chunk_size
+             else _contig_spans(lo, hi, chunk_size, cfg))
+    if pool is not None:
+        # persistent span-worker pool (parallel.pool): spans fan out over
+        # long-lived CPU workers; with a device service the parent's chip
+        # serves every worker's pair-HMM batches
+        ids = [pool.submit(contig_name, sp, fasta.path,
+                           [b.path for b in bams]) for sp in spans]
+        parts = pool.gather(ids)
+    elif chunk_processes > 1 and len(spans) > 1:
         # one PROCESS per chunk wave (rayon-chunk analogue with real
         # multi-core scaling; each worker decodes the BAMs once and caches
         # them across its chunks)
@@ -216,6 +225,11 @@ def call_contig(
                 pending = (result, works, fut)
             if pending is not None:
                 _finish(pending)
+    return _merge_parts(parts, n_samples)
+
+
+def _merge_parts(parts: list, n_samples: int) -> ContigResult:
+    """Concatenate per-span ContigResults in traversal order."""
     result = None
     for part in parts:
         if result is None:
@@ -684,22 +698,30 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
         return result
 
     streaming = any(getattr(b, "is_streaming", False) for b in bams)
+    requested = getattr(cfg, "threads", 1) or 1
+    inner = int(os.environ.get("LORIKEET_CHUNK_THREADS", "1"))
+    if requested > 1 and inner <= 1 \
+            and __import__("multiprocessing").current_process().name \
+            == "MainProcess" \
+            and os.environ.get("LORIKEET_SPAN_POOL", "1") != "0":
+        # persistent span-worker pool: -t workers survive across contigs
+        # AND genomes (startup ~4 s each — the round-3 4-process scaling
+        # collapse), all contigs' chunk spans fan out together, and when
+        # the parent owns an accelerator its device service handles the
+        # workers' pair-HMM batches (the rayon region fan-out of
+        # assembly_region_walker.rs:139-141, with the chip as a shared
+        # service instead of a contended resource)
+        from lorikeet_tpu.parallel.pool import get_pool
+        pool = get_pool(spec.fasta, [b.path for b in bams], cfg, requested,
+                        device_service=not _cpu_only_backend(cfg))
+        return _call_contigs_pooled(spec, fasta, bams, cfg, limit,
+                                    checkpoint_dir, cfg_fp, min_size, pool)
     if n_workers <= 1 or len(spec.contigs) <= 1:
         # chunk-level threading exists (call_contig chunk_threads) but the
         # chunk hot path is GIL-bound Python — measured SLOWER threaded
         # (29s vs 16s on a 400kb contig), so threads stay off by default
         # (opt in via LORIKEET_CHUNK_THREADS for native-dominated loads).
-        # On the CPU-only path, -t spreads the chunks over worker
-        # PROCESSES instead — real multi-core scaling for the
-        # one-big-contig case (the reference's inner rayon chunk loop).
-        inner = int(os.environ.get("LORIKEET_CHUNK_THREADS", "1"))
-        procs = 1
-        requested = getattr(cfg, "threads", 1) or 1
-        if requested > 1 and inner <= 1 and _cpu_only_backend(cfg) \
-                and __import__("multiprocessing").current_process().name \
-                == "MainProcess":
-            procs = requested
-        return [_one(fasta, c, chunk_threads=inner, chunk_processes=procs)
+        return [_one(fasta, c, chunk_threads=inner)
                 for c in spec.contigs]
     if not streaming:
         for b in bams:
@@ -724,6 +746,56 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(n_workers) as ex:
         return list(ex.map(work, spec.contigs))
+
+
+def _call_contigs_pooled(spec, fasta, bams, cfg, limit, checkpoint_dir,
+                         cfg_fp, min_size, pool) -> list:
+    """All contigs' chunk spans submitted to the persistent pool up front,
+    gathered + checkpointed per contig afterwards (keeps every worker busy
+    across contig boundaries)."""
+    import pickle
+    n_samples = len(bams)
+    chunk_size = _chunk_size(n_samples, cfg)
+    results = [None] * len(spec.contigs)
+    pending = []                      # (contig_idx, ck_path, task_ids)
+    for i, contig in enumerate(spec.contigs):
+        if min_size and fasta.length(contig) < min_size:
+            results[i] = ContigResult(tid=0)
+            continue
+        ck_path = None
+        if checkpoint_dir is not None and limit is None:
+            ck_path = os.path.join(
+                checkpoint_dir,
+                _chunk_key(contig, bams, cfg_fp, spec.fasta) + ".pkl")
+            if os.path.exists(ck_path):
+                try:
+                    with open(ck_path, "rb") as fh:
+                        results[i] = pickle.load(fh)
+                    continue
+                except Exception:  # noqa: BLE001 — corrupt: recompute
+                    pass
+        length = fasta.length(contig)
+        lo, hi = (0, length) if limit is None else (max(0, limit[0]),
+                                                    min(length, limit[1]))
+        if hi <= lo:
+            results[i] = ContigResult(tid=0)
+            continue
+        spans = ([(lo, hi, lo, hi)] if hi - lo <= chunk_size
+                 else _contig_spans(lo, hi, chunk_size, cfg))
+        pending.append((i, ck_path,
+                        [pool.submit(contig, sp, spec.fasta,
+                                     [b.path for b in bams])
+                         for sp in spans]))
+    for i, ck_path, ids in pending:
+        result = _merge_parts(pool.gather(ids), n_samples)
+        if ck_path is not None:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            tmp = ck_path + ".tmp"
+            with open(tmp, "wb") as fh:
+                pickle.dump(result, fh)
+            os.replace(tmp, ck_path)
+        results[i] = result
+    return results
 
 
 def run_genome(spec: GenomeSpec, bams: list, genome_dir: str,
