@@ -226,17 +226,23 @@ def _subset_to_ref_only(vc: VariantContext, default_ploidy: int) -> list:
 
 def _informative_best_alleles(mat: np.ndarray):
     """Per-read best allele index + informative flag for an [A, R] likelihood
-    matrix: the best likelihood must beat the runner-up by more than 0.2
-    log10 (allele_likelihoods.rs:17 LOG_10_INFORMATIVE_THRESHOLD,
-    search_best_allele + BestAllele::is_informative).  Shared by AD
-    (DepthPerAlleleBySample) and BQ so the informativeness rule has one
-    home."""
+    matrix (allele_likelihoods.rs search_best_allele with the
+    reference_tiebreaking_priority + BestAllele::is_informative).  Near-ties
+    (within 0.2 log10) break toward the REFERENCE allele — row 0 of every
+    event matrix — exactly as the reference's AD/BQ annotations do; an
+    overridden read's confidence is <= 0, so it also reads as
+    non-informative.  Shared by AD (DepthPerAlleleBySample) and BQ so the
+    informativeness rule has one home."""
+    from lorikeet_tpu.calling.likelihoods import (
+        LOG10_INFORMATIVE_THRESHOLD, search_best_alleles,
+    )
     if not mat.shape[1]:
         return np.zeros(0, np.int64), np.zeros(0, bool)
-    best = mat.argmax(axis=0)
+    priorities = np.zeros(mat.shape[0], np.int64)
+    priorities[0] = 1                     # reference allele leads the matrix
+    best, _, confidence = search_best_alleles(mat, priorities)
     if mat.shape[0] > 1:
-        srt = np.sort(mat, axis=0)
-        informative = (srt[-1] - srt[-2]) > 0.2
+        informative = confidence > LOG10_INFORMATIVE_THRESHOLD
     else:
         informative = np.ones(mat.shape[1], bool)
     return best, informative

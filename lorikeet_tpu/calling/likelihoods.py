@@ -422,6 +422,61 @@ class AlleleLikelihoods:
         return mat.argmax(axis=0)
 
 
+#: "ties" = best within this log10 margin of the runner-up
+#: (allele_likelihoods.rs:17 LOG_10_INFORMATIVE_THRESHOLD)
+LOG10_INFORMATIVE_THRESHOLD = 0.2
+
+
+def search_best_alleles(mat: np.ndarray, priorities=None,
+                        threshold: float = LOG10_INFORMATIVE_THRESHOLD):
+    """Per-read (best_index, likelihood, confidence) for an [A, R] matrix
+    with the reference's near-tie priority break
+    (allele_likelihoods.rs:457-553 search_best_allele + :1043
+    best_alleles_tie_breaking): the likelihood-best allele wins outright
+    unless the runner-up is within ``threshold``, in which case the
+    highest-``priorities`` allele among ALL candidates within threshold of
+    the best takes over (equal priority keeps the likelihood-best; the
+    displaced best becomes the runner-up, so an override's confidence goes
+    negative).  Reference priority (ref=1, alt=0) reproduces GATK's
+    reference-tie preference in AD/BQ; realignment uses
+    ref_term + (1 - cigar_elements) (assembly_based_caller_utils.rs:187)."""
+    n_alleles, n_reads = mat.shape
+    if n_alleles == 0 or n_reads == 0:
+        return (np.zeros(n_reads, np.int64), np.full(n_reads, -np.inf),
+                np.zeros(n_reads))
+    best = mat.argmax(axis=0)                     # first max wins
+    best_lk = mat[best, np.arange(n_reads)]
+    if n_alleles == 1:
+        # runner-up is -inf -> confidence +inf (BestAllele::new semantics)
+        return best, best_lk, np.full(n_reads, np.inf)
+    masked = mat.copy()
+    masked[best, np.arange(n_reads)] = -np.inf
+    second = masked.argmax(axis=0)
+    second_lk = masked[second, np.arange(n_reads)]
+    confidence = np.where(np.abs(best_lk - second_lk) < 2.3e-16, 0.0,
+                          best_lk - second_lk)
+    if priorities is not None:
+        pri = np.asarray(priorities)
+        for r in np.flatnonzero(best_lk - second_lk < threshold).tolist():
+            # faithful scalar replay of the reference's re-break loop
+            b, s = int(best[r]), int(second[r])
+            bp, sp = pri[b], pri[s]
+            for a in range(n_alleles):
+                if a == b or (best_lk[r] - mat[a, r]) > threshold:
+                    continue
+                if pri[a] > bp:
+                    s, b = b, a
+                    sp, bp = bp, pri[a]
+                elif pri[a] > sp:
+                    s, sp = a, pri[a]
+            best[r] = b
+            lk = mat[b, r]
+            slk = mat[s, r] if s != b else -np.inf
+            best_lk[r] = lk
+            confidence[r] = 0.0 if abs(lk - slk) < 2.3e-16 else lk - slk
+    return best, best_lk, confidence
+
+
 def build_pairs(haplotypes: list, reads_by_sample: dict,
                 pcr_rate_factor: float = 3.0,
                 gcp_value: int = DEFAULT_GCP,
@@ -463,8 +518,10 @@ _PALLAS_WARM_BUCKETS: set = set()
 _PALLAS_FAILED_BUCKETS: set = set()
 #: batches dispatched to the device vs host fallback this process (the
 #: engagement counter bench_e2e reports — a silent device bypass must be
-#: visible in the stage split, not inferred from timings)
-DISPATCH_COUNTS = {"device": 0, "host": 0}
+#: visible in the stage split, not inferred from timings).  "remote" counts
+#: batches a pool WORKER shipped to the parent's device service.
+DISPATCH_COUNTS = {"device": 0, "host": 0, "remote": 0}
+
 def _join_prewarm_threads():
     """Killing a daemon thread mid-XLA-compile at interpreter exit aborts
     the process ("FATAL: exception not rethrown"); waiting also finishes
@@ -614,7 +671,8 @@ PALLAS_INTERPRET = _os.environ.get("LORIKEET_PALLAS_INTERPRET", "") == "1"
 #: cover).  Both sides are ESTIMATED from observed executions (EWMA) and
 #: every 16th eligible batch explores the currently-losing side to keep
 #: the estimates fresh.  LORIKEET_PALLAS_ROUTE=device|host|auto overrides.
-_PERF = {"host_cps": None, "dev_bps": None, "dev_lat": 0.06, "n_batch": 0}
+_PERF = {"host_cps": None, "dev_bps": None, "dev_lat": 0.06, "n_batch": 0,
+         "rem_bps": None, "rem_lat": 0.01}
 _ROUTE_MODE = _os.environ.get("LORIKEET_PALLAS_ROUTE", "auto")
 _EXPLORE_EVERY = 16
 
@@ -632,6 +690,35 @@ def _batch_cost_inputs(pairs):
     from lorikeet_tpu.ops.pairhmm_pallas import ROWS_CAP
     n_disp = max(1, -(-len(uniq_reads) // ROWS_CAP))
     return cells, bytes_est, n_disp
+
+
+def _route_remote(pairs) -> bool:
+    """Pool-worker routing (parallel.pool._worker_main): ship this batch
+    to the parent's device service or run the local host kernel on a
+    (contended) worker core.  Same measured-EWMA + exploration scheme as
+    _route_device, but the remote rate is learned from the WAIT time the
+    worker actually spends blocked on the reply — with the async span
+    pipeline a fully-overlapped device batch costs ~0 and remote wins; a
+    saturated service shows up as long waits and pushes batches local."""
+    mode = _os.environ.get("LORIKEET_REMOTE_ROUTE", "auto")
+    if mode == "remote":
+        return True
+    if mode == "local":
+        return False
+    _PERF["n_batch"] += 1
+    cells, bytes_est, _ = _batch_cost_inputs(pairs)
+    host_cps, rem_bps = _PERF["host_cps"], _PERF["rem_bps"]
+    if host_cps is None or rem_bps is None:
+        # learn the unknown side first; remote is never catastrophic either
+        # (the parent falls back to its own host kernel), so explore it
+        # before local when both are unknown
+        return rem_bps is None
+    t_host = cells / host_cps
+    t_rem = bytes_est / rem_bps + _PERF["rem_lat"]
+    pick = t_rem < t_host
+    if _PERF["n_batch"] % _EXPLORE_EVERY == 0:
+        pick = not pick
+    return pick
 
 
 def _route_device(pairs) -> bool:

@@ -95,11 +95,14 @@ def realign_reads_to_best_haplotype(likelihoods, haplotypes,
         reads = likelihoods.reads_by_sample[s]
         if mat.shape[1] == 0:
             continue
-        # ties prefer the reference haplotype then fewer cigar elements
-        # (haplotype_alignment_tiebreaking_priority)
+        # near-ties (within 0.2 log10) prefer the reference haplotype then
+        # fewer cigar elements (haplotype_alignment_tiebreaking_priority,
+        # assembly_based_caller_utils.rs:187-195 + search_best_allele's
+        # threshold re-break, allele_likelihoods.rs:457-553)
+        from lorikeet_tpu.calling.likelihoods import search_best_alleles
         priority = np.array([(1 if h.is_ref else 0) - (len(h.cigar) - 1)
-                             for h in haplotypes], np.float64)
-        best = np.argmax(mat + priority[:, None] * 1e-9, axis=0)
+                             for h in haplotypes], np.int64)
+        best, _, _ = search_best_alleles(mat, priority)
         for i, rec in enumerate(reads):
             hap = haplotypes[int(best[i])]
             if hap.is_ref:
