@@ -25,11 +25,35 @@ import numpy as np
 
 
 def simulate_dataset(tmp, kbp: int, n_samples: int, coverage: float,
-                     seed: int = 0):
+                     seed: int = 0, cache: bool = True):
     """A single-contig genome of `kbp` kilobases with ~1 variant / 2 kb,
-    written as FASTA + one BAM per sample.  Returns (fasta, bams, truth)."""
+    written as FASTA + one BAM per sample.  Returns (fasta, bams, truth).
+
+    Generation is deterministic in (kbp, samples, coverage, seed), so the
+    artifacts are cached under /tmp — a 2 Mbp x 2 simulation costs ~250 s
+    and repeat benchmarking must not pay it per invocation."""
+    import pickle
     from lorikeet_tpu.io.bam_writer import write_bam
     from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+    if cache:
+        cdir = os.path.join(tempfile.gettempdir(), "lorikeet_ds_cache",
+                            f"k{kbp}_s{n_samples}_c{coverage}_r{seed}")
+        done = os.path.join(cdir, ".complete")
+        if os.path.exists(done):
+            with open(os.path.join(cdir, "truth.pkl"), "rb") as fh:
+                truth = pickle.load(fh)
+            return (os.path.join(cdir, "genome.fna"),
+                    [os.path.join(cdir, f"sample{s}.bam")
+                     for s in range(n_samples)], truth)
+        os.makedirs(cdir, exist_ok=True)
+        fasta_out, bams_out, truth = simulate_dataset(
+            cdir, kbp, n_samples, coverage, seed, cache=False)
+        with open(os.path.join(cdir, "truth.pkl"), "wb") as fh:
+            pickle.dump(truth, fh)
+        with open(done, "w") as fh:
+            fh.write("ok")
+        return fasta_out, bams_out, truth
 
     rng = np.random.default_rng(seed)
     L = kbp * 1000
@@ -62,17 +86,39 @@ def simulate_dataset(tmp, kbp: int, n_samples: int, coverage: float,
                                     bytes(ref[pos:pos + 1]) + ins))
         pos += int(rng.integers(1500, 2500))
 
-    bams = []
-    for s in range(n_samples):
-        recs = simulate_reads(ref, variants, coverage=coverage,
-                              seed=seed + 101 * s, allele_fraction=0.5,
-                              error_rate=0.001, sample=f"sample{s}")
-        bam = os.path.join(tmp, f"sample{s}.bam")
-        write_bam(bam, ["contig1"], [L],
-                  sorted(recs, key=lambda r: (r.tid, r.pos)),
-                  header_text=None)
-        bams.append(bam)
+    bams = [os.path.join(tmp, f"sample{s}.bam") for s in range(n_samples)]
+    if n_samples >= 4:
+        # simulation is per-sample independent — parallelize (a 10 Mbp x 8
+        # soak dataset costs >1 h serially)
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(
+                min(os.cpu_count() or 4, n_samples),
+                mp_context=mp.get_context("spawn")) as pool:
+            list(pool.map(_simulate_one_sample,
+                          [(fasta, L, variants, coverage, seed, s, bams[s])
+                           for s in range(n_samples)]))
+    else:
+        for s in range(n_samples):
+            _simulate_one_sample((fasta, L, variants, coverage, seed, s,
+                                  bams[s]))
     return fasta, bams, variants
+
+
+def _simulate_one_sample(payload):
+    fasta, L, variants, coverage, seed, s, bam = payload
+    import numpy as _np
+
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.io.fasta import FastaReader
+    from lorikeet_tpu.testkit.simulate import simulate_reads
+    ref = _np.asarray(FastaReader(fasta).fetch("contig1"), _np.uint8)
+    recs = simulate_reads(ref, variants, coverage=coverage,
+                          seed=seed + 101 * s, allele_fraction=0.5,
+                          error_rate=0.001, sample=f"sample{s}")
+    write_bam(bam, ["contig1"], [L],
+              sorted(recs, key=lambda r: (r.tid, r.pos)),
+              header_text=None)
 
 
 def run_once(fasta, bam_paths, outdir, use_pallas, threads: int = 1):

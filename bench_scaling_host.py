@@ -53,6 +53,16 @@ def main():
     ap.add_argument("--samples", type=int, default=2)
     ap.add_argument("--coverage", type=float, default=30.0)
     ap.add_argument("--procs", type=int, nargs="+", default=[1, 2, 4])
+    ap.add_argument("--mode", choices=["pool", "shards", "both"],
+                    default="pool",
+                    help="pool = the production -t path (persistent span-"
+                         "worker pool, startup amortized across chunks/"
+                         "genomes); shards = independent sharded processes "
+                         "(multi-host simulation: each pays its own "
+                         "interpreter+decode startup inside the window)")
+    ap.add_argument("--repeats", type=int, default=2,
+                    help="min-wall over N passes per row (pool mode; the "
+                         "wall-noise protocol)")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -64,29 +74,60 @@ def main():
     print(f"# simulated {args.kbp} kb x {args.samples} samples in "
           f"{time.time()-t0:.1f}s", file=sys.stderr)
 
-    env = dict(os.environ, JAX_PLATFORMS="cpu", LORIKEET_SHARD_GRACE="600")
     rows = []
-    base_wall = None
-    for n in args.procs:
-        outdir = os.path.join(tmp, f"out_n{n}")
-        t0 = time.time()
-        procs = [subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--worker",
-             str(i), str(n), tmp, outdir],
-            env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
-            for i in range(n)]
-        rcs = [p.wait() for p in procs]
-        wall = time.time() - t0
-        assert all(rc == 0 for rc in rcs), rcs
-        row = dict(metric="host_scaling_wall_s", n_processes=n,
-                   value=round(wall, 2), unit="s")
-        if base_wall is None:
-            base_wall = wall
-        else:
-            row["speedup"] = round(base_wall / wall, 3)
-            row["efficiency"] = round(base_wall / wall / n, 3)
-        rows.append(row)
-        print(json.dumps(row))
+
+    if args.mode in ("pool", "both"):
+        # the production -t path: persistent span-worker pool, one spawn
+        # per row amortized over `repeats` passes (the steady state a real
+        # run lives in after its first chunk wave)
+        from bench_e2e import run_once
+        base_wall = None
+        for n in args.procs:
+            walls = []
+            for _ in range(max(args.repeats, 1)):
+                wall, n_regions, calls, _ = run_once(
+                    fasta, bams, os.path.join(tmp, f"pool_n{n}"),
+                    use_pallas=False, threads=n)
+                walls.append(wall)
+            wall = min(walls)
+            row = dict(metric="host_scaling_wall_s", mode="pool",
+                       n_workers=n, value=round(wall, 2), unit="s",
+                       spread=round((max(walls) - min(walls)) / min(walls),
+                                    3))
+            if base_wall is None:
+                base_wall = wall
+            else:
+                row["speedup"] = round(base_wall / wall, 3)
+                row["efficiency"] = round(base_wall / wall / n, 3)
+            rows.append(row)
+            print(json.dumps(row))
+        from lorikeet_tpu.parallel.pool import shutdown_pool
+        shutdown_pool()
+
+    if args.mode in ("shards", "both"):
+        env = dict(os.environ, JAX_PLATFORMS="cpu",
+                   LORIKEET_SHARD_GRACE="600")
+        base_wall = None
+        for n in args.procs:
+            outdir = os.path.join(tmp, f"out_n{n}")
+            t0 = time.time()
+            procs = [subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--worker",
+                 str(i), str(n), tmp, outdir],
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
+                for i in range(n)]
+            rcs = [p.wait() for p in procs]
+            wall = time.time() - t0
+            assert all(rc == 0 for rc in rcs), rcs
+            row = dict(metric="host_scaling_wall_s", mode="shards",
+                       n_processes=n, value=round(wall, 2), unit="s")
+            if base_wall is None:
+                base_wall = wall
+            else:
+                row["speedup"] = round(base_wall / wall, 3)
+                row["efficiency"] = round(base_wall / wall / n, 3)
+            rows.append(row)
+            print(json.dumps(row))
 
     if args.json:
         with open(args.json, "w") as fh:

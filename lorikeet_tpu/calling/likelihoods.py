@@ -377,11 +377,36 @@ class AlleleLikelihoods:
             if not reads:
                 continue
             if dynamic:
-                static = np.array([np.ceil(len(r) * expected_error_rate)
-                                   * LOG10_QUAL_PER_BASE for r in reads])
-                dyn = np.array([dynamic_read_qual_threshold(
-                    getattr(r, "hmm_quals", r.qual),
-                    dynamic_read_qual_constant) for r in reads])
+                lens = np.fromiter((len(r) for r in reads), np.int64,
+                                   len(reads))
+                static = np.ceil(lens * expected_error_rate) \
+                    * LOG10_QUAL_PER_BASE
+                # batched dynamic threshold: one concatenated table lookup
+                # + segment sums instead of a per-read python round trip
+                # (identical to dynamic_read_qual_threshold per read)
+                qs = [np.asarray(getattr(r, "hmm_quals", r.qual))
+                      for r in reads]
+                qlens = np.fromiter((len(q) for q in qs), np.int64, len(qs))
+                offs = np.zeros(len(qs) + 1, np.int64)
+                np.cumsum(qlens, out=offs[1:])
+                if int(offs[-1]):
+                    idx = np.clip(np.concatenate(qs).astype(np.int64),
+                                  1, 40) - 1
+                    # clamp segment starts into range (a trailing empty
+                    # read would index past the buffer); empty segments
+                    # are zeroed below either way
+                    seg = np.minimum(offs[:-1], int(offs[-1]) - 1)
+                    s_mean = np.add.reduceat(_DYN_QUAL_MEAN[idx], seg)
+                    s_var = np.add.reduceat(_DYN_QUAL_VAR[idx], seg)
+                    # reduceat wraps on empty segments; zero them explicitly
+                    empty = qlens == 0
+                    s_mean[empty] = 0.0
+                    s_var[empty] = 0.0
+                else:
+                    s_mean = np.zeros(len(qs))
+                    s_var = np.zeros(len(qs))
+                dyn = (s_mean + dynamic_read_qual_constant
+                       * np.sqrt(s_var)) * -0.1
                 thresholds = np.minimum(static, dyn)
             else:
                 thresholds = np.array([

@@ -53,6 +53,29 @@ def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
         left_align_indels, read_length, read_start_on_reference_haplotype,
         trim_cigar_by_bases,
     )
+    from lorikeet_tpu.utils.cigar import read_start_on_reference_haplotype
+
+    # fast path: a pure-match read-vs-hap alignment whose haplotype span
+    # sits inside ONE match run of the hap-vs-ref cigar composes to a
+    # single M — no builders, no trim/apply, and left-alignment is a no-op
+    # (no indels to shift).  The general path below is the spec; the fuzz
+    # test pins equality.
+    if (padded_hap_cigar is not None and len(read_vs_hap_cigar) == 1
+            and read_vs_hap_cigar[0][0] == "M"):
+        n = read_vs_hap_cigar[0][1]
+        q = 0
+        for hop, hn in padded_hap_cigar:
+            if hop in "MIS=X":                 # consumes haplotype bases
+                if q <= read_offset_in_hap and \
+                        read_offset_in_hap + n <= q + hn:
+                    if hop != "M":
+                        break                   # inside an insertion: general
+                    return (hap_ref_start + read_start_on_reference_haplotype(
+                        padded_hap_cigar, read_offset_in_hap),
+                        [("M", n)])
+                q += hn
+                if q > read_offset_in_hap:
+                    break                       # span crosses run boundary
     try:
         sw_builder = CigarBuilder(remove_deletions=True)
         for op, n in read_vs_hap_cigar:

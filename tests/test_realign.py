@@ -66,3 +66,35 @@ def test_realign_moves_reads_spanning_deletion():
     new = lks.reads_by_sample[0][0]
     assert new.pos == 1070
     assert new.cigar == [("M", 30), ("D", 10), ("M", 30)]
+
+
+def test_pure_match_fast_path_equals_general():
+    """The pure-M fast path in compose_to_reference (fires only when the
+    pre-padded hap cigar is passed) must equal the general builder path
+    (which runs when padded_hap_cigar is None) over random hap cigars and
+    offsets."""
+    import numpy as np
+
+    from lorikeet_tpu.calling.realign import (
+        _padded_hap_cigar, compose_to_reference,
+    )
+
+    rng = np.random.default_rng(11)
+    ops = ["I", "D"]
+    for trial in range(200):
+        hap_cigar = [("M", int(rng.integers(5, 40)))]
+        for _ in range(int(rng.integers(0, 4))):
+            hap_cigar.append((ops[int(rng.integers(0, 2))],
+                              int(rng.integers(1, 5))))
+            hap_cigar.append(("M", int(rng.integers(5, 40))))
+        hap_len = sum(n for op, n in hap_cigar if op in "MI")
+        n = int(rng.integers(3, max(4, hap_len)))
+        if n >= hap_len:
+            n = hap_len - 1
+        offset = int(rng.integers(0, hap_len - n))
+        sw = [("M", n)]
+        padded = _padded_hap_cigar(hap_cigar)
+        fast = compose_to_reference(sw, offset, hap_cigar, 1000,
+                                    padded_hap_cigar=padded)
+        general = compose_to_reference(sw, offset, hap_cigar, 1000)
+        assert fast == general, (trial, hap_cigar, offset, n)
