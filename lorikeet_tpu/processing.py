@@ -712,7 +712,10 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
         # assembly_region_walker.rs:139-141, with the chip as a shared
         # service instead of a contended resource)
         from lorikeet_tpu.parallel.pool import get_pool
-        pool = get_pool(spec.fasta, [b.path for b in bams], cfg, requested,
+        # workers are full processes (not rayon threads): oversubscribing
+        # cores just multiplies startup + decode; clamp to the box
+        n_pool = min(requested, os.cpu_count() or requested)
+        pool = get_pool(spec.fasta, [b.path for b in bams], cfg, n_pool,
                         device_service=not _cpu_only_backend(cfg))
         return _call_contigs_pooled(spec, fasta, bams, cfg, limit,
                                     checkpoint_dir, cfg_fp, min_size, pool)

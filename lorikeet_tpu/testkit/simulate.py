@@ -82,11 +82,21 @@ def apply_variants(ref: np.ndarray, variants) -> tuple:
     return hap, [s for s in segments if s[3] > 0]
 
 
-def _cigar_for_read(segments, hstart: int, hend: int):
-    """CIGAR + reference start for hap interval [hstart, hend)."""
+def _cigar_for_read(segments, hstart: int, hend: int, seg_ends=None):
+    """CIGAR + reference start for hap interval [hstart, hend).
+
+    ``seg_ends`` (per-segment hap end, 0-length for D) lets the caller
+    bisect to the first candidate segment — a linear scan is O(#variants)
+    PER READ and made 10 Mbp simulations quadratic."""
     cigar = []
     ref_start = None
+    if seg_ends is not None:
+        import bisect
+        i0 = bisect.bisect_right(seg_ends, hstart)
+        segments = segments[i0:]
     for kind, rs, hs, ln in segments:
+        if hs >= hend:
+            break
         if kind == "D":
             # deletion sits between hap positions hs-1 and hs; include it only
             # when the read covers bases on both sides
@@ -146,13 +156,19 @@ def simulate_reads(
     """
     rng = np.random.default_rng(seed)
     hap, segments = apply_variants(ref, variants)
+    # per-segment hap-space end (D pins to its point), for the bisect in
+    # _cigar_for_read; segments are emitted in increasing hap order
+    seg_ends = [hs + (ln if kind != "D" else 0)
+                for kind, rs, hs, ln in segments]
     ref_segments = [("M", 0, 0, len(ref))]
+    ref_seg_ends = [len(ref)]
     n_frags = int(coverage * len(ref) / (2 * read_length))
     recs = []
     for k in range(n_frags):
         from_hap = rng.random() < allele_fraction
         src = hap if from_hap else ref
         segs = segments if from_hap else ref_segments
+        ends = seg_ends if from_hap else ref_seg_ends
         flen = max(2 * read_length, int(rng.normal(fragment_mean, fragment_sd)))
         fstart = int(rng.integers(0, max(1, len(src) - flen + 1)))
         r1 = (fstart, fstart + read_length)
@@ -168,7 +184,7 @@ def simulate_reads(
                 p = rng.integers(0, len(bases))
                 bases[p] = BASES[rng.integers(0, 4)]
             quals = np.full(len(bases), base_qual, np.uint8)
-            cigar, ref_start = _cigar_for_read(segs, s, e)
+            cigar, ref_start = _cigar_for_read(segs, s, e, ends)
             if ref_start is None:
                 pair = []
                 break
