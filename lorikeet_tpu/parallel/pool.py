@@ -196,11 +196,11 @@ class SpanWorkerPool:
 
     # ---- parent-side device service ---------------------------------------
     def _serve_device(self):
-        """Serve pair-HMM batches from workers on the parent's accelerator
-        (or parent host kernel — compute_pair_likelihoods routes).  A
-        2-deep in-flight queue defers the D2H readback of batch N until
-        batch N+1 has been dispatched, overlapping transfer/compute across
-        workers."""
+        """Serve pair-HMM batches from workers on the parent's accelerator.
+        The in-flight queue (depth LORIKEET_SERVICE_INFLIGHT, default 1 on
+        this fragile tunnel) defers the D2H readback of batch N until batch
+        N+1 has been dispatched; cold buckets / compile windows / device
+        failures bounce the batch back to the worker's local kernel."""
         from multiprocessing.connection import wait as conn_wait
 
         from lorikeet_tpu.calling import likelihoods as L
@@ -220,7 +220,6 @@ class SpanWorkerPool:
             conn, pairs, raw = item
             try:
                 lks = pairhmm_forward_checked(np.asarray(raw), pairs)
-                conn.send(("ok", lks))
             except Exception:  # noqa: BLE001 — device died mid-batch: the
                 # worker recomputes locally; correctness never depends on
                 # the service
@@ -229,6 +228,11 @@ class SpanWorkerPool:
                     conn.send(("local", None))
                 except OSError:
                     pass
+                return
+            try:
+                conn.send(("ok", lks))
+            except OSError:
+                pass       # worker exited; a dead PIPE is not a dead DEVICE
 
         live = list(self._conns)
         while not self._service_stop.is_set() and live:
@@ -352,6 +356,11 @@ def get_pool(fasta_path: str, bam_paths: list, cfg, n_workers: int,
     _POOL.default_fasta = fasta_path
     _POOL.default_bams = list(bam_paths)
     return _POOL
+
+
+def pool_alive() -> bool:
+    """True when a live pool exists (its spawn cost is already paid)."""
+    return _POOL is not None and all(w.is_alive() for w in _POOL.workers)
 
 
 def shutdown_pool():

@@ -703,7 +703,8 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
     if requested > 1 and inner <= 1 \
             and __import__("multiprocessing").current_process().name \
             == "MainProcess" \
-            and os.environ.get("LORIKEET_SPAN_POOL", "1") != "0":
+            and os.environ.get("LORIKEET_SPAN_POOL", "1") != "0" \
+            and _pool_worthwhile(spec, fasta, bams, cfg, limit):
         # persistent span-worker pool: -t workers survive across contigs
         # AND genomes (startup ~4 s each — the round-3 4-process scaling
         # collapse), all contigs' chunk spans fan out together, and when
@@ -749,6 +750,18 @@ def _call_contigs(spec, fasta, bams, cfg, engine, limit,
     from concurrent.futures import ThreadPoolExecutor
     with ThreadPoolExecutor(n_workers) as ex:
         return list(ex.map(work, spec.contigs))
+
+
+def _pool_worthwhile(spec, fasta, bams, cfg, limit) -> bool:
+    """Worker processes cost ~4 s each to spawn: only build a pool when the
+    genome has enough chunk work to amortize it — unless one is already
+    alive (spawn already paid; tiny follow-on genomes ride it for free)."""
+    from lorikeet_tpu.parallel.pool import pool_alive
+    if pool_alive():
+        return True
+    units = _genome_units(spec, fasta, cfg, len(bams), limit)
+    total = sum(sp[1] - sp[0] for _, sp in units)
+    return len(units) >= 2 and total >= 500_000
 
 
 def _call_contigs_pooled(spec, fasta, bams, cfg, limit, checkpoint_dir,
