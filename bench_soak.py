@@ -65,6 +65,10 @@ def main():
               [f"sample{k}" for k in range(args.samples)])
     wall = time.time() - t0
 
+    # join the pool BEFORE reading rusage: RUSAGE_CHILDREN only counts
+    # reaped children, so live daemon workers would report 0
+    from lorikeet_tpu.parallel.pool import shutdown_pool
+    shutdown_pool()
     rss_self = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
     rss_child = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1024
     row = dict(metric="soak_wall_s", value=round(wall, 1), unit="s",

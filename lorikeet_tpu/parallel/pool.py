@@ -58,9 +58,22 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
         if state is None:
             if len(readers) >= 2:          # bound decoded-BAM memory
                 readers.pop(next(iter(readers)))
+            # the open_bam size heuristic is per FILE; a worker holds every
+            # sample at once, so stream when the AGGREGATE would blow the
+            # eager budget (8 x 120 MB BAMs measured 3.7 GB/worker eager)
+            high_mem = getattr(cfg, "high_memory", False)
+            streaming = None
+            if not high_mem:
+                try:
+                    total = sum(os.path.getsize(p) for p in bam_paths)
+                except OSError:
+                    total = 0
+                threshold = int(os.environ.get(
+                    "LORIKEET_EAGER_BAM_MAX", str(256 * 1024 * 1024)))
+                if total > threshold:
+                    streaming = True
             state = (FastaReader(fasta_path),
-                     [open_bam(p, high_memory=getattr(cfg, "high_memory",
-                                                      False))
+                     [open_bam(p, high_memory=high_mem, streaming=streaming)
                       for p in bam_paths])
             readers[key] = state
         return state
