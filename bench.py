@@ -200,7 +200,7 @@ def bench_e2e():
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_e2e.py"),
          "--kbp", "1000", "--samples", "2", "--prewarm-first",
-         "--repeats", "2", "--best-threads", str(best_t)],
+         "--repeats", "3", "--best-threads", str(best_t)],
         capture_output=True, text=True, timeout=2700)
     rows = {}
     for line in out.stdout.splitlines():

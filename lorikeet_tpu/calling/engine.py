@@ -823,6 +823,15 @@ class HaplotypeCallerEngine:
 
         emit_span = not self.cfg.disable_spanning_event_genotyping
         margin = self.cfg.allele_informative_reads_overlap_margin
+        # per-sample read span arrays (post-realign coordinates): each
+        # event's retention window then costs two numpy compares instead
+        # of a per-read python predicate
+        span_arrays = {}
+        for s, reads in likelihoods.reads_by_sample.items():
+            span_arrays[s] = (
+                np.fromiter((r.pos for r in reads), np.int64, len(reads)),
+                np.fromiter((r.reference_end for r in reads), np.int64,
+                            len(reads)))
         calls = []
         for loc in start_positions:
             if loc < active_start or loc > active_end:
@@ -838,8 +847,9 @@ class HaplotypeCallerEngine:
             allele_lks = likelihoods.marginalize(mapper)
             window_lo = merged.start - margin
             window_hi = merged.end + margin
-            allele_lks.retain_evidence(
-                lambda r: r.pos <= window_hi and r.reference_end > window_lo)
+            allele_lks.retain_evidence_masks(
+                {s: (pos_a <= window_hi) & (end_a > window_lo)
+                 for s, (pos_a, end_a) in span_arrays.items()})
 
             genotypes = self._genotypes_for_event(allele_lks, merged)
             merged.genotypes = genotypes

@@ -440,6 +440,18 @@ class AlleleLikelihoods:
             self.reads_by_sample[s] = [r for r, k in zip(reads, keep) if k]
             self.values[s] = self.values[s][:, keep]
 
+    def retain_evidence_masks(self, masks: dict):
+        """retain_evidence with a precomputed boolean mask per sample —
+        the per-event overlap window reduces to two numpy compares when
+        the caller holds pos/end arrays (engine.genotype_region does)."""
+        for s in list(self.reads_by_sample):
+            reads = self.reads_by_sample[s]
+            keep = masks[s]
+            if keep.all():
+                continue
+            self.reads_by_sample[s] = [r for r, k in zip(reads, keep) if k]
+            self.values[s] = self.values[s][:, keep]
+
     def best_allele_per_read(self, sample):
         mat = self.values[sample]
         if mat.size == 0:

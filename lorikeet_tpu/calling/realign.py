@@ -89,7 +89,10 @@ def compose_to_reference(read_vs_hap_cigar: list, read_offset_in_hap: int,
         hap_to_ref, _, _ = trim_cigar_by_bases(
             padded, read_offset_in_hap, read_length(padded) - 1)
         composed = apply_cigar_to_cigar(sw_cigar, hap_to_ref)
-        if ref_bases is not None and read_bases is not None:
+        # left-alignment only ever moves indels; an indel-free cigar is a
+        # guaranteed no-op (and it is the common case)
+        if ref_bases is not None and read_bases is not None \
+                and any(op in "ID" for op, _ in composed):
             composed, lead_removed, _ = left_align_indels(
                 composed, ref_bases, read_bases, start_on_ref_hap)
             new_pos += lead_removed
