@@ -746,10 +746,13 @@ def _route_remote(pairs) -> bool:
     cells, bytes_est, _ = _batch_cost_inputs(pairs)
     host_cps, rem_bps = _PERF["host_cps"], _PERF["rem_bps"]
     if host_cps is None or rem_bps is None:
-        # learn the unknown side first; remote is never catastrophic either
-        # (the parent falls back to its own host kernel), so explore it
-        # before local when both are unknown
-        return rem_bps is None
+        # LOCAL-first: the host kernel is the known-safe side; the remote
+        # link gets its first measurement on the scheduled exploration
+        # turn below.  (Remote-first learning cost every worker a tunnel
+        # round trip up front — measured as a 10-30% e2e toll on short
+        # runs whose router verdict was going to be "local" anyway.)
+        return host_cps is not None and rem_bps is None \
+            and _PERF["n_batch"] % _EXPLORE_EVERY == 0
     t_host = cells / host_cps
     t_rem = bytes_est / rem_bps + _PERF["rem_lat"]
     pick = t_rem < t_host
