@@ -504,8 +504,8 @@ bool try_zip(Builder<KO>& b, bool recovery_on, int64_t cap_z, uint8_t* zseq,
             cur = t;
         }
         tails.push_back(cur);
+        if (nsv + 1 >= cap_z) return false;
         zv_bounds[++nsv] = so;
-        if (nsv >= cap_z) return false;
     }
     zv_bounds[0] = 0;
     // pass 2: inter-chain edges in (chain, creation) order

@@ -107,10 +107,12 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                 _, bytes_est, _ = L._batch_cost_inputs(pairs)
                 # overlap-aware rate: the worker's real cost is the
                 # serialize+send CPU plus the time it ends up blocked on
-                # the reply — a fully overlapped batch costs only the send
+                # the reply — a fully overlapped batch costs only the send.
+                # rem_lat is NOT folded in here: the router adds it as a
+                # separate additive term (t_rem = bytes/rem_bps + rem_lat),
+                # so including it in the learning leg double-counts it
                 L._update_perf("rem_bps", bytes_est,
-                               t_send + max(waited, 1e-4)
-                               + L._PERF["rem_lat"])
+                               t_send + max(waited, 1e-4))
                 L.DISPATCH_COUNTS["remote"] += 1
                 lks = payload
             elif kind == "local":
@@ -137,6 +139,10 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                 pending = None
             break
         tid, fasta_path, bam_paths, contig, sp = task
+        # announce pickup so the parent can requeue this task if we die
+        # mid-span (crash tolerance; reference analogue: the per-genome
+        # try/continue of src/processing/lorikeet_engine.rs:100)
+        result_q.put((tid, "start", wid))
         try:
             fasta, bams = _readers_for(fasta_path, bam_paths)
             if rpc_conn is None:
@@ -161,7 +167,14 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                                   _local_lks(works) if pairs else None)
         except Exception:  # noqa: BLE001 — surface to the parent
             result_q.put((tid, "error", traceback.format_exc()))
-            pending = None
+            if pending is not None:
+                # drain the outstanding RPC reply (and emit the pending
+                # span's result) — dropping it would leave the stale reply
+                # in the pipe, and every LATER remote batch in this worker
+                # would recv the previous batch's likelihoods: silent
+                # corruption of all subsequent genomes
+                _finish(pending)
+                pending = None
     if rpc_conn is not None:
         rpc_conn.send(("bye", None))
 
@@ -174,38 +187,81 @@ class SpanWorkerPool:
         ctx = mp.get_context("spawn")
         self.key = None                      # set by get_pool
         self.n_workers = n_workers
+        self._ctx = ctx
+        self._cfg = cfg
+        self._device_service = device_service
         self.task_q = ctx.Queue()
         self.result_q = ctx.Queue()
         self._next_id = 0
+        self._next_wid = 0
         self._results = {}
+        self._tasks = {}                     # tid -> task tuple (requeue)
+        self._inflight = {}                  # tid -> wid ("start" seen)
+        self._retries = {}                   # tid -> requeue count
+        self._dead_handled = set()           # wids already recovered
         self._lock = threading.Lock()
         self._service_stop = threading.Event()
         self._service_thread = None
         self._conns = []
-        self.workers = []
-        child_conns = []
-        for w in range(n_workers):
-            if device_service:
-                parent_c, child_c = ctx.Pipe()
-                self._conns.append(parent_c)
-            else:
-                child_c = None
-            child_conns.append(child_c)
-            p = ctx.Process(
-                target=_worker_main,
-                args=(w, cfg, self.task_q, self.result_q, child_c),
-                daemon=True)
-            p.start()
-            self.workers.append(p)
-        # pipe fds are inherited by the spawned child via pickling; the
-        # parent closes its copy of the child end
-        for c in child_conns:
-            if c is not None:
-                c.close()
+        self._wid_proc = {}
+        self.workers = [self._spawn_worker() for _ in range(n_workers)]
         if device_service and self._conns:
             self._service_thread = threading.Thread(
                 target=self._serve_device, daemon=True)
             self._service_thread.start()
+
+    def _spawn_worker(self):
+        """Start one worker process (initial fill or crash replacement)."""
+        wid = self._next_wid
+        self._next_wid += 1
+        child_c = None
+        if self._device_service:
+            parent_c, child_c = self._ctx.Pipe()
+            self._conns.append(parent_c)
+        p = self._ctx.Process(
+            target=_worker_main,
+            args=(wid, self._cfg, self.task_q, self.result_q, child_c),
+            daemon=True)
+        p.start()
+        # pipe fds are inherited by the spawned child via pickling; the
+        # parent closes its copy of the child end
+        if child_c is not None:
+            child_c.close()
+        self._wid_proc[wid] = p
+        return p
+
+    # ---- crash tolerance --------------------------------------------------
+    def _requeue(self, tid):
+        n = self._retries.get(tid, 0)
+        if n >= 2:
+            raise RuntimeError(
+                f"span task {tid} was lost to {n} worker crash(es) and "
+                "re-ran out of retries (likely a reproducible native "
+                "fault in this span)")
+        self._retries[tid] = n + 1
+        self.task_q.put(self._tasks[tid])
+
+    def recover_dead_workers(self) -> bool:
+        """Requeue tasks that died with their worker onto the survivors and
+        respawn replacements, keeping pool capacity.  The reference keeps a
+        genome alive past a failed scope task
+        (src/processing/lorikeet_engine.rs:100); the pool matches that with
+        task-level requeue instead of aborting the run."""
+        changed = False
+        for wid, p in list(self._wid_proc.items()):
+            if wid in self._dead_handled or p.is_alive():
+                continue
+            self._dead_handled.add(wid)
+            changed = True
+            for t in [t for t, w in self._inflight.items() if w == wid]:
+                del self._inflight[t]
+                self._requeue(t)
+            new_p = self._spawn_worker()
+            try:
+                self.workers[self.workers.index(p)] = new_p
+            except ValueError:
+                self.workers.append(new_p)
+        return changed
 
     # ---- parent-side device service ---------------------------------------
     def _serve_device(self):
@@ -247,8 +303,15 @@ class SpanWorkerPool:
             except OSError:
                 pass       # worker exited; a dead PIPE is not a dead DEVICE
 
-        live = list(self._conns)
-        while not self._service_stop.is_set() and live:
+        closed = set()
+        while not self._service_stop.is_set():
+            # live is recomputed each pass so crash-replacement workers
+            # (recover_dead_workers appends their conns) get served too
+            live = [c for c in self._conns if c not in closed]
+            if not live:
+                if self._service_stop.wait(0.2):
+                    break
+                continue
             # with work in flight, only drain IMMEDIATELY-pending requests
             # before reading results back — a lone worker must not eat a
             # poll-interval latency per span
@@ -261,10 +324,10 @@ class SpanWorkerPool:
                 try:
                     kind, payload = conn.recv()
                 except (EOFError, OSError):
-                    live.remove(conn)
+                    closed.add(conn)
                     continue
                 if kind == "bye":
-                    live.remove(conn)
+                    closed.add(conn)
                     continue
                 pairs = payload
                 try:
@@ -311,26 +374,47 @@ class SpanWorkerPool:
         with self._lock:
             tid = self._next_id
             self._next_id += 1
-        self.task_q.put((tid, fasta_path or self.default_fasta,
-                         bam_paths or self.default_bams, contig, span))
+        task = (tid, fasta_path or self.default_fasta,
+                bam_paths or self.default_bams, contig, span)
+        self._tasks[tid] = task
+        self.task_q.put(task)
         return tid
 
     def gather(self, task_ids: list) -> list:
-        """Results for ``task_ids`` in that order (blocks)."""
+        """Results for ``task_ids`` in that order (blocks).  Worker deaths
+        are survived: their in-flight tasks are requeued onto the
+        survivors and replacements are respawned (retry-capped so a span
+        that reproducibly kills workers still surfaces as an error)."""
         want = set(task_ids)
+        idle_polls = 0
         while want - self._results.keys():
             try:
                 tid, status, payload = self.result_q.get(timeout=5.0)
-            except Exception:  # noqa: BLE001 — queue.Empty: liveness check
-                dead = [w for w in self.workers if not w.is_alive()]
-                if dead and self.task_q.qsize() >= 0:
-                    raise RuntimeError(
-                        f"{len(dead)} span worker(s) died; "
-                        "resubmit or reduce --threads") from None
+            except Exception:  # noqa: BLE001 — queue.Empty: recovery check
+                if self.recover_dead_workers():
+                    idle_polls = 0
+                    continue
+                # ghost recovery: a worker that died between task pickup
+                # and its "start" message leaves a task with no result, no
+                # in-flight owner, and nothing queued.  Only possible after
+                # a death, so gate on one having happened.
+                missing = [t for t in want if t not in self._results
+                           and t not in self._inflight]
+                if missing and self._dead_handled and self.task_q.empty():
+                    idle_polls += 1
+                    if idle_polls >= 2:
+                        for t in missing:
+                            self._requeue(t)
+                        idle_polls = 0
+                continue
+            if status == "start":
+                self._inflight[tid] = payload
                 continue
             if status == "error":
                 raise RuntimeError(f"span worker failed:\n{payload}")
+            self._inflight.pop(tid, None)
             self._results[tid] = payload
+            self._tasks.pop(tid, None)
         return [self._results.pop(t) for t in task_ids]
 
     def close(self):
@@ -357,11 +441,16 @@ def get_pool(fasta_path: str, bam_paths: list, cfg, n_workers: int,
     global _POOL
     from lorikeet_tpu.processing import _cfg_fingerprint
     key = (_cfg_fingerprint(cfg), n_workers, device_service)
-    if _POOL is not None and _POOL.key == key \
-            and all(w.is_alive() for w in _POOL.workers):
-        _POOL.default_fasta = fasta_path
-        _POOL.default_bams = list(bam_paths)
-        return _POOL
+    if _POOL is not None and _POOL.key == key:
+        try:
+            _POOL.recover_dead_workers()   # respawn any crash casualties
+            ok = all(w.is_alive() for w in _POOL.workers)
+        except Exception:  # noqa: BLE001 — unrecoverable: rebuild below
+            ok = False
+        if ok:
+            _POOL.default_fasta = fasta_path
+            _POOL.default_bams = list(bam_paths)
+            return _POOL
     if _POOL is not None:
         _POOL.close()
     _POOL = SpanWorkerPool(cfg, n_workers, device_service)

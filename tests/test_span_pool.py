@@ -114,6 +114,47 @@ def test_pool_device_service_rpc(monkeypatch):
         assert L.DISPATCH_COUNTS["device"] > 0   # service really dispatched
 
 
+def test_pool_survives_worker_kill():
+    """Crash tolerance: SIGKILL one worker mid-span — its in-flight task is
+    requeued onto the survivor, a replacement is respawned, and the calls
+    are identical to the serial path (reference analogue: per-genome
+    try/continue, src/processing/lorikeet_engine.rs:100)."""
+    import signal
+    import threading
+    import time
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta, bams, _ = _dataset(tmp, kbp=300, seed=1)
+        cfg = CallerConfig(use_pallas=False, threads=2)
+        fr = FastaReader(fasta)
+        readers = [open_bam(p) for p in bams]
+        serial = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg))
+        pool = pool_mod.get_pool(fasta, bams, cfg, 2, device_service=False)
+        killed = []
+
+        def killer():
+            for _ in range(3000):          # wait for a span to be in flight
+                if pool._inflight:
+                    wid = next(iter(pool._inflight.values()))
+                    time.sleep(0.05)       # clear of queue-lock windows
+                    os.kill(pool._wid_proc[wid].pid, signal.SIGKILL)
+                    killed.append(wid)
+                    return
+                time.sleep(0.01)
+
+        t = threading.Thread(target=killer)
+        t.start()
+        pooled = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg), pool=pool)
+        t.join()
+        assert killed, "killer never saw an in-flight span"
+        assert _key(pooled.calls) == _key(serial.calls)
+        assert pooled.depth_pass_rle == serial.depth_pass_rle
+        # capacity restored: the dead worker was replaced
+        assert sum(w.is_alive() for w in pool.workers) == 2
+
+
 def test_worker_error_surfaces():
     with tempfile.TemporaryDirectory() as tmp:
         fasta, bams, _ = _dataset(tmp, kbp=40)
