@@ -200,8 +200,9 @@ def bench_e2e():
         [sys.executable, os.path.join(os.path.dirname(
             os.path.abspath(__file__)), "bench_e2e.py"),
          "--kbp", "1000", "--samples", "2", "--prewarm-first",
-         "--repeats", "3", "--best-threads", str(best_t)],
-        capture_output=True, text=True, timeout=2700)
+         "--repeats", "2", "--best-threads", str(best_t),
+         "--paired", "8"],
+        capture_output=True, text=True, timeout=3300)
     rows = {}
     for line in out.stdout.splitlines():
         try:
@@ -341,6 +342,22 @@ def main():
             if host_best and tpu_best:
                 result["e2e_tpu_speedup_vs_best_host"] = round(
                     host_best["value"] / tpu_best["value"], 3)
+            # paired A/B races override the sequential-leg ratios: each
+            # ratio shares one load environment (median-of-paired-ratios,
+            # sampled until the middle three agree within 15%), so a noisy
+            # capture can no longer print a fake loss or a lucky win
+            paired_t = rows.get("paired_t")
+            paired_best = rows.get("paired_best")
+            if paired_t:
+                result["e2e_tpu_speedup_vs_host"] = paired_t["value"]
+                result["e2e_paired_spread"] = paired_t["paired_spread"]
+                result["e2e_paired_n"] = paired_t["n_pairs"]
+            if paired_best:
+                result["e2e_tpu_speedup_vs_best_host"] = \
+                    paired_best["value"]
+                result["e2e_best_paired_spread"] = \
+                    paired_best["paired_spread"]
+                result["e2e_best_paired_n"] = paired_best["n_pairs"]
             if spreads:
                 result["e2e_spread"] = round(max(spreads), 3)
         except Exception as e:  # noqa: BLE001

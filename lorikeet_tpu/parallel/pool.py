@@ -27,7 +27,8 @@ import traceback
 
 import numpy as np
 
-_POOL = None          # singleton (keyed); see get_pool
+_POOLS = {}           # key -> SpanWorkerPool (small LRU; see get_pool)
+_MAX_POOLS = 2        # idle workers cost no CPU, but each holds BAM caches
 
 
 def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
@@ -434,42 +435,47 @@ class SpanWorkerPool:
 
 def get_pool(fasta_path: str, bam_paths: list, cfg, n_workers: int,
              device_service: bool):
-    """Singleton accessor: reuse the live pool when (cfg, size, service)
-    match — the pool serves any (fasta, bams) input set, so it survives
-    across contigs AND genomes.  Worker startup costs ~4 s each; keeping
-    them alive is what fixes the 4-process scaling row."""
-    global _POOL
+    """Keyed accessor: reuse a live pool when (cfg, size, service) match —
+    a pool serves any (fasta, bams) input set, so it survives across
+    contigs AND genomes.  Worker startup costs ~4 s each; keeping them
+    alive is what fixes the 4-process scaling row.  A small registry (not
+    a singleton) lets two configurations alternate (e.g. host-kernel vs
+    device-routed legs of an A/B race) without paying respawn per switch."""
     from lorikeet_tpu.processing import _cfg_fingerprint
     key = (_cfg_fingerprint(cfg), n_workers, device_service)
-    if _POOL is not None and _POOL.key == key:
+    pool = _POOLS.get(key)
+    if pool is not None:
         try:
-            _POOL.recover_dead_workers()   # respawn any crash casualties
-            ok = all(w.is_alive() for w in _POOL.workers)
+            pool.recover_dead_workers()    # respawn any crash casualties
+            ok = all(w.is_alive() for w in pool.workers)
         except Exception:  # noqa: BLE001 — unrecoverable: rebuild below
             ok = False
         if ok:
-            _POOL.default_fasta = fasta_path
-            _POOL.default_bams = list(bam_paths)
-            return _POOL
-    if _POOL is not None:
-        _POOL.close()
-    _POOL = SpanWorkerPool(cfg, n_workers, device_service)
-    _POOL.key = key
-    _POOL.default_fasta = fasta_path
-    _POOL.default_bams = list(bam_paths)
-    return _POOL
+            _POOLS[key] = _POOLS.pop(key)  # LRU touch
+            pool.default_fasta = fasta_path
+            pool.default_bams = list(bam_paths)
+            return pool
+        _POOLS.pop(key, None)
+        pool.close()
+    while len(_POOLS) >= _MAX_POOLS:
+        _POOLS.pop(next(iter(_POOLS))).close()
+    pool = SpanWorkerPool(cfg, n_workers, device_service)
+    pool.key = key
+    pool.default_fasta = fasta_path
+    pool.default_bams = list(bam_paths)
+    _POOLS[key] = pool
+    return pool
 
 
 def pool_alive() -> bool:
     """True when a live pool exists (its spawn cost is already paid)."""
-    return _POOL is not None and all(w.is_alive() for w in _POOL.workers)
+    return any(all(w.is_alive() for w in p.workers)
+               for p in _POOLS.values())
 
 
 def shutdown_pool():
-    global _POOL
-    if _POOL is not None:
-        _POOL.close()
-        _POOL = None
+    while _POOLS:
+        _POOLS.pop(next(iter(_POOLS))).close()
 
 
 atexit.register(shutdown_pool)
