@@ -19,6 +19,57 @@ from lorikeet_tpu.io.bam import BamRecord, FLAG_PAIRED, FLAG_PROPER_PAIR, \
 BASES = np.frombuffer(b"ACGT", np.uint8)
 
 
+def repeat_rich_reference(length: int, seed: int = 0,
+                          feature_gap: tuple = (120, 320)) -> np.ndarray:
+    """Synthetic reference with planted homopolymers (8-20 bp), STRs
+    (unit 2-6 bp x 4-12 copies) and low-entropy (2-letter) segments at
+    realistic densities.
+
+    Plays the role of the reference's real human-window fixtures
+    (/root/reference/tests/read_threading_assembler_unit_tests.rs:45-225
+    over Homo_sapiens_assembly19_chr1_1M.fasta, a git-lfs pointer here):
+    uniform-random DNA has none of the structures that stress dangling-end
+    recovery and kmer-size retry
+    (read_threading_assembler.rs:419-450), so assembler tests run over
+    these windows too.  Deterministic in (length, seed).  The planted
+    feature spans are recorded on the array as ``.features`` via a
+    companion return: use ``repeat_rich_reference_with_features`` when the
+    test needs to aim a variant at a repeat."""
+    ref, _ = repeat_rich_reference_with_features(length, seed, feature_gap)
+    return ref
+
+
+def repeat_rich_reference_with_features(length: int, seed: int = 0,
+                                        feature_gap: tuple = (120, 320)):
+    """(ref, features): features is [(kind, start, end)] with kind in
+    {"hp", "str", "low"} covering each planted repeat span."""
+    rng = np.random.default_rng(seed)
+    ref = BASES[rng.integers(0, 4, length)]
+    features = []
+    pos = int(rng.integers(*feature_gap))
+    while pos < length - 90:
+        kind = ["hp", "str", "low"][int(rng.integers(0, 3))]
+        if kind == "hp":
+            run = int(rng.integers(8, 21))
+            ref[pos:pos + run] = BASES[int(rng.integers(0, 4))]
+            end = pos + run
+        elif kind == "str":
+            unit_len = int(rng.integers(2, 7))
+            copies = int(rng.integers(4, 13))
+            unit = BASES[rng.integers(0, 4, unit_len)]
+            run = min(unit_len * copies, length - pos)
+            ref[pos:pos + run] = np.tile(unit, copies)[:run]
+            end = pos + run
+        else:
+            seg = min(int(rng.integers(30, 61)), length - pos)
+            two = BASES[rng.choice(4, 2, replace=False)]
+            ref[pos:pos + seg] = two[rng.integers(0, 2, seg)]
+            end = pos + seg
+        features.append((kind, pos, end))
+        pos = end + int(rng.integers(*feature_gap))
+    return ref, features
+
+
 @dataclass(frozen=True)
 class Variant:
     """pos is 0-based on the reference; ref/alt are byte strings.
