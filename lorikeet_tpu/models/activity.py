@@ -430,22 +430,47 @@ def gaussian_kernel(filter_size: int = MAX_FILTER_SIZE, sigma: float = DEFAULT_S
     return k
 
 
+def expand_hq_softclip_states(probs: np.ndarray, hq_sc_mean: np.ndarray,
+                              max_prob_propagation: int = 50) -> np.ndarray:
+    """The reference's discrete HQ-soft-clip state expansion
+    (activity_profile_state.rs:17-27 + activity_profile.rs:308-339): a
+    position whose HQ-soft-clip mean is >= 6.0 emits its FULL active_prob
+    at every position within +/- n (n = min(floor(mean), propagation)),
+    and the emitted states SUM into their neighbours
+    (incorporate_single_state :263-289; out-of-profile offsets are
+    dropped, not clamped).  Vectorized as a variable-width boxcar scatter
+    via a difference array — HQ positions are sparse.  The position's own
+    state is replaced by the offset-0 member of the expansion, so its
+    probability still counts exactly once at its own locus."""
+    hq = np.flatnonzero((hq_sc_mean >= AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD)
+                        & (probs > 0.0))
+    if hq.size == 0:
+        return probs
+    n = np.minimum(hq_sc_mean[hq], max_prob_propagation).astype(np.int64)
+    p = probs[hq]
+    L = probs.size
+    delta = np.zeros(L + 1)
+    # boxcar [i-n, i+n] intersected with the profile: interval clamping IS
+    # the reference's drop-out-of-range behaviour (each in-range position
+    # gets p once; nothing is relocated)
+    np.add.at(delta, np.maximum(hq - n, 0), p)
+    np.add.at(delta, np.minimum(hq + n, L - 1) + 1, -p)
+    out = probs.copy()
+    out[hq] = 0.0                       # replaced by the expansion's own 0
+    out += np.cumsum(delta[:-1])
+    return out
+
+
 def band_pass_smooth(raw_probs: np.ndarray, hq_sc_mean: np.ndarray = None,
                      max_prob_propagation: int = 50) -> np.ndarray:
-    """Gaussian band-pass of the raw activity (f32 in, f32 out).
-
-    HQ-soft-clip positions (mean > 6.0) have their probability mass
-    multiplied by (2*min(round-mean-ish, propagation)+1) before smoothing,
-    reproducing the reference's state expansion (activity_profile.rs:309-339).
-    """
+    """Gaussian band-pass of the raw activity (f32 in, f32 out), after the
+    discrete HQ-soft-clip state expansion (see expand_hq_softclip_states;
+    band_pass_activity_profile.rs smooths the POST-expansion profile)."""
     kernel = gaussian_kernel()
     probs = raw_probs.astype(np.float64)
     if hq_sc_mean is not None:
-        n_clips = np.minimum(hq_sc_mean, max_prob_propagation)
-        mult = np.where((hq_sc_mean > AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD)
-                        & (probs > 0.0),
-                        2 * np.floor(n_clips) + 1, 1.0)
-        probs = probs * mult
+        probs = expand_hq_softclip_states(probs, hq_sc_mean,
+                                          max_prob_propagation)
     sm = np.convolve(probs, kernel[::-1], mode="same")
     # positions with zero raw prob that receive no mass stay exactly 0
     return sm.astype(np.float32)

@@ -94,19 +94,36 @@ def _activity_jit(ploidy, snp_het, het_std, conf, prop, n_iters):
     def fn(gls, hq_mean):
         probs = active_probabilities_jax(gls, ploidy, snp_het, het_std,
                                          conf, n_iters)
-        from lorikeet_tpu.models.activity import (
-            AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD as HQ_T)
-        n_clips = jnp.minimum(hq_mean, float(prop))
-        mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
-                         2.0 * jnp.floor(n_clips) + 1.0, 1.0)
         # barrier: without it XLA fuses the EM scan INTO the 101-tap
         # convolution, recomputing the producer per tap (measured: >550 s
         # first call vs 19 s with the barrier on the virtual CPU mesh)
-        probs = jax.lax.optimization_barrier(probs * mult)
+        probs = jax.lax.optimization_barrier(
+            _expand_hq_jax(probs, hq_mean, prop))
         return jnp.convolve(probs, kernel,
                             mode="same").astype(jnp.float32)
 
     return fn
+
+
+def _expand_hq_jax(probs, hq_mean, prop):
+    """Device form of models.activity.expand_hq_softclip_states: each
+    HQ-soft-clip position scatters its full prob over +/- n as a
+    difference-array boxcar (exact reference state expansion,
+    activity_profile.rs:308-339)."""
+    from lorikeet_tpu.models.activity import (
+        AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD as HQ_T)
+    L = probs.shape[0]
+    hqm = (hq_mean >= HQ_T) & (probs > 0.0)
+    p_sel = jnp.where(hqm, probs, 0.0)
+    n = jnp.minimum(hq_mean, float(prop)).astype(jnp.int32)
+    idxs = jnp.arange(L)
+    lo = jnp.clip(idxs - n, 0, L - 1)
+    hi = jnp.clip(idxs + n, 0, L - 1)
+    delta = jnp.zeros(L + 1, probs.dtype).at[lo].add(p_sel) \
+                                         .at[hi + 1].add(-p_sel)
+    # boxcar p then -p cancel exactly in f32, so the cumsum returns to
+    # true zero after each expansion window
+    return jnp.where(hqm, 0.0, probs) + jnp.cumsum(delta[:-1])
 
 
 @functools.lru_cache(maxsize=None)
@@ -115,7 +132,11 @@ def _activity_sharded(mesh, axis, ploidy, snp_het, het_std, conf, prop,
     """Position-sharded version: local EM per shard, ICI halo exchange for
     the band-pass convolution (SURVEY §5 halo design)."""
     kernel = np.asarray(gaussian_kernel(), np.float32)
-    halo = (len(kernel) - 1) // 2
+    # halo covers the conv taps PLUS the HQ-soft-clip expansion reach: a
+    # neighbour's HQ position within `prop` bp scatters prob into this
+    # shard, so raw probs + hq means are exchanged wide enough to replay
+    # the expansion locally
+    halo = (len(kernel) - 1) // 2 + int(prop)
     n = mesh.devices.size
 
     @functools.partial(
@@ -124,21 +145,20 @@ def _activity_sharded(mesh, axis, ploidy, snp_het, het_std, conf, prop,
     def step(gls, hq_mean):
         probs = active_probabilities_jax(gls, ploidy, snp_het, het_std,
                                          conf, n_iters)
-        from lorikeet_tpu.models.activity import (
-            AVERAGE_HQ_SOFTCLIPS_HQ_BASES_THRESHOLD as HQ_T)
-        n_clips = jnp.minimum(hq_mean, float(prop))
-        mult = jnp.where((hq_mean > HQ_T) & (probs > 0.0),
-                         2.0 * jnp.floor(n_clips) + 1.0, 1.0)
         # barrier: see _activity_jit (EM-into-conv fusion pathology)
-        probs = jax.lax.optimization_barrier(probs * mult)
-        from_right = jax.lax.ppermute(
-            probs[:halo], axis, [(i, (i - 1) % n) for i in range(n)])
-        from_left = jax.lax.ppermute(
-            probs[-halo:], axis, [(i, (i + 1) % n) for i in range(n)])
-        idx = jax.lax.axis_index(axis)
-        from_left = jnp.where(idx == 0, 0.0, from_left)
-        from_right = jnp.where(idx == n - 1, 0.0, from_right)
-        padded = jnp.concatenate([from_left, probs, from_right])
+        probs = jax.lax.optimization_barrier(probs)
+
+        def exchange(x):
+            right = jax.lax.ppermute(
+                x[:halo], axis, [(i, (i - 1) % n) for i in range(n)])
+            left = jax.lax.ppermute(
+                x[-halo:], axis, [(i, (i + 1) % n) for i in range(n)])
+            idx = jax.lax.axis_index(axis)
+            left = jnp.where(idx == 0, 0.0, left)
+            right = jnp.where(idx == n - 1, 0.0, right)
+            return jnp.concatenate([left, x, right])
+
+        padded = _expand_hq_jax(exchange(probs), exchange(hq_mean), prop)
         return jnp.convolve(padded, kernel,
                             mode="same")[halo:-halo].astype(jnp.float32)
 
