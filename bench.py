@@ -292,6 +292,123 @@ def bench_genotype():
     return wall, pure and complete and len(groups) >= len(strains)
 
 
+def bench_genotype_linked():
+    """Strains-EXACT genotype bench: variant spacing (200 bp) inside the
+    simulated fragment length (300 +/- 30), so paired fragments span
+    adjacent same-strain variants and read linkage
+    (linkage_engine.rs:73-170,889-1040) can merge clusters into whole
+    strains — the path the 2.5 kb-spaced dataset physically cannot
+    exercise.  Returns (wall_s, strains_exact, n_vg_groups, n_strains)."""
+    import tempfile
+
+    from lorikeet_tpu.calling.engine import CallerConfig
+    from lorikeet_tpu.io.bam_writer import write_bam
+    from lorikeet_tpu.processing import start_engine
+    from lorikeet_tpu.testkit.simulate import Variant, simulate_reads
+
+    rng = np.random.default_rng(23)
+    L = 40_000
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    ref = bases[rng.integers(0, 4, L)]
+    tmp = tempfile.mkdtemp(prefix="lorikeet_geno_linked_")
+    fasta = os.path.join(tmp, "g.fna")
+    with open(fasta, "w") as fh:
+        fh.write(">glink~c1\n")
+        s = ref.tobytes().decode()
+        for i in range(0, L, 80):
+            fh.write(s[i:i + 80] + "\n")
+
+    def mkstrain(offset):
+        out = []
+        for p in range(1000 + offset, L - 1000, 240):
+            refb = bytes(ref[p:p + 1])
+            out.append(Variant(p, refb, b"T" if refb != b"T" else b"G"))
+        return out
+
+    # interleaved strains: within-strain spacing 240 (INSIDE the 300+/-30
+    # fragment length, so same-strain fragments span adjacent variants),
+    # cross-strain 120
+    strains = [mkstrain(0), mkstrain(120)]
+    mix = [[1.0, 0.0], [0.0, 1.0], [0.7, 0.3], [0.3, 0.7]]
+    bam_paths = []
+    for sidx, fracs in enumerate(mix):
+        recs = []
+        for k, (st, fr) in enumerate(zip(strains, fracs)):
+            if fr <= 0:
+                continue
+            recs += simulate_reads(ref, st, coverage=30 * fr,
+                                   seed=700 * sidx + k,
+                                   name_prefix=f"l{sidx}_{k}_")
+        recs.sort(key=lambda r: (r.tid, r.pos))
+        path = os.path.join(tmp, f"s{sidx}.bam")
+        write_bam(path, ["glink~c1"], [L], recs)
+        bam_paths.append(path)
+
+    cfg = CallerConfig(use_pallas=False, threads=1,
+                       qual_by_depth_filter=8.0)
+    t0 = time.time()
+    start_engine("genotype", [fasta], bam_paths,
+                 os.path.join(tmp, "out"), cfg)
+    wall = time.time() - t0
+    truth_sets = [set(v.pos for v in st) for st in strains]
+    by_strain = {}
+    vgs = set()
+    vcf = os.path.join(tmp, "out", "glink", "glink.vcf")
+    for line in open(vcf):
+        if line.startswith("#"):
+            continue
+        f = line.split("\t")
+        info = dict(kv.split("=", 1) for kv in f[7].split(";") if "=" in kv)
+        if "VG" in info:
+            vgs.add(info["VG"])
+        st = info.get("ST")
+        if st is not None:
+            for sid in st.split(","):
+                by_strain.setdefault(sid, set()).add(int(f[1]) - 1)
+    exact = (len(by_strain) == len(truth_sets)
+             and sorted(map(sorted, by_strain.values()))
+             == sorted(map(sorted, truth_sets)))
+
+    # --- forced over-split merge exercise: flight (the reference's
+    # clusterer) is known to over-split one strain into several variant
+    # groups; the MST/water-table merge exists to stitch them back
+    # (linkage_engine.rs:122-230).  Our clusterer resolves this dataset
+    # exactly, so to keep the merge path bench-covered we hand linkage a
+    # deliberately position-split labelling (each strain cut at L/2) and
+    # require it to reassemble both strains exactly from read linkage +
+    # depth-space separations.
+    from lorikeet_tpu.io.bam import open_bam
+    from lorikeet_tpu.strain.genotype_mode import (
+        depth_matrix, read_vcf, split_contexts,
+    )
+    from lorikeet_tpu.strain.linkage import LinkageEngine
+    contexts, vcf_contigs, _samples = read_vcf(vcf)
+    split, _f = split_contexts(contexts, 8.0, min_variant_depth=10)
+    a_pos = set(v.pos for v in strains[0])
+    labels = np.array([(0 if vc.start in a_pos else 2)
+                       + (1 if vc.start >= L // 2 else 0)
+                       for vc in split])
+    X = depth_matrix(split)
+    groups = sorted(set(labels.tolist()))
+    cent = {g: X[labels == g].mean(axis=0) for g in groups}
+    spreads = [np.linalg.norm(X[labels == g] - cent[g], axis=1).mean()
+               for g in groups]
+    scale = max(float(np.mean(spreads)), 1e-9)
+    sep = np.zeros((len(groups), len(groups)))
+    for i in groups:
+        for j in groups:
+            if i != j:
+                sep[i, j] = np.linalg.norm(cent[i] - cent[j]) / scale
+    grouped = {g: [vc for vc, lab in zip(split, labels) if lab == g]
+               for g in groups}
+    engine = LinkageEngine(grouped, sep)
+    strain_groups = engine.run_linkage(
+        [open_bam(p) for p in bam_paths], vcf_contigs or None)
+    merged_exact = (sorted(sorted(s) for s in strain_groups)
+                    == [[0, 1], [2, 3]])
+    return wall, exact, len(vgs), len(by_strain), merged_exact
+
+
 def main():
     import jax
     fast = os.environ.get("LORIKEET_BENCH_FAST") == "1"
@@ -370,6 +487,18 @@ def main():
             result["genotype_groups_pure_complete"] = bool(gx)
         except Exception as e:  # noqa: BLE001
             result["genotype_e2e_wall_s"] = f"error: {e}"
+        try:
+            lw, lx, nvg, nst, mx = bench_genotype_linked()
+            result["genotype_linked_wall_s"] = round(lw, 2)
+            # exact strain count + assignment on the 240 bp-spaced dataset
+            # (read linkage CAN merge at this spacing), plus the forced
+            # over-split run that makes the MST/water-table merge fire
+            result["genotype_strains_exact"] = bool(lx)
+            result["genotype_linked_vg_groups"] = nvg
+            result["genotype_linked_strains"] = nst
+            result["genotype_linkage_merge_exact"] = bool(mx)
+        except Exception as e:  # noqa: BLE001
+            result["genotype_strains_exact"] = f"error: {e}"
 
     print(json.dumps(result))
 

@@ -129,6 +129,7 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
     if not contexts:
         return np.zeros(0, np.int64), np.zeros((0, 0))
     X = depth_matrix(contexts)
+    X_orig = X
     n = len(contexts)
     if n < 4:
         # too few points for density clustering: one group per distinct
@@ -143,19 +144,30 @@ def cluster_variants(contexts, min_cluster_size: int = 5,
         # min cluster size scales with the variant count so dense profiles
         # aren't shattered into micro-groups
         mcs = min(max(min_cluster_size, n // 25), max(2, n // 2))
-        if X.shape[1] > 3:
-            # high-dimensional depth profiles (many samples): embed first,
-            # as flight does (UMAP to 2-D, then density clustering)
+        if X.shape[1] > 8:
+            # genuinely high-dimensional depth profiles (many samples):
+            # embed first, as flight does (UMAP to 2-D, then density
+            # clustering).  At moderate sample counts density clustering
+            # runs on the raw fraction space directly — an embedding can
+            # tear one noisy strain cloud into distant islands (then the
+            # water-table traversal can orphan interior sub-groups), while
+            # HDBSCAN up to ~8 dims separates the true profiles exactly.
             from lorikeet_tpu.strain.umap import umap_embed
             X = umap_embed(X, n_components=2, seed=random_state)
-        # at <= 3 samples the raw fraction space is already low-dimensional;
-        # embedding it only tears clusters apart
         labels = HDBSCAN(min_cluster_size=mcs, allow_single_cluster=True,
                          copy=True).fit_predict(X).astype(np.int64)
     groups = sorted(set(labels.tolist()) - {-1})
     n_groups = (max(groups) + 1) if groups else 0
     sep = np.full((n_groups, n_groups), np.inf)
     if n_groups:
+        # separation is measured in the ORIGINAL depth-fraction space, not
+        # the embedding: it answers "are these clusters separable in depth
+        # profile space" (linkage_engine.rs:1093 `< 2.5` merge gate).  An
+        # embedding can tear one noisy cloud into distant islands; in
+        # depth space such islands have near-zero separation, so read
+        # linkage is allowed to stitch them back, while genuinely distinct
+        # strains keep large separations and stay excluded.
+        X = X_orig
         centroids = {g: X[labels == g].mean(axis=0) for g in groups}
         spreads = [np.linalg.norm(X[labels == g] - centroids[g], axis=1).mean()
                    for g in groups]

@@ -108,6 +108,15 @@ def umap_embed(X: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
     P = fuzzy_simplicial_set(X, n_neighbors)
     Y = _spectral_init(P, n_components, rng)
 
+    # Repulsion scaling: umap-learn applies `negative_sample_rate` (5)
+    # repulsive updates per 1-simplex per epoch, i.e. ~5*k*n of the n^2
+    # pairs — a per-pair weight of ~5k/n.  The full-batch stand-in must
+    # match that scaling or repulsion grows linearly with n and inflates
+    # clusters until they merge under HDBSCAN (observed at n~300: two
+    # orthogonal strain profiles embedded as one overlapping smear).
+    k_eff = min(n_neighbors, n - 1)
+    rep = repulsion_strength * 5.0 * k_eff / max(n - 1, 1)
+
     eps = 1e-3
     for epoch in range(n_epochs):
         alpha = learning_rate * (1.0 - epoch / n_epochs)
@@ -120,7 +129,7 @@ def umap_embed(X: np.ndarray, n_components: int = 2, n_neighbors: int = 15,
         # stand-in for negative sampling)
         grad_att = -2.0 * _A * _B * np.power(np.maximum(d2, eps),
                                              _B - 1.0) / denom
-        grad_rep = 2.0 * repulsion_strength * _B / ((eps + d2) * denom)
+        grad_rep = 2.0 * rep * _B / ((eps + d2) * denom)
         coeff = P * grad_att + (1.0 - P) * grad_rep
         np.fill_diagonal(coeff, 0.0)
         # sum_j coeff_ij (Y_i - Y_j) without materialising [n, n, c]
