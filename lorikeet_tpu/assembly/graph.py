@@ -105,10 +105,11 @@ def read_stretches_batch(recs, min_base_quality: int) -> list:
     numpy round trips.  Returns a flat [(name, bytes)] list."""
     if not recs:
         return []
-    seqs = []
-    bounds = [0]
+    n = len(recs)
+    seq_views = []
+    qual_views = []
     names = []
-    for rec in recs:
+    for rec in recs:                       # light loop: views only, no copy
         seq = rec.seq
         qual = rec.qual
         cigar = getattr(rec, "cigar", None)
@@ -119,22 +120,30 @@ def read_stretches_batch(recs, min_base_quality: int) -> list:
                 end = len(seq) - tail
                 seq = seq[lead:end]
                 qual = qual[lead:end]
-        seqs.append((seq, qual))
-        bounds.append(bounds[-1] + len(seq) + 1)   # +1 separator slot
+        seq_views.append(seq)
+        qual_views.append(qual)
         names.append(rec.name)
-    total = bounds[-1]
-    cat = np.zeros(total, np.uint8)
-    q = np.zeros(total, np.uint8)
-    for (seq, qual), lo in zip(seqs, bounds[:-1]):
-        cat[lo:lo + len(seq)] = seq
-        q[lo:lo + len(seq)] = qual
-    good = (q >= min_base_quality) & (cat != ord("N")) & (cat != 0)
+    lens = np.fromiter(map(len, seq_views), np.int64, n)
+    bounds = np.zeros(n + 1, np.int64)
+    np.cumsum(lens, out=bounds[1:])
+    total = int(bounds[-1])
+    if total == 0:
+        return []
+    cat = np.concatenate(seq_views)        # one C memcpy pass, no zero-fill
+    q = np.concatenate(qual_views)
+    good = (q >= min_base_quality) & (cat != ord("N"))
     edges = np.flatnonzero(np.diff(np.concatenate(
         ([False], good, [False])).view(np.int8)))
     starts = edges[::2]
     stops = edges[1::2]
-    # map run starts back to their read (runs never cross the separators)
-    ridx = np.searchsorted(np.asarray(bounds[1:]), starts, side="right")
+    # the concat has no separators: split any run crossing a read boundary
+    inner = bounds[1:-1]
+    inner = inner[(inner > 0) & (inner < total)]   # 0-length reads
+    cross = inner[good[inner - 1] & good[inner]]
+    if cross.size:
+        starts = np.sort(np.concatenate([starts, cross]))
+        stops = np.sort(np.concatenate([stops, cross]))
+    ridx = np.searchsorted(bounds[1:], starts, side="right")
     cat_b = cat.tobytes()
     return [(names[r], cat_b[int(s):int(e)])
             for r, s, e in zip(ridx.tolist(), starts.tolist(),

@@ -43,6 +43,171 @@ struct EdgeRec {
 
 // ---- kmer key strategies --------------------------------------------------
 
+// ---- open-addressing containers for packed keys ---------------------------
+// libstdc++'s node-based unordered_{map,set} cost one allocation plus a
+// pointer chase per kmer and dominate the build profile.  Packed keys are
+// masked to 2k bits, so for k <= 63 the all-ones 128-bit value is
+// impossible and serves as the empty sentinel; the k == 64 all-T corner
+// is held in a dedicated side slot.  Linear probing at <= 50% load.
+
+template <class HashT>
+struct FlatMap128 {
+    using K = unsigned __int128;
+    static constexpr K kEmpty = ~(K)0;
+    std::vector<K> keys;
+    std::vector<int32_t> vals;
+    size_t mask_ = 0;
+    size_t count_ = 0;
+    bool has_empty = false;
+    int32_t empty_val = 0;
+    HashT h;
+    FlatMap128() { reserve(128); }
+    size_t size() const { return count_ + (has_empty ? 1 : 0); }
+    void reserve(size_t expect) {
+        if (count_ || has_empty) return;      // only re-inits an empty map
+        size_t cap = 64;
+        while (cap < 2 * expect + 2) cap <<= 1;
+        keys.assign(cap, kEmpty);
+        vals.resize(cap);
+        mask_ = cap - 1;
+    }
+    void grow() {
+        std::vector<K> ok;
+        std::vector<int32_t> ov;
+        ok.swap(keys);
+        ov.swap(vals);
+        keys.assign(ok.size() * 2, kEmpty);
+        vals.resize(ov.size() * 2);
+        mask_ = keys.size() - 1;
+        for (size_t j = 0; j < ok.size(); j++) {
+            if (ok[j] == kEmpty) continue;
+            size_t i = h(ok[j]) & mask_;
+            while (keys[i] != kEmpty) i = (i + 1) & mask_;
+            keys[i] = ok[j];
+            vals[i] = ov[j];
+        }
+    }
+    int32_t* find(K key) {
+        if (key == kEmpty) return has_empty ? &empty_val : nullptr;
+        size_t i = h(key) & mask_;
+        while (true) {
+            if (keys[i] == key) return &vals[i];
+            if (keys[i] == kEmpty) return nullptr;
+            i = (i + 1) & mask_;
+        }
+    }
+    bool try_emplace(K key, int32_t val) {        // true when inserted
+        if (key == kEmpty) {
+            if (has_empty) return false;
+            has_empty = true;
+            empty_val = val;
+            return true;
+        }
+        if ((count_ + 1) * 2 >= keys.size()) grow();
+        size_t i = h(key) & mask_;
+        while (true) {
+            if (keys[i] == key) return false;
+            if (keys[i] == kEmpty) {
+                keys[i] = key;
+                vals[i] = val;
+                count_++;
+                return true;
+            }
+            i = (i + 1) & mask_;
+        }
+    }
+};
+
+template <class HashT>
+struct FlatEpochSet128 {
+    // per-sequence "seen" set: next_epoch() replaces clear() (stale keys
+    // keep their slots but read as absent; capacity covers the TOTAL kmer
+    // count so stale occupancy never exceeds 50% load)
+    using K = unsigned __int128;
+    static constexpr K kEmpty = ~(K)0;
+    std::vector<K> keys;
+    std::vector<int32_t> ep;
+    size_t mask_ = 0;
+    size_t count_ = 0;
+    int32_t cur = 0;
+    bool has_empty = false;
+    int32_t empty_ep = -1;
+    HashT h;
+    FlatEpochSet128() { reserve(512); }
+    void reserve(size_t expect) {
+        if (count_ || has_empty) return;
+        size_t cap = 64;
+        while (cap < 2 * expect + 2) cap <<= 1;
+        keys.assign(cap, kEmpty);
+        ep.resize(cap);
+        mask_ = cap - 1;
+        cur = 0;
+    }
+    void grow() {
+        std::vector<K> ok;
+        std::vector<int32_t> oe;
+        ok.swap(keys);
+        oe.swap(ep);
+        keys.assign(ok.size() * 2, kEmpty);
+        ep.resize(oe.size() * 2);
+        mask_ = keys.size() - 1;
+        for (size_t j = 0; j < ok.size(); j++) {
+            if (ok[j] == kEmpty) continue;
+            size_t i = h(ok[j]) & mask_;
+            while (keys[i] != kEmpty) i = (i + 1) & mask_;
+            keys[i] = ok[j];
+            ep[i] = oe[j];
+        }
+    }
+    void next_epoch() { cur++; }
+    bool insert(K key) {          // true when first seen THIS epoch
+        if (key == kEmpty) {
+            if (has_empty && empty_ep == cur) return false;
+            has_empty = true;
+            empty_ep = cur;
+            return true;
+        }
+        if ((count_ + 1) * 2 >= keys.size()) grow();
+        size_t i = h(key) & mask_;
+        while (true) {
+            if (keys[i] == key) {
+                if (ep[i] == cur) return false;
+                ep[i] = cur;
+                return true;
+            }
+            if (keys[i] == kEmpty) {
+                keys[i] = key;
+                ep[i] = cur;
+                count_++;
+                return true;
+            }
+            i = (i + 1) & mask_;
+        }
+    }
+};
+
+template <class K, class HashT>
+struct StdMapAdapter {
+    std::unordered_map<K, int32_t, HashT> m;
+    void reserve(size_t n) { m.reserve(n); }
+    size_t size() const { return m.size(); }
+    int32_t* find(const K& k) {
+        auto it = m.find(k);
+        return it == m.end() ? nullptr : &it->second;
+    }
+    bool try_emplace(const K& k, int32_t v) {
+        return m.try_emplace(k, v).second;
+    }
+};
+
+template <class K, class HashT>
+struct StdEpochSetAdapter {
+    std::unordered_set<K, HashT> s;
+    void reserve(size_t n) { s.reserve(n); }
+    void next_epoch() { s.clear(); }
+    bool insert(const K& k) { return s.insert(k).second; }
+};
+
 struct SvKey {
     using key_t = std::string_view;
     struct Hash {
@@ -58,6 +223,8 @@ struct SvKey {
     key_t roll(key_t, const uint8_t* next_start) const {
         return make(next_start);   // no cheaper-than-make roll for bytes
     }
+    template <class H> using map_t = StdMapAdapter<key_t, H>;
+    template <class H> using eset_t = StdEpochSetAdapter<key_t, H>;
 };
 
 extern int8_t kBaseCode[256];
@@ -90,6 +257,8 @@ struct PackKey {
         // window one byte earlier: shift in the new last base
         return ((prev << 2) | (key_t)kBaseCode[next_start[k - 1]]) & mask;
     }
+    template <class H> using map_t = FlatMap128<H>;
+    template <class H> using eset_t = FlatEpochSet128<H>;
 };
 
 int8_t kBaseCode[256];
@@ -118,8 +287,8 @@ struct Builder {
     int k;
     KO ko;
     const uint8_t* buf;
-    std::unordered_map<key_t, int32_t, Hash> kmer_to_vertex;
-    std::unordered_set<key_t, Hash> non_unique;
+    typename KO::template map_t<Hash> kmer_to_vertex;
+    typename KO::template map_t<Hash> non_unique;      // value unused (set)
     std::vector<const uint8_t*> vertex_kmer;       // ptr into buf
     // pooled append-order adjacency (edge-creation order per vertex —
     // extend()'s suffix-match scan depends on it): one alloc-free linked
@@ -147,14 +316,14 @@ struct Builder {
         vertex_kmer.push_back(kp);
         adj_head.push_back(-1);
         adj_tail.push_back(-1);
-        if (!non_unique.count(key))
-            kmer_to_vertex.emplace(key, vid);  // no-op if already mapped
+        if (!non_unique.find(key))
+            kmer_to_vertex.try_emplace(key, vid);  // no-op if already mapped
         return vid;
     }
 
     int32_t get_or_new(const uint8_t* kp, key_t key) {
-        const auto it = kmer_to_vertex.find(key);
-        if (it != kmer_to_vertex.end()) return it->second;
+        const int32_t* it = kmer_to_vertex.find(key);
+        if (it) return *it;
         return new_vertex(kp, key);
     }
 
@@ -256,8 +425,8 @@ struct Builder {
             for (int64_t i = 0; i < len - k; i++) {
                 if (i > 0) probe = ko.roll(probe, seq + i);
                 const bool ok = start_only_at_existing
-                    ? kmer_to_vertex.count(probe) != 0
-                    : non_unique.count(probe) == 0;
+                    ? kmer_to_vertex.find(probe) != nullptr
+                    : non_unique.find(probe) == nullptr;
                 if (ok) { start = i; key = probe; break; }
             }
             if (start < 0) return;
@@ -274,15 +443,16 @@ struct Builder {
 
     // per-sequence non-unique kmers, unioned (determine_non_unique_kmers)
     void find_non_unique(const int64_t* seq_off, int64_t n_seqs) {
-        std::unordered_set<key_t, Hash> seen;
+        typename KO::template eset_t<Hash> seen;
+        seen.reserve((size_t)(seq_off[n_seqs] - seq_off[0]) / 8 + 64);
         for (int64_t s = 0; s < n_seqs; s++) {
             const uint8_t* seq = buf + seq_off[s];
             const int64_t len = seq_off[s + 1] - seq_off[s];
-            seen.clear();
+            seen.next_epoch();
             key_t key{};
             for (int64_t i = 0; i + k <= len; i++) {
                 key = (i == 0) ? ko.make(seq) : ko.roll(key, seq + i);
-                if (!seen.insert(key).second) non_unique.insert(key);
+                if (!seen.insert(key)) non_unique.try_emplace(key, 0);
             }
         }
     }
@@ -546,7 +716,7 @@ int run_build3(
     b.nps = num_pruning_samples > 0 ? num_pruning_samples : 1;
     b.start_only_at_existing = start_only_at_existing != 0;
     b.find_non_unique(seq_off, n_seqs);
-    b.kmer_to_vertex.reserve((size_t)cap);
+    b.kmer_to_vertex.reserve(2048);   // ~distinct kmers; growth handles big regions
     for (int64_t s = 0; s < n_seqs; s++) {
         if (s > 0 && sample_ids[s] != sample_ids[s - 1]) b.flush_sample();
         b.thread(seq_buf + seq_off[s], seq_off[s + 1] - seq_off[s],
@@ -609,7 +779,7 @@ extern "C" int graph_build(
     Builder<SvKey> b(k);
     b.buf = seq_buf;
     b.find_non_unique(seq_off, n_seqs);
-    b.kmer_to_vertex.reserve((size_t)cap);
+    b.kmer_to_vertex.reserve(2048);   // ~distinct kmers; growth handles big regions
     for (int64_t s = 0; s < n_seqs; s++)
         b.thread(seq_buf + seq_off[s], seq_off[s + 1] - seq_off[s],
                  counts[s], is_ref[s] != 0);

@@ -53,10 +53,23 @@ def get_reads_for_groups(grouped_contexts: dict, bams: list,
     OWN tid — headers from different mapping runs may order contigs
     differently.  Returns ({group: set("sample_readname")},
     {group: mean_depth})."""
+    from lorikeet_tpu.io.bam import FLAG_UNMAPPED
+
     group_reads = {g: set() for g in grouped_contexts}
     group_counts = {g: 0.0 for g in grouped_contexts}
     for sample_idx, bam in enumerate(bams):
         tid_cache = {}
+        col_cache = {}
+
+        def columnar_of(btid):
+            h = col_cache.get(btid)
+            if h is None:
+                c = bam.columnar(btid) if hasattr(bam, "columnar") else None
+                ext = bam.columnar_ext(btid) if c is not None else None
+                h = col_cache[btid] = (c, ext) if ext is not None else (None,
+                                                                        None)
+            return h
+
         for group, variants in grouped_contexts.items():
             for vc in variants:
                 btid = vc.tid
@@ -76,6 +89,53 @@ def get_reads_for_groups(grouped_contexts: dict, bams: list,
                         ai = vc.attributes.get("_ALT_INDEX", 1)
                         ad = float(g.ad[min(ai, len(g.ad) - 1)])
                 allele_depth = ad if ad is not None else 0.0
+                c, ext = columnar_of(btid)
+                if c is not None:
+                    # columnar fast path: identical match semantics to the
+                    # record loop below, without materializing a BamRecord
+                    # per overlapping read (the 10 Mbp soak measured this
+                    # loop as the whole strain layer's dominant cost)
+                    idx = bam.fetch_indices(btid, vc.start, vc.end + 1)
+                    if idx.size:
+                        rl = c["read_len"][idx].astype(np.int64)
+                        keep = (((ext["flag"][idx] & FLAG_UNMAPPED) == 0)
+                                & (rl > 0))
+                        idx, rl = idx[keep], rl[keep]
+                    read_count = 0.0
+                    if idx.size:
+                        seq_buf = c["seq"]
+                        alt_arr = np.frombuffer(alt, np.uint8)
+                        la = len(alt_arr)
+                        ri = vc.start - c["pos"][idx]
+                        p_lo = ri < 0
+                        p_hi = ri >= rl
+                        ri_c = np.where(p_lo, 0, np.where(p_hi, rl - 1, ri))
+                        full = ~(p_lo | p_hi) & (ri_c + la <= rl)
+                        starts = c["read_off"][idx] + ri_c
+                        matched = np.zeros(idx.size, bool)
+                        if full.any():
+                            sub = seq_buf[starts[full][:, None]
+                                          + np.arange(la)]
+                            matched[full] = (sub == alt_arr[None, :]) \
+                                .all(axis=1)
+                        for t in np.flatnonzero(~full).tolist():
+                            lo2 = int(starts[t])
+                            hi2 = int(c["read_off"][idx[t]] + rl[t])
+                            sub = seq_buf[lo2:min(hi2, lo2 + la)].tobytes()
+                            if sub and sub in alt:
+                                matched[t] = True
+                        mi = idx[matched]
+                        if mi.size:
+                            names = ext["names"]
+                            no = ext["name_off"]
+                            nl = ext["name_len"]
+                            add = group_reads[group].add
+                            for j in mi.tolist():
+                                add((sample_idx,
+                                     names[no[j]:no[j] + nl[j]]))
+                            read_count = float(mi.size)
+                    group_counts[group] += max(read_count, allele_depth)
+                    continue
                 read_count = 0.0
                 for rec in bam.fetch(btid, vc.start, vc.end + 1):
                     if rec.is_unmapped or len(rec.seq) == 0:
