@@ -477,6 +477,11 @@ def main():
                 result["e2e_best_paired_n"] = paired_best["n_pairs"]
             if spreads:
                 result["e2e_spread"] = round(max(spreads), 3)
+            probe = rows.get("probe")
+            if probe:
+                # device-service in-flight depth chosen by the startup
+                # probe (1 = overlap unsafe on this link, honestly recorded)
+                result["service_inflight"] = probe["value"]
         except Exception as e:  # noqa: BLE001
             result["e2e_wall_s"] = f"error: {e}"
         try:

@@ -333,6 +333,14 @@ def main():
                 paired_race("paired_best", args.best_threads, "pair_best",
                             args.paired)
 
+    from lorikeet_tpu.parallel import pool as pool_mod
+    if pool_mod.PROBED_INFLIGHT:
+        row = dict(metric="service_inflight",
+                   value=pool_mod.PROBED_INFLIGHT, unit="batches",
+                   config="probe")
+        rows.append(row)
+        print(json.dumps(row))
+
     if args.json:
         with open(args.json, "w") as fh:
             json.dump(rows, fh, indent=1)

@@ -114,6 +114,90 @@ def test_pool_device_service_rpc(monkeypatch):
         assert L.DISPATCH_COUNTS["device"] > 0   # service really dispatched
 
 
+def test_service_inflight_probe(monkeypatch):
+    """The device service probes pipeline depth once after its first clean
+    batch: two same-shape dispatches enqueued without readback.  Success
+    raises the in-flight limit to 2 (recorded in PROBED_INFLIGHT); a probe
+    failure pins depth 1 and stops using the chip, with every later batch
+    bouncing to the worker's local kernel — results stay correct either
+    way."""
+    monkeypatch.setenv("LORIKEET_REMOTE_ROUTE", "remote")
+    import lorikeet_tpu.calling.likelihoods as L
+    import lorikeet_tpu.ops.pairhmm_pallas as P
+
+    calls = {"n": 0}
+
+    def fake_grouped(pairs, **kw):
+        calls["n"] += 1
+        from lorikeet_tpu.ops.pairhmm_native import (
+            pairhmm_forward_native_batch,
+        )
+        out = pairhmm_forward_native_batch(pairs)
+        if out is None:
+            from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
+            out = np.array([pairhmm_forward_np(*p) for p in pairs])
+        return out
+
+    class _AllWarm(set):
+        def __contains__(self, item):
+            return True
+
+    monkeypatch.setattr(P, "pairhmm_forward_grouped", fake_grouped)
+    monkeypatch.setattr(L, "_PALLAS_WARM_BUCKETS", _AllWarm())
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta, bams, truth = _dataset(tmp, kbp=80)
+        cfg = CallerConfig(use_pallas=False, threads=2)
+        fr = FastaReader(fasta)
+        readers = [open_bam(p) for p in bams]
+        serial = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg))
+        pool = pool_mod.get_pool(fasta, bams, cfg, 2, device_service=True)
+        pooled = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg), pool=pool)
+        assert _key(pooled.calls) == _key(serial.calls)
+        assert pool_mod.PROBED_INFLIGHT == 2        # probe ran and passed
+
+
+def test_service_inflight_probe_failure_pins_depth(monkeypatch):
+    monkeypatch.setenv("LORIKEET_REMOTE_ROUTE", "remote")
+    import lorikeet_tpu.calling.likelihoods as L
+    import lorikeet_tpu.ops.pairhmm_pallas as P
+
+    state = {"n": 0}
+
+    def flaky_grouped(pairs, **kw):
+        state["n"] += 1
+        if state["n"] > 1:
+            raise RuntimeError("simulated agent crash on deep enqueue")
+        from lorikeet_tpu.ops.pairhmm_native import (
+            pairhmm_forward_native_batch,
+        )
+        out = pairhmm_forward_native_batch(pairs)
+        if out is None:
+            from lorikeet_tpu.ops.pairhmm import pairhmm_forward_np
+            out = np.array([pairhmm_forward_np(*p) for p in pairs])
+        return out
+
+    class _AllWarm(set):
+        def __contains__(self, item):
+            return True
+
+    monkeypatch.setattr(P, "pairhmm_forward_grouped", flaky_grouped)
+    monkeypatch.setattr(L, "_PALLAS_WARM_BUCKETS", _AllWarm())
+    with tempfile.TemporaryDirectory() as tmp:
+        fasta, bams, truth = _dataset(tmp, kbp=80)
+        cfg = CallerConfig(use_pallas=False, threads=2)
+        fr = FastaReader(fasta)
+        readers = [open_bam(p) for p in bams]
+        serial = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg))
+        pool = pool_mod.get_pool(fasta, bams, cfg, 2, device_service=True)
+        pooled = call_contig(fr, readers, "contig1", cfg,
+                             HaplotypeCallerEngine(cfg), pool=pool)
+        assert _key(pooled.calls) == _key(serial.calls)  # bounced local
+        assert pool_mod.PROBED_INFLIGHT == 1
+
+
 def test_pool_survives_worker_kill():
     """Crash tolerance: SIGKILL one worker mid-span — its in-flight task is
     requeued onto the survivor, a replacement is respawned, and the calls
