@@ -652,7 +652,8 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
             hoff_tab[b] = hrow % 8
             hlen_tab[b] = hlens[hrow]
         dispatches.append(((tile_tab, hap_tab, hoff_tab, hlen_tab),
-                          (q, iqp, dqp, gqp, rdp, hap_u8, lens)))
+                          (q, iqp, dqp, gqp, rdp, hap_u8, lens),
+                          (n_rows, len(st["hapset"]))))
         flushed_out_rows[0] += nb * block_b
         st.clear()
         st.update(new_state())
@@ -738,7 +739,37 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
 # fall back to the flat layout.
 
 _SYM_CAP = 16
-_WIRE_COMPRESS = os.environ.get("LORIKEET_WIRE_COMPRESS", "1") != "0"
+#: "auto" (default): compress unless the measured H2D link is truly
+#: local-PCIe fast (> ~2 GB/s).  Measured crossover: at 956 MB/s the
+#: wire path still beat flat by ~9% (per-put fixed costs favour fewer,
+#: smaller operands), and the ~8 ms/dispatch host encode only outweighs
+#: the byte cut when transfers are nearly free.  "1"/"0" force on/off.
+_WIRE_COMPRESS = os.environ.get("LORIKEET_WIRE_COMPRESS", "auto")
+_LINK_BPS = [None]
+
+
+def _link_bps() -> float:
+    """One-shot measured H2D rate (device_put of 4 MB, best of 2)."""
+    if _LINK_BPS[0] is None:
+        try:
+            import time as _t
+            buf = np.zeros(4 << 20, np.uint8)
+            best = np.inf
+            for _ in range(2):
+                t0 = _t.perf_counter()
+                jax.block_until_ready(jnp.asarray(buf))
+                best = min(best, _t.perf_counter() - t0)
+            _LINK_BPS[0] = len(buf) / max(best, 1e-6)
+        except Exception:  # noqa: BLE001 — no device: rate is moot
+            _LINK_BPS[0] = 0.0
+    return _LINK_BPS[0]
+
+
+def _wire_enabled() -> bool:
+    if _WIRE_COMPRESS == "auto":
+        bps = _link_bps()
+        return bool(bps) and bps < 2e9
+    return _WIRE_COMPRESS != "0"
 
 
 class _SortedCodeCache:
@@ -777,26 +808,38 @@ def _nibble_pack(syms):
     return (syms[:, 0::2] | (syms[:, 1::2] << 4)).astype(np.uint8)
 
 
-def _compress_dispatch(operands):
+def _compress_dispatch(operands, used=None):
     """(mode, payload): 'wire' ships (qidx, base_nib, hap_nib, cb,
-    sym_tab, lens); 'flat' ships the original planes."""
-    if not _WIRE_COMPRESS:
+    sym_tab, lens); 'flat' ships the original planes.  ``used`` is the
+    (n_rows, n_haps) actually filled — pad rows/haps are all-zero and
+    encode to code 0 / symbol 0 by construction (both caches hold key 0
+    at index 0), so only the used slices pay encode cost."""
+    if not _wire_enabled():
         return "flat", operands
     q, iqp, dqp, gqp, rdp, hap_u8, lens = operands
     rows, Rpad = q.shape
-    sy = _base_codes.encode(np.concatenate(
-        [rdp.ravel(), hap_u8.ravel()]).astype(np.uint8))
+    n_rows, n_haps = used if used is not None else (rows, hap_u8.shape[0])
+    ru, hu = rdp[:n_rows], hap_u8[:n_haps]
+    sy = _base_codes.encode(np.concatenate([ru.ravel(), hu.ravel()]))
     if sy is None:
         return "flat", operands
-    syms_r = sy[:rows * Rpad].reshape(rows, Rpad).astype(np.uint8)
-    syms_h = sy[rows * Rpad:].reshape(hap_u8.shape).astype(np.uint8)
-    arr = (q.astype(np.uint32) | (iqp.astype(np.uint32) << 8)
-           | (dqp.astype(np.uint32) << 16) | (gqp.astype(np.uint32) << 24))
+    base_nib = np.zeros((rows, Rpad // 2), np.uint8)
+    hap_nib = np.zeros((hap_u8.shape[0], hap_u8.shape[1] // 2), np.uint8)
+    base_nib[:n_rows] = _nibble_pack(
+        sy[:ru.size].reshape(ru.shape).astype(np.uint8))
+    hap_nib[:n_haps] = _nibble_pack(
+        sy[ru.size:].reshape(hu.shape).astype(np.uint8))
+    # (q, iq, dq, gcp) tuples as one u32 view — interleave once, no
+    # per-plane u32 temporaries
+    arr = np.ascontiguousarray(
+        np.stack([q[:n_rows], iqp[:n_rows], dqp[:n_rows], gqp[:n_rows]],
+                 axis=-1)).view(np.uint32)[..., 0]
     qc = _qual_codes.encode(arr.ravel())
     if qc is None:
         return "flat", operands
-    qidx = qc.astype(np.uint8).reshape(rows, Rpad)
-    return "wire", (qidx, _nibble_pack(syms_r), _nibble_pack(syms_h),
+    qidx = np.zeros((rows, Rpad), np.uint8)
+    qidx[:n_rows] = qc.astype(np.uint8).reshape(n_rows, Rpad)
+    return "wire", (qidx, base_nib, hap_nib,
                     _qual_codes.table(), _base_codes.table(), lens)
 
 
@@ -847,12 +890,12 @@ def pairhmm_forward_grouped(pairs, block_b: int = 64,
     All outputs are enqueued before the first readback."""
     dispatches, out_pos, Rpad, nchunks = pack_grouped_inputs(pairs, block_b)
     outs = []
-    for di, (tables, operands) in enumerate(dispatches):
+    for di, (tables, operands, used) in enumerate(dispatches):
         dev = devices[di % len(devices)] if devices else None
         put = (lambda x: jax.device_put(np.asarray(x), dev)) if dev \
             else jnp.asarray
         tabs = tuple(put(t) for t in tables)
-        mode, payload = _compress_dispatch(operands)
+        mode, payload = _compress_dispatch(operands, used)
         if mode == "wire":
             args = tuple(put(a) for a in payload)
             outs.append(_grouped_wire_jit(*tabs, *args, nchunks, block_b,

@@ -58,12 +58,13 @@ def _np_decode(payload):
 
 
 @pytest.mark.parametrize("with_n", [False, True])
-def test_wire_roundtrip_bit_exact(with_n):
+def test_wire_roundtrip_bit_exact(with_n, monkeypatch):
+    monkeypatch.setattr(P, "_WIRE_COMPRESS", "1")
     pairs = _mk_pairs(seed=1, with_n=with_n)
     dispatches, _, _, _ = P.pack_grouped_inputs(pairs)
     assert dispatches
-    for _tables, operands in dispatches:
-        mode, payload = P._compress_dispatch(operands)
+    for _tables, operands, used in dispatches:
+        mode, payload = P._compress_dispatch(operands, used)
         assert mode == "wire"
         decoded = _np_decode(payload)
         for a, b in zip(operands, decoded):
@@ -72,6 +73,7 @@ def test_wire_roundtrip_bit_exact(with_n):
 
 def test_wire_fallback_on_overflow(monkeypatch):
     # >256 distinct qual tuples must fall back to the flat layout
+    monkeypatch.setattr(P, "_WIRE_COMPRESS", "1")
     monkeypatch.setattr(P, "_qual_codes",
                         P._SortedCodeCache(256, np.uint32))
     rng = np.random.default_rng(2)
@@ -86,7 +88,7 @@ def test_wire_fallback_on_overflow(monkeypatch):
         pairs.append((hap, read, q, iq, np.full(R, 45, np.uint8),
                       np.full(R, 10, np.uint8)))
     dispatches, _, _, _ = P.pack_grouped_inputs(pairs)
-    modes = [P._compress_dispatch(ops)[0] for _t, ops in dispatches]
+    modes = [P._compress_dispatch(ops, u)[0] for _t, ops, u in dispatches]
     assert "flat" in modes
 
 
@@ -94,9 +96,9 @@ def test_wire_grouped_likelihoods_identical(monkeypatch):
     """Full grouped path (interpret mode, CPU): identical outputs with
     compression forced on vs off."""
     pairs = _mk_pairs(seed=3, n_regions=2, reads_per=5, haps_per=2)
-    monkeypatch.setattr(P, "_WIRE_COMPRESS", False)
+    monkeypatch.setattr(P, "_WIRE_COMPRESS", "0")
     flat = np.asarray(P.pairhmm_forward_grouped(pairs, interpret=True))
-    monkeypatch.setattr(P, "_WIRE_COMPRESS", True)
+    monkeypatch.setattr(P, "_WIRE_COMPRESS", "1")
     wire = np.asarray(P.pairhmm_forward_grouped(pairs, interpret=True))
     assert np.array_equal(flat, wire)
 
@@ -111,3 +113,11 @@ def test_codebook_cache_grows_and_reuses():
     assert np.array_equal(cache.keys[pos2], b)
     # table() pads to cap
     assert cache.table().shape == (256,)
+
+
+def test_wire_auto_gate_uses_link_rate(monkeypatch):
+    monkeypatch.setattr(P, "_WIRE_COMPRESS", "auto")
+    monkeypatch.setattr(P, "_LINK_BPS", [50e6])     # tunnel-class
+    assert P._wire_enabled()
+    monkeypatch.setattr(P, "_LINK_BPS", [8e9])      # local-PCIe-class
+    assert not P._wire_enabled()
