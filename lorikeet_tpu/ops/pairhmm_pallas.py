@@ -693,29 +693,35 @@ def pack_grouped_inputs(pairs, block_b: int = 64):
                 st["row_of_hap"][h] = len(st["row_of_hap"])
                 st["hapset"].append((st["row_of_hap"][h], hap_list[h]))
             tile0 = len(st["rows"]) // block_b
+            blk0 = len(st["blocks"])
             # read rows (pad the tile tail with copies of the first read)
             for rid in rids_sub:
                 st["rows"].append(reads[rid]["data"])
             pad = n_tiles * block_b - n_read
             for _ in range(pad):
                 st["rows"].append(reads[rids_sub[0]]["data"])
-            # blocks + output positions
+            # blocks in (tile-major, hap-minor) order
             for t in range(n_tiles):
                 for h in haps_rows:
-                    b = len(st["blocks"])
                     st["blocks"].append((tile0 + t, st["row_of_hap"][h]))
-                    # pairs of this block: reads t*block_b..  x hap h
-                    # (assign EVERY matching pair — duplicate (read, hap)
-                    # tuples in the input all map to the same output cell)
-                    for r_off in range(block_b):
-                        r_idx = t * block_b + r_off
-                        if r_idx >= n_read:
-                            continue
-                        ent = reads[rids_sub[r_idx]]
-                        for hh, k in zip(ent["haps"], ent["ks"]):
-                            if hh == h:
-                                out_pos[k] = (dispatch_base()
-                                              + b * block_b + r_off)
+            # output positions, vectorized: pair k of read-row i with hap
+            # j lands in block blk0 + (i // block_b) * n_haps + j at row
+            # i % block_b (duplicate (read, hap) tuples in the input all
+            # map to the same computed cell)
+            jmap = {h: j for j, h in enumerate(haps_rows)}
+            ks_l, js_l, rr_l = [], [], []
+            for i, rid in enumerate(rids_sub):
+                ent = reads[rid]
+                for hh, k in zip(ent["haps"], ent["ks"]):
+                    ks_l.append(k)
+                    js_l.append(jmap[hh])
+                    rr_l.append(i)
+            if ks_l:
+                rr = np.asarray(rr_l, np.int64)
+                blk = (blk0 + (rr // block_b) * len(haps_rows)
+                       + np.asarray(js_l, np.int64))
+                out_pos[np.asarray(ks_l, np.int64)] = (
+                    dispatch_base() + blk * block_b + rr % block_b)
     flush()
     return dispatches, out_pos, Rpad, nchunks
 
@@ -874,6 +880,51 @@ def _grouped_wire_call(tile_tab, hap_tab, hoff_tab, hlen_tab, qidx,
 _grouped_wire_jit = functools.partial(
     jax.jit, static_argnames=("nchunks", "block_b", "interpret"))(
         _grouped_wire_call)
+
+
+def pack_pairs_ipc(pairs):
+    """Consolidate a pair batch for cross-process transport: unique reads'
+    five arrays concatenate into five buffers + one offset table, unique
+    haps into one buffer + offsets, and per-pair (hap, read) index arrays
+    — ~10 large picklable objects instead of six numpy pickles PER PAIR
+    (a 8k-pair span batch costs ~100 ms of pickle churn in the flat
+    form).  unpack_pairs_ipc rebuilds views that preserve the shared
+    read/hap identities the grouped dispatch dedups on."""
+    hap_of, hap_list = {}, []
+    read_of, read_list = {}, []
+    hi_l, ri_l = [], []
+    for hap, read, q, iq, dq, gcp in pairs:
+        h = hap_of.get(id(hap))
+        if h is None:
+            h = hap_of[id(hap)] = len(hap_list)
+            hap_list.append(hap)
+        r = read_of.get(id(read))
+        if r is None:
+            r = read_of[id(read)] = len(read_list)
+            read_list.append((read, q, iq, dq, gcp))
+        hi_l.append(h)
+        ri_l.append(r)
+    u8z = np.zeros(0, np.uint8)
+    hap_off = np.zeros(len(hap_list) + 1, np.int64)
+    np.cumsum([len(h) for h in hap_list], out=hap_off[1:])
+    hap_buf = np.concatenate(hap_list) if hap_list else u8z
+    r_off = np.zeros(len(read_list) + 1, np.int64)
+    np.cumsum([len(r[0]) for r in read_list], out=r_off[1:])
+    bufs = tuple(
+        (np.concatenate([r[j] for r in read_list]) if read_list else u8z)
+        for j in range(5))
+    return (hap_buf, hap_off, bufs, r_off,
+            np.asarray(hi_l, np.int32), np.asarray(ri_l, np.int32))
+
+
+def unpack_pairs_ipc(payload):
+    hap_buf, hap_off, bufs, r_off, hi, ri = payload
+    hap_views = [hap_buf[hap_off[i]:hap_off[i + 1]]
+                 for i in range(len(hap_off) - 1)]
+    read_views = [tuple(b[r_off[i]:r_off[i + 1]] for b in bufs)
+                  for i in range(len(r_off) - 1)]
+    return [(hap_views[h],) + read_views[r]
+            for h, r in zip(hi.tolist(), ri.tolist())]
 
 
 def pairhmm_forward_grouped(pairs, block_b: int = 64,

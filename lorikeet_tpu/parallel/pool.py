@@ -155,8 +155,12 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                                     defer=True)
             pairs = [p for w in works for p in w.pairs]
             if pairs and L._route_remote(pairs):
+                from lorikeet_tpu.ops.pairhmm_pallas import pack_pairs_ipc
                 t0 = _time.perf_counter()
-                rpc_conn.send(("lk", pairs))
+                # consolidated buffers: ~10 pickles per batch instead of
+                # six per PAIR (measured ~100 ms of pickle churn per 8k
+                # pairs in the flat form)
+                rpc_conn.send(("lkc", pack_pairs_ipc(pairs)))
                 t_send = _time.perf_counter() - t0
                 if pending is not None:
                     _finish(pending)
@@ -360,7 +364,13 @@ class SpanWorkerPool:
                 if kind == "bye":
                     closed.add(conn)
                     continue
-                pairs = payload
+                if kind == "lkc":
+                    from lorikeet_tpu.ops.pairhmm_pallas import (
+                        unpack_pairs_ipc,
+                    )
+                    pairs = unpack_pairs_ipc(payload)
+                else:
+                    pairs = payload
                 try:
                     # the service exists to put the CHIP to work; the
                     # worker already owns the local-host alternative.

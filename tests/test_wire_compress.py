@@ -121,3 +121,21 @@ def test_wire_auto_gate_uses_link_rate(monkeypatch):
     assert P._wire_enabled()
     monkeypatch.setattr(P, "_LINK_BPS", [8e9])      # local-PCIe-class
     assert not P._wire_enabled()
+
+
+def test_pairs_ipc_roundtrip_preserves_identity():
+    pairs = _mk_pairs(seed=5)
+    payload = P.pack_pairs_ipc(pairs)
+    out = P.unpack_pairs_ipc(payload)
+    assert len(out) == len(pairs)
+    for (h1, r1, q1, i1, d1, g1), (h2, r2, q2, i2, d2, g2) in zip(pairs,
+                                                                  out):
+        for a, b in ((h1, h2), (r1, r2), (q1, q2), (i1, i2), (d1, d2),
+                     (g1, g2)):
+            assert np.array_equal(np.asarray(a), b)
+    # shared identities survive: pairs of one read against several haps
+    # must map to the SAME read view (the grouped dedup keys on id())
+    by_read = {}
+    for h, r, *_ in out:
+        by_read.setdefault(r.tobytes(), set()).add(id(r))
+    assert all(len(v) == 1 for v in by_read.values())
