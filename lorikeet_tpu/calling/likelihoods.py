@@ -746,13 +746,16 @@ def _route_remote(pairs) -> bool:
     cells, bytes_est, _ = _batch_cost_inputs(pairs)
     host_cps, rem_bps = _PERF["host_cps"], _PERF["rem_bps"]
     if host_cps is None or rem_bps is None:
-        # LOCAL-first: the host kernel is the known-safe side; the remote
-        # link gets its first measurement on the scheduled exploration
-        # turn below.  (Remote-first learning cost every worker a tunnel
-        # round trip up front — measured as a 10-30% e2e toll on short
-        # runs whose router verdict was going to be "local" anyway.)
+        # LOCAL-first: the host kernel is the known-safe side (batch 1
+        # always learns host_cps); the remote link gets its measurement on
+        # the worker's SECOND eligible batch.  Waiting for the old
+        # every-16th exploration turn meant short runs (a 1 Mbp contig is
+        # ~2 span batches per worker) never measured the link at all and
+        # the chip sat idle through the whole race; with the columnar RPC
+        # + wire compression the learning batch costs little even when the
+        # verdict lands "local".
         return host_cps is not None and rem_bps is None \
-            and _PERF["n_batch"] % _EXPLORE_EVERY == 0
+            and _PERF["n_batch"] >= 2
     t_host = cells / host_cps
     t_rem = bytes_est / rem_bps + _PERF["rem_lat"]
     pick = t_rem < t_host

@@ -814,13 +814,15 @@ def _nibble_pack(syms):
     return (syms[:, 0::2] | (syms[:, 1::2] << 4)).astype(np.uint8)
 
 
-def _compress_dispatch(operands, used=None):
+def _compress_dispatch(operands, used=None, wire=None):
     """(mode, payload): 'wire' ships (qidx, base_nib, hap_nib, cb,
     sym_tab, lens); 'flat' ships the original planes.  ``used`` is the
     (n_rows, n_haps) actually filled — pad rows/haps are all-zero and
     encode to code 0 / symbol 0 by construction (both caches hold key 0
-    at index 0), so only the used slices pay encode cost."""
-    if not _wire_enabled():
+    at index 0), so only the used slices pay encode cost.  ``wire``
+    overrides the auto link-rate gate (pool workers force it: their own
+    'link' is host RAM, but the jobs execute over the PARENT's)."""
+    if not (_wire_enabled() if wire is None else wire):
         return "flat", operands
     q, iqp, dqp, gqp, rdp, hap_u8, lens = operands
     rows, Rpad = q.shape
@@ -939,22 +941,39 @@ def pairhmm_forward_grouped(pairs, block_b: int = 64,
     concurrently (the reference's rayon region fan-out,
     assembly_region_walker.rs:139-141, as whole dispatches per chip).
     All outputs are enqueued before the first readback."""
+    jobs, out_pos, nchunks = prepare_grouped_jobs(pairs, block_b)
+    flat = execute_grouped_jobs(jobs, nchunks, block_b, interpret, devices)
+    return flat[out_pos]
+
+
+def prepare_grouped_jobs(pairs, block_b: int = 64, wire=None):
+    """Host-side half of the grouped dispatch: pack + (maybe) compress.
+    Returns (jobs, out_pos, nchunks) where each job is (tables, mode,
+    arrays) ready for execute_grouped_jobs — in the pool, the WORKER runs
+    this half (it replaces the worker's own kernel time) and ships the
+    job arrays, so the parent's service thread never burns a core on
+    packing."""
     dispatches, out_pos, Rpad, nchunks = pack_grouped_inputs(pairs, block_b)
+    jobs = []
+    for tables, operands, used in dispatches:
+        mode, payload = _compress_dispatch(operands, used, wire=wire)
+        jobs.append((tables, mode, payload))
+    return jobs, out_pos, nchunks
+
+
+def execute_grouped_jobs(jobs, nchunks: int, block_b: int = 64,
+                         interpret: bool = False, devices=None):
+    """Device half: puts + jit calls + one readback; returns the flat
+    per-row results (index with the out_pos from prepare_grouped_jobs)."""
     outs = []
-    for di, (tables, operands, used) in enumerate(dispatches):
+    for di, (tables, mode, payload) in enumerate(jobs):
         dev = devices[di % len(devices)] if devices else None
         put = (lambda x: jax.device_put(np.asarray(x), dev)) if dev \
             else jnp.asarray
         tabs = tuple(put(t) for t in tables)
-        mode, payload = _compress_dispatch(operands, used)
-        if mode == "wire":
-            args = tuple(put(a) for a in payload)
-            outs.append(_grouped_wire_jit(*tabs, *args, nchunks, block_b,
-                                          interpret))
-        else:
-            ops = tuple(put(o) for o in payload)
-            outs.append(_grouped_jit(*tabs, *ops, nchunks, block_b,
-                                     interpret))
+        args = tuple(put(a) for a in payload)
+        fn = _grouped_wire_jit if mode == "wire" else _grouped_jit
+        outs.append(fn(*tabs, *args, nchunks, block_b, interpret))
     if len(outs) == 1:
         flat = np.asarray(outs[0])
     else:
@@ -962,4 +981,23 @@ def pairhmm_forward_grouped(pairs, block_b: int = 64,
         # lazily across devices); enqueue completed above, so readbacks
         # pipeline
         flat = np.concatenate([np.asarray(o) for o in outs], axis=0)
-    return flat[:, 0][out_pos]
+    return flat[:, 0]
+
+
+def enqueue_grouped_jobs(jobs, nchunks: int, block_b: int = 64,
+                         interpret: bool = False):
+    """Enqueue-only variant (no readback): returns the device handles.
+    Used by the service's in-flight pipeline and its depth probe."""
+    outs = []
+    for tables, mode, payload in jobs:
+        tabs = tuple(jnp.asarray(t) for t in tables)
+        args = tuple(jnp.asarray(a) for a in payload)
+        fn = _grouped_wire_jit if mode == "wire" else _grouped_jit
+        outs.append(fn(*tabs, *args, nchunks, block_b, interpret))
+    return outs
+
+
+def readback_grouped(outs):
+    if len(outs) == 1:
+        return np.asarray(outs[0])[:, 0]
+    return np.concatenate([np.asarray(o) for o in outs], axis=0)[:, 0]

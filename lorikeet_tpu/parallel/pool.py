@@ -91,15 +91,18 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
         result_q.put((tid, "ok", res))
 
     # ---- async span pipeline (device service present) --------------------
-    # send span-N's pair batch to the parent's chip, prep span-N+1 while it
-    # computes, then genotype N on the reply.  One outstanding RPC per
-    # worker; profitability is learned from the WAIT time at recv (a ~0
-    # wait means the device overlapped for free), so a saturated service
-    # pushes batches back to the local host kernel automatically.
-    pending = None                         # (tid, res, works, t_sent)
+    # pack span-N's pair batch into ready-to-run dispatch jobs (the
+    # worker's CPU pays the packing — it replaces the worker's own kernel
+    # time; the parent's service thread must stay thin on a shared box),
+    # ship them to the parent's chip, prep span-N+1 while it computes,
+    # then map+validate+genotype N on the flat reply.  One outstanding RPC
+    # per worker; profitability is learned from the WAIT time at recv (a
+    # ~0 wait means the device overlapped for free), so a saturated
+    # service pushes batches back to the local host kernel automatically.
+    pending = None                 # (tid, res, works, t_sent, out_pos)
 
     def _finish(p):
-        tid2, res2, works2, t_send = p
+        tid2, res2, works2, t_send, out_pos = p
         try:
             t0 = _time.perf_counter()
             kind, payload = rpc_conn.recv()
@@ -108,15 +111,16 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                 pairs = [pp for w in works2 for pp in w.pairs]
                 _, bytes_est, _ = L._batch_cost_inputs(pairs)
                 # overlap-aware rate: the worker's real cost is the
-                # serialize+send CPU plus the time it ends up blocked on
-                # the reply — a fully overlapped batch costs only the send.
+                # pack+send CPU plus the time it ends up blocked on the
+                # reply — a fully overlapped batch costs only the send.
                 # rem_lat is NOT folded in here: the router adds it as a
                 # separate additive term (t_rem = bytes/rem_bps + rem_lat),
                 # so including it in the learning leg double-counts it
                 L._update_perf("rem_bps", bytes_est,
                                t_send + max(waited, 1e-4))
                 L.DISPATCH_COUNTS["remote"] += 1
-                lks = payload
+                from lorikeet_tpu.ops.pairhmm import pairhmm_forward_checked
+                lks = pairhmm_forward_checked(payload[out_pos], pairs)
             elif kind == "local":
                 lks = _local_lks(works2)
             else:
@@ -155,16 +159,20 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                                     defer=True)
             pairs = [p for w in works for p in w.pairs]
             if pairs and L._route_remote(pairs):
-                from lorikeet_tpu.ops.pairhmm_pallas import pack_pairs_ipc
+                from lorikeet_tpu.ops.pairhmm_pallas import (
+                    prepare_grouped_jobs,
+                )
                 t0 = _time.perf_counter()
-                # consolidated buffers: ~10 pickles per batch instead of
-                # six per PAIR (measured ~100 ms of pickle churn per 8k
-                # pairs in the flat form)
-                rpc_conn.send(("lkc", pack_pairs_ipc(pairs)))
+                # wire=True: the jobs cross a pipe AND the parent's device
+                # link; the worker's own auto gate would measure host RAM
+                jobs, out_pos, nchunks = prepare_grouped_jobs(pairs,
+                                                              wire=True)
+                rpc_conn.send(("lkd", (L._pallas_bucket(pairs), jobs,
+                                       nchunks)))
                 t_send = _time.perf_counter() - t0
                 if pending is not None:
                     _finish(pending)
-                pending = (tid, res, works, t_send)
+                pending = (tid, res, works, t_send, out_pos)
             else:
                 if pending is not None:
                     _finish(pending)
@@ -299,28 +307,32 @@ class SpanWorkerPool:
 
         global PROBED_INFLIGHT
         PROBED_INFLIGHT = limits[0]
+        from lorikeet_tpu.ops.pairhmm_pallas import (
+            enqueue_grouped_jobs, readback_grouped,
+        )
+        interp = L.PALLAS_INTERPRET
 
-        def try_probe(pairs):
-            """One-shot depth probe on a known-good batch shape."""
+        def try_probe(jobs, nchunks):
+            """One-shot depth probe on a known-good job shape: two
+            same-shape enqueues without readback."""
             global PROBED_INFLIGHT
             probed[0] = True
             try:
-                from lorikeet_tpu.ops.pairhmm_pallas import (
-                    pairhmm_forward_grouped,
-                )
-                r1 = pairhmm_forward_grouped(pairs)   # enqueue, no readback
-                r2 = pairhmm_forward_grouped(pairs)   # second in flight
-                np.asarray(r1)
-                np.asarray(r2)
+                o1 = enqueue_grouped_jobs(jobs, nchunks, interpret=interp)
+                o2 = enqueue_grouped_jobs(jobs, nchunks, interpret=interp)
+                readback_grouped(o1)
+                readback_grouped(o2)
                 limits[0] = 2
             except Exception:  # noqa: BLE001 — crash signature: stay at 1
+                if os.environ.get("LORIKEET_SERVICE_DEBUG"):
+                    traceback.print_exc()
                 device_dead[0] = True
             PROBED_INFLIGHT = limits[0]
 
         def finish(item):
-            conn, pairs, raw = item
+            conn, jobs, nchunks, outs = item
             try:
-                lks = pairhmm_forward_checked(np.asarray(raw), pairs)
+                flat = readback_grouped(outs)
             except Exception:  # noqa: BLE001 — device died mid-batch: the
                 # worker recomputes locally; correctness never depends on
                 # the service
@@ -331,12 +343,16 @@ class SpanWorkerPool:
                     pass
                 return
             try:
-                conn.send(("ok", lks))
+                conn.send(("ok", flat))
             except OSError:
                 pass       # worker exited; a dead PIPE is not a dead DEVICE
+            if os.environ.get("LORIKEET_SERVICE_DEBUG"):
+                print("SERVICE finish: probed", probed[0], "inflight",
+                      len(inflight), "pw", bool(L._prewarm_queue),
+                      bool(L._prewarm_threads), flush=True)
             if not probed[0] and not inflight and not (
                     L._prewarm_queue or L._prewarm_threads):
-                try_probe(pairs)
+                try_probe(jobs, nchunks)
 
         closed = set()
         while not self._service_stop.is_set():
@@ -364,13 +380,7 @@ class SpanWorkerPool:
                 if kind == "bye":
                     closed.add(conn)
                     continue
-                if kind == "lkc":
-                    from lorikeet_tpu.ops.pairhmm_pallas import (
-                        unpack_pairs_ipc,
-                    )
-                    pairs = unpack_pairs_ipc(payload)
-                else:
-                    pairs = payload
+                bucket, jobs, nchunks = payload
                 try:
                     # the service exists to put the CHIP to work; the
                     # worker already owns the local-host alternative.
@@ -378,12 +388,11 @@ class SpanWorkerPool:
                     # steal a core from the workers (measured: hybrid -t 4
                     # slower than host -t 4), so a cold bucket or a
                     # host-routed verdict bounces the batch back instead.
-                    bucket = L._pallas_bucket(pairs)
-                    # no dispatches while a Mosaic compile is in flight:
+                    # No dispatches while a Mosaic compile is in flight:
                     # concurrent compile+execute RPCs destabilize the
                     # tunneled agent (round-3 finding for compiles; a
                     # round-4 agent crash under the service points the
-                    # same way)
+                    # same way).
                     compiling = bool(L._prewarm_queue or L._prewarm_threads)
                     if device_dead[0] or compiling or L._ROUTE_MODE == "host" \
                             or bucket not in L._PALLAS_WARM_BUCKETS:
@@ -392,12 +401,10 @@ class SpanWorkerPool:
                             L.prewarm_pallas_buckets([bucket])
                         conn.send(("local", None))
                     else:
-                        from lorikeet_tpu.ops.pairhmm_pallas import (
-                            pairhmm_forward_grouped,
-                        )
                         L.DISPATCH_COUNTS["device"] += 1
-                        raw = pairhmm_forward_grouped(pairs)   # async enqueue
-                        inflight.append((conn, pairs, raw))
+                        outs = enqueue_grouped_jobs(jobs, nchunks,
+                                                    interpret=interp)
+                        inflight.append((conn, jobs, nchunks, outs))
                 except Exception:  # noqa: BLE001 — dispatch failed: local
                     device_dead[0] = True
                     try:
