@@ -654,7 +654,11 @@ def _prewarm_bucket(bucket: tuple) -> None:
         hap = np.full(H, ord("A"), np.uint8)
         read = np.full(R, ord("A"), np.uint8)
         z = np.full(R, 30, np.uint8)
-        np.asarray(pairhmm_forward_grouped([(hap, read, z, z, z, z)]))
+        # wire=True matches the pool workers' forced-wire jobs (the
+        # direct path's auto gate picks the same variant on tunnel-class
+        # links; a flat-variant miss on a fast link compiles inline there)
+        np.asarray(pairhmm_forward_grouped([(hap, read, z, z, z, z)],
+                                           wire=True))
         # full variant: ROWS_STEP+64 DISTINCT reads x 8 haps exceeds both
         # small steps (rows > ROWS_STEP, blocks > NBLOCKS_STEP) without
         # nearing the caps
@@ -662,7 +666,7 @@ def _prewarm_bucket(bucket: tuple) -> None:
         reads = [np.full(R, ord("A"), np.uint8)
                  for _ in range(ROWS_STEP + 64)]
         big = [(h, r, z, z, z, z) for r in reads for h in haps]
-        np.asarray(pairhmm_forward_grouped(big))
+        np.asarray(pairhmm_forward_grouped(big, wire=True))
         # seed the cost model from a measured WARM dispatch so no
         # production batch ever routes to the device just to learn the
         # link rate (a learning batch costs whatever the link costs)

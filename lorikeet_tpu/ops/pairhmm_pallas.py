@@ -931,7 +931,7 @@ def unpack_pairs_ipc(payload):
 
 def pairhmm_forward_grouped(pairs, block_b: int = 64,
                             interpret: bool = False,
-                            devices=None) -> np.ndarray:
+                            devices=None, wire=None) -> np.ndarray:
     """Forward log10 likelihoods for a flat pair list via the grouped
     (read-tile x hap) dispatch path.  Bit-compatible with
     pairhmm_forward_pallas (same DP sweep); ships each read/hap once.
@@ -941,7 +941,7 @@ def pairhmm_forward_grouped(pairs, block_b: int = 64,
     concurrently (the reference's rayon region fan-out,
     assembly_region_walker.rs:139-141, as whole dispatches per chip).
     All outputs are enqueued before the first readback."""
-    jobs, out_pos, nchunks = prepare_grouped_jobs(pairs, block_b)
+    jobs, out_pos, nchunks = prepare_grouped_jobs(pairs, block_b, wire=wire)
     flat = execute_grouped_jobs(jobs, nchunks, block_b, interpret, devices)
     return flat[out_pos]
 
