@@ -99,10 +99,10 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
     # per worker; profitability is learned from the WAIT time at recv (a
     # ~0 wait means the device overlapped for free), so a saturated
     # service pushes batches back to the local host kernel automatically.
-    pending = None                 # (tid, res, works, t_sent, out_pos)
+    pending = None                 # (tid, res, works, t_sent)
 
     def _finish(p):
-        tid2, res2, works2, t_send, out_pos = p
+        tid2, res2, works2, t_send = p
         try:
             t0 = _time.perf_counter()
             kind, payload = rpc_conn.recv()
@@ -120,7 +120,7 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                                t_send + max(waited, 1e-4))
                 L.DISPATCH_COUNTS["remote"] += 1
                 from lorikeet_tpu.ops.pairhmm import pairhmm_forward_checked
-                lks = pairhmm_forward_checked(payload[out_pos], pairs)
+                lks = pairhmm_forward_checked(payload, pairs)
             elif kind == "local":
                 lks = _local_lks(works2)
             else:
@@ -167,12 +167,21 @@ def _worker_main(wid, cfg, task_q, result_q, rpc_conn):
                 # link; the worker's own auto gate would measure host RAM
                 jobs, out_pos, nchunks = prepare_grouped_jobs(pairs,
                                                               wire=True)
-                rpc_conn.send(("lkd", (L._pallas_bucket(pairs), jobs,
-                                       nchunks)))
-                t_send = _time.perf_counter() - t0
+                t_prep = _time.perf_counter() - t0
+                # drain the previous reply BEFORE sending the next request:
+                # a duplex pipe with a blocked send on BOTH ends (parent
+                # pushing reply N, worker pushing request N+1, each larger
+                # than the socket buffer) is a hard deadlock.  Overlap is
+                # unharmed — span N+1's host prep already ran while the
+                # device chewed batch N; only the cheap send moves.
                 if pending is not None:
                     _finish(pending)
-                pending = (tid, res, works, t_send, out_pos)
+                    pending = None
+                t0 = _time.perf_counter()
+                rpc_conn.send(("lkd", (L._pallas_bucket(pairs), jobs,
+                                       nchunks, out_pos)))
+                t_send = t_prep + _time.perf_counter() - t0
+                pending = (tid, res, works, t_send)
             else:
                 if pending is not None:
                     _finish(pending)
@@ -330,9 +339,12 @@ class SpanWorkerPool:
             PROBED_INFLIGHT = limits[0]
 
         def finish(item):
-            conn, jobs, nchunks, outs = item
+            conn, jobs, nchunks, out_pos, outs = item
             try:
-                flat = readback_grouped(outs)
+                # map rows -> per-pair values HERE: the reply must stay
+                # small (per-pair f64, ~64 KB) so the send cannot block
+                # the service thread against a worker that is mid-span
+                lks = readback_grouped(outs)[out_pos]
             except Exception:  # noqa: BLE001 — device died mid-batch: the
                 # worker recomputes locally; correctness never depends on
                 # the service
@@ -343,7 +355,7 @@ class SpanWorkerPool:
                     pass
                 return
             try:
-                conn.send(("ok", flat))
+                conn.send(("ok", lks))
             except OSError:
                 pass       # worker exited; a dead PIPE is not a dead DEVICE
             if os.environ.get("LORIKEET_SERVICE_DEBUG"):
@@ -380,7 +392,7 @@ class SpanWorkerPool:
                 if kind == "bye":
                     closed.add(conn)
                     continue
-                bucket, jobs, nchunks = payload
+                bucket, jobs, nchunks, out_pos = payload
                 try:
                     # the service exists to put the CHIP to work; the
                     # worker already owns the local-host alternative.
@@ -404,7 +416,8 @@ class SpanWorkerPool:
                         L.DISPATCH_COUNTS["device"] += 1
                         outs = enqueue_grouped_jobs(jobs, nchunks,
                                                     interpret=interp)
-                        inflight.append((conn, jobs, nchunks, outs))
+                        inflight.append((conn, jobs, nchunks, out_pos,
+                                         outs))
                 except Exception:  # noqa: BLE001 — dispatch failed: local
                     device_dead[0] = True
                     try:
