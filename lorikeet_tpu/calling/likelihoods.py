@@ -765,6 +765,13 @@ def _route_remote(pairs) -> bool:
     pick = t_rem < t_host
     if _PERF["n_batch"] % _EXPLORE_EVERY == 0:
         pick = not pick
+    if _os.environ.get("LORIKEET_ROUTE_DEBUG"):
+        import sys as _sys
+        print(f"ROUTE n={_PERF['n_batch']} cells={cells/1e6:.0f}M "
+              f"t_host={t_host*1e3:.0f}ms t_rem={t_rem*1e3:.0f}ms "
+              f"host_cps={host_cps/1e9:.2f}G rem_bps={rem_bps/1e6:.0f}M "
+              f"-> {'remote' if pick else 'local'}",
+              file=_sys.stderr, flush=True)
     return pick
 
 

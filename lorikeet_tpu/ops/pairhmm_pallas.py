@@ -446,6 +446,11 @@ def pairhmm_forward_pallas(
 #: the WORK in steps (rows of 1024, blocks of 128), so compile-shape
 #: diversity stays tiny (<=4 variants per (Rpad, nchunks)) while padding
 #: never ships more than one step of dead bytes over the 45-80 MB/s link.
+#: grouped-dispatch tile height: 32 rows halves the pad-row compute for
+#: the dominant production shape (~25-50 reads per region) vs 64, at the
+#: same per-row VPU efficiency (sublane multiples of 8)
+GROUP_BLOCK_B = 32
+
 NBLOCKS_CAP = 512
 NBLOCKS_STEP = 128
 ROWS_CAP = 4096
@@ -462,47 +467,53 @@ def _kernel_grouped(tile_tab, hap_tab, hoff_tab, hlen_tab, quals, ins_q,
     the hap length (a u8 plane cannot hold lengths >255)."""
     f32 = jnp.float32
     TB, Rpad = quals.shape
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
-
-    read_len = jnp.broadcast_to(_col(lens[...], 0), (TB, Rpad))
     i = pl.program_id(0)
-    hoff = hoff_tab[i]
     hlen = hlen_tab[i]
-    hap_len = jnp.full((TB, Rpad), hlen, jnp.int32)
-    boundary = lane == 0
-    is_end_row = lane == read_len
-    rl_p1 = read_len + 1
-    hap_len_u = hap_len.astype(jnp.uint32)
-    b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)
 
-    ln10_over_m10 = np.float32(-np.log(10.0) / 10.0)
-    ok = (lane >= 1) & (lane <= read_len)
-    eps = jnp.where(ok, jnp.exp(
-        quals[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
-    tmi = jnp.where(ok, jnp.exp(
-        ins_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
-    tmd = jnp.where(ok, jnp.exp(
-        del_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
-    eg = jnp.where(ok, jnp.exp(
-        gcp_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
-    tmm = 1.0 - jnp.minimum(1.0, tmi + tmd)
-    tim = 1.0 - eg
-    tii = eg
-    tdd = eg
-    pm = 1.0 - eps
-    px = eps * np.float32(1.0 / TRISTATE_CORRECTION)
-    rp = jnp.where(ok, _base_bits_jnp(read_u8[...]), 0)
+    # pad blocks (hlen_tab == 1; real haplotypes are >= kmer size) carry
+    # no wanted output rows — skip their whole DP sweep.  Production span
+    # batches land in the fixed-shape dispatch variants at 30-40% block
+    # occupancy, so this predication is worth ~2-3x effective throughput.
+    @pl.when(hlen > 1)
+    def _run():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (TB, Rpad), 1)
+        read_len = jnp.broadcast_to(_col(lens[...], 0), (TB, Rpad))
+        hoff = hoff_tab[i]
+        hap_len = jnp.full((TB, Rpad), hlen, jnp.int32)
+        boundary = lane == 0
+        is_end_row = lane == read_len
+        rl_p1 = read_len + 1
+        hap_len_u = hap_len.astype(jnp.uint32)
+        b0 = 1.0 / jnp.maximum(hap_len, 1).astype(f32)
 
-    def window_of(c):
-        start = pl.multiple_of(c * _LANES, _LANES)
-        w8 = _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])     # [8,128]
-        srow = jax.lax.broadcasted_iota(jnp.int32, w8.shape, 0)
-        return jnp.sum(jnp.where(srow == hoff, w8, 0), axis=0,
-                       keepdims=True)                            # [1,128]
+        ln10_over_m10 = np.float32(-np.log(10.0) / 10.0)
+        ok = (lane >= 1) & (lane <= read_len)
+        eps = jnp.where(ok, jnp.exp(
+            quals[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+        tmi = jnp.where(ok, jnp.exp(
+            ins_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+        tmd = jnp.where(ok, jnp.exp(
+            del_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+        eg = jnp.where(ok, jnp.exp(
+            gcp_q[...].astype(jnp.int32).astype(f32) * ln10_over_m10), 0.0)
+        tmm = 1.0 - jnp.minimum(1.0, tmi + tmd)
+        tim = 1.0 - eg
+        tii = eg
+        tdd = eg
+        pm = 1.0 - eps
+        px = eps * np.float32(1.0 / TRISTATE_CORRECTION)
+        rp = jnp.where(ok, _base_bits_jnp(read_u8[...]), 0)
 
-    _dp_sweep(out, window_of, nchunks, TB, Rpad, boundary, is_end_row,
-              rl_p1, hap_len_u, b0,
-              tmm, tim, tmi, tii, tmd, tdd, pm, px, rp)
+        def window_of(c):
+            start = pl.multiple_of(c * _LANES, _LANES)
+            w8 = _base_bits_jnp(hap_u8[:, pl.ds(start, _LANES)])  # [8,128]
+            srow = jax.lax.broadcasted_iota(jnp.int32, w8.shape, 0)
+            return jnp.sum(jnp.where(srow == hoff, w8, 0), axis=0,
+                           keepdims=True)                         # [1,128]
+
+        _dp_sweep(out, window_of, nchunks, TB, Rpad, boundary, is_end_row,
+                  rl_p1, hap_len_u, b0,
+                  tmm, tim, tmi, tii, tmd, tdd, pm, px, rp)
 
 
 def _grouped_call(tile_tab, hap_tab, hoff_tab, hlen_tab, quals, ins_q,
@@ -543,7 +554,7 @@ _grouped_jit = functools.partial(
         _grouped_call)
 
 
-def pack_grouped_inputs(pairs, block_b: int = 64):
+def pack_grouped_inputs(pairs, block_b: int = GROUP_BLOCK_B):
     """Dedup a flat (hap, read, q, iq, dq, gcp) pair list into grouped
     dispatches.  Reads sharing an identical haplotype set (i.e. one
     region's reads) tile together; each dispatch ships each read and hap
@@ -929,7 +940,7 @@ def unpack_pairs_ipc(payload):
             for h, r in zip(hi.tolist(), ri.tolist())]
 
 
-def pairhmm_forward_grouped(pairs, block_b: int = 64,
+def pairhmm_forward_grouped(pairs, block_b: int = GROUP_BLOCK_B,
                             interpret: bool = False,
                             devices=None, wire=None) -> np.ndarray:
     """Forward log10 likelihoods for a flat pair list via the grouped
@@ -946,7 +957,7 @@ def pairhmm_forward_grouped(pairs, block_b: int = 64,
     return flat[out_pos]
 
 
-def prepare_grouped_jobs(pairs, block_b: int = 64, wire=None):
+def prepare_grouped_jobs(pairs, block_b: int = GROUP_BLOCK_B, wire=None):
     """Host-side half of the grouped dispatch: pack + (maybe) compress.
     Returns (jobs, out_pos, nchunks) where each job is (tables, mode,
     arrays) ready for execute_grouped_jobs — in the pool, the WORKER runs
@@ -961,7 +972,7 @@ def prepare_grouped_jobs(pairs, block_b: int = 64, wire=None):
     return jobs, out_pos, nchunks
 
 
-def execute_grouped_jobs(jobs, nchunks: int, block_b: int = 64,
+def execute_grouped_jobs(jobs, nchunks: int, block_b: int = GROUP_BLOCK_B,
                          interpret: bool = False, devices=None):
     """Device half: puts + jit calls + one readback; returns the flat
     per-row results (index with the out_pos from prepare_grouped_jobs)."""
@@ -984,7 +995,7 @@ def execute_grouped_jobs(jobs, nchunks: int, block_b: int = 64,
     return flat[:, 0]
 
 
-def enqueue_grouped_jobs(jobs, nchunks: int, block_b: int = 64,
+def enqueue_grouped_jobs(jobs, nchunks: int, block_b: int = GROUP_BLOCK_B,
                          interpret: bool = False):
     """Enqueue-only variant (no readback): returns the device handles.
     Used by the service's in-flight pipeline and its depth probe."""

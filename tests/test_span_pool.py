@@ -102,7 +102,8 @@ def _fake_device(monkeypatch, fail_after=None):
 
     calls = {"n": 0}
 
-    def fake_enqueue(jobs, nchunks, block_b=64, interpret=False):
+    def fake_enqueue(jobs, nchunks, block_b=None,
+                     interpret=False):
         calls["n"] += 1
         if fail_after is not None and calls["n"] > fail_after:
             raise RuntimeError("simulated agent crash on deep enqueue")
@@ -111,7 +112,8 @@ def _fake_device(monkeypatch, fail_after=None):
             tile_tab, hap_tab, hoff_tab, hlen_tab = tables
             planes = decode_wire(payload) if mode == "wire" else payload
             q, iq, dq, gq, rdp, hap_u8, lens = planes
-            bb = P.vmem_safe_block(q.shape[1], block_b)
+            bb = P.vmem_safe_block(
+                q.shape[1], block_b or P.GROUP_BLOCK_B)
             nblocks = len(tile_tab)
             pairs = []
             for b in range(nblocks):
