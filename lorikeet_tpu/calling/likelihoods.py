@@ -765,6 +765,12 @@ def _route_remote(pairs) -> bool:
     pick = t_rem < t_host
     if _PERF["n_batch"] % _EXPLORE_EVERY == 0:
         pick = not pick
+    elif not pick and _PERF.get("rem_bps_n", 0) < 3:
+        # the first remote sample is routinely poisoned by startup
+        # congestion (cold service, depth probe, every worker exploring at
+        # once); keep sampling the link until the EWMA has >= 3 samples
+        # before trusting a "local" verdict
+        pick = True
     if _os.environ.get("LORIKEET_ROUTE_DEBUG"):
         import sys as _sys
         print(f"ROUTE n={_PERF['n_batch']} cells={cells/1e6:.0f}M "
@@ -802,6 +808,7 @@ def _update_perf(key_rate, amount, elapsed):
     rate = amount / elapsed
     old = _PERF[key_rate]
     _PERF[key_rate] = rate if old is None else 0.7 * old + 0.3 * rate
+    _PERF[key_rate + "_n"] = _PERF.get(key_rate + "_n", 0) + 1
 
 
 def compute_pair_likelihoods(pairs: list, use_pallas: bool = None) -> np.ndarray:
