@@ -202,6 +202,16 @@ def open_bam(path: str, high_memory: bool = False, streaming: bool = None):
     bam_generator.rs:48).  ``high_memory`` (the --high-memory flag) forces
     eager decode; ``streaming`` overrides the size heuristic outright.
     A missing .bai is built on the spot (index_bams.rs finish_bams role)."""
+    with open(path, "rb") as _fh:
+        magic = _fh.read(26)
+    if magic[:2] != b"\x1f\x8b":
+        if magic.startswith(b"version https://git-lfs"):
+            raise ValueError(
+                f"{path} is a git-lfs POINTER, not BAM data — the real "
+                "file was never fetched (run `git lfs pull` in that repo)")
+        raise ValueError(
+            f"{path} is not a BAM file (BGZF gzip magic missing; "
+            f"starts with {magic[:8]!r})")
     if streaming is None:
         if high_memory:
             streaming = False

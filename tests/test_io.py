@@ -125,3 +125,16 @@ def test_read_vcf_registers_undeclared_contigs(tmp_path):
     contexts, contigs, _ = read_vcf(str(p))
     assert contigs == ["ctgA", "ctgB"]
     assert [vc.tid for vc in contexts] == [0, 1, 0]
+
+
+def test_open_bam_rejects_non_bam_with_clear_error(tmp_path):
+    import pytest
+    from lorikeet_tpu.io.bam import open_bam
+    p = tmp_path / "fake.bam"
+    p.write_bytes(b"version https://git-lfs.github.com/spec/v1\noid sha256:x")
+    with pytest.raises(ValueError, match="git-lfs POINTER"):
+        open_bam(str(p))
+    p2 = tmp_path / "junk.bam"
+    p2.write_bytes(b"not a bam at all")
+    with pytest.raises(ValueError, match="not a BAM file"):
+        open_bam(str(p2))
