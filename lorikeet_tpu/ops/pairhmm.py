@@ -261,7 +261,11 @@ def pairhmm_forward_checked(results, pairs):
     double below its f32 underflow threshold).
     """
     results = np.asarray(results, np.float64).copy()
-    suspect = np.nonzero(results <= F32_SUSPECT_LOG10)[0]
+    # log10 likelihoods are strictly <= 0: positives, NaNs, or infs mean
+    # the device path returned garbage for those rows (e.g. a predicated
+    # pad block aliased by a degenerate input) — recompute them exactly
+    suspect = np.nonzero((results <= F32_SUSPECT_LOG10) | (results > 0.0)
+                         | ~np.isfinite(results))[0]
     if suspect.size:
         # recompute the whole suspect set through the threaded native f64
         # batch kernel; the per-pair numpy DP is the fallback only
