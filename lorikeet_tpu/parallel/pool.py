@@ -392,8 +392,11 @@ class SpanWorkerPool:
                 if kind == "bye":
                     closed.add(conn)
                     continue
-                bucket, jobs, nchunks, out_pos = payload
                 try:
+                    # inside the try: a malformed payload must bounce the
+                    # batch, never kill the service thread (workers block
+                    # on their replies forever if it dies)
+                    bucket, jobs, nchunks, out_pos = payload
                     # the service exists to put the CHIP to work; the
                     # worker already owns the local-host alternative.
                     # Computing on the parent's host kernel here would
